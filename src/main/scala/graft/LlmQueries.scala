@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (language-ID, quality, tokens, fingerprints), multimodal
+  * column pattern. 100 TB design notes live on each op in `graft.llm`.
+  */
+object LlmQueries {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, None)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- deduplication -------------------------------------------------
+    // Exact dedup: group on content (at 100 TB: group on a 256-bit content
+    // hash so the shuffle carries 32 bytes/row, not the document).
+    q("q_dedup_exact",
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).groupBy(md5(col("text")))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    // Word-level Jaccard near-dup, exact, via explode+self-join on token —
+    // the oracle-checkable baseline for the sketch-based variants below.
+    // Bounded to a doc_id window to keep candidate pairs quadratic-safe.
+    q("q_dedup_jaccard",
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 200
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS overlap
+        |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2,
+        |  round(overlap * 1.0 / (s1.sz + s2.sz - overlap), 6) AS jaccard
+        |FROM inter
+        | JOIN sizes s1 ON s1.doc_id = id1
+        | JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE overlap * 1.0 / (s1.sz + s2.sz - overlap) >= 0.9
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.wordJaccardPairs(documents(s, d).filter(col("doc_id") < 200), 0.9)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    // MinHash+LSH near-dup: shingle → 32 minhashes → 8 bands × 4 rows →
+    // band-bucket join (candidates ~linear, never all-pairs) → exact
+    // 3-gram Jaccard verify ≥ 0.7. Sketch-based → rows-only check.
+    qNoOracle("q_dedup_minhash") { (s, d) =>
+      Dedup.minhashPairs(documents(s, d), threshold = 0.7)
+        .orderBy("id1", "id2")
+    },
+
+    // SimHash near-dup: 64-bit signature, 4×16-bit band bucketing,
+    // Hamming distance ≤ 6 verify. Rows-only check.
+    qNoOracle("q_dedup_simhash") { (s, d) =>
+      Dedup.simhashPairs(documents(s, d), maxHamming = 6)
+        .orderBy("id1", "id2")
+    },
+
+    // ---- similarity search --------------------------------------------
+    // Brute-force cosine top-k: K query vectors broadcast against the
+    // corpus — the exact baseline every ANN variant is measured against.
+    q("q_sim_topk",
+      """WITH queries AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN queries q
+        |  WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      Similarity.bruteForceTopK(
+          embeddings(s, d),
+          embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cosine")
+    },
+
+    // LSH-bucketed ANN: deterministic random-hyperplane signatures,
+    // multi-probe band join — the scale path. Rows-only check; recall vs
+    // brute force asserted in SimilaritySpec.
+    qNoOracle("q_sim_ann_lsh") { (s, d) =>
+      Similarity.lshTopK(
+          embeddings(s, d),
+          embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 10)
+        .orderBy("query_id", "rn")
+    },
+
+    // Embedding stats: norm per vector, aggregated per label.
+    q("q_embed_stats",
+      """SELECT label, count(*) AS n_vecs,
+        | round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      embeddings(s, d)
+        .select(col("label"), Similarity.l2Norm(col("embedding")).as("norm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), round(avg("norm"), 6).as("avg_norm"))
+        .orderBy("label")
+    },
+
+    // ---- text analysis -------------------------------------------------
+    q("q_text_stats",
+      """SELECT doc_id,
+        | length(text) AS n_chars_computed,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+        | len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS n_stopwords,
+        | round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) * 1.0
+        |   / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.textStats(documents(s, d)).orderBy("doc_id")
+    },
+
+    q("q_lang_quality",
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(n_chars), 6) AS avg_chars,
+        | round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          round(avg(size(split(col("text"), " "))), 6).as("avg_tokens"))
+        .orderBy("lang")
+    },
+
+    // Content fingerprint: md5 (cross-engine) — the dedup/lineage key.
+    q("q_fingerprint",
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram language-ID heuristic + quality score (model-like scoring →
+    // rows-only check; accuracy asserted against `lang` in TextSpec).
+    qNoOracle("q_langid") { (s, d) =>
+      TextAnalysis.languageId(documents(s, d)).orderBy("doc_id")
+    },
+
+    // Rolling-hash document fingerprint (xxhash64-based → rows-only).
+    qNoOracle("q_fingerprint_rolling") { (s, d) =>
+      TextAnalysis.rollingFingerprint(documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- multimodal ----------------------------------------------------
+    // Typed multimodal row: text + embedding joined into one record.
+    // The binary decode path (images/audio) is the mapPartitions stub in
+    // graft.llm.Multimodal — plumbing real, decoder stubbed.
+    q("q_multimodal_join",
+      """SELECT d.doc_id, d.lang, d.n_chars, e.label,
+        | len(e.embedding) AS emb_dim
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).as("d")
+        .join(embeddings(s, d).as("e"), col("e.vec_id") === col("d.doc_id"))
+        .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
+          col("d.n_chars").as("n_chars"), col("e.label").as("label"),
+          size(col("e.embedding")).cast("long").as("emb_dim"))
+        .orderBy("doc_id")
+    }
+  )
+}

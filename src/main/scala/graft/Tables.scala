@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver fixture tables (`TESTDATA.md`).
+  *
+  * Centralizes the one genuinely tricky read: `events.parquet` stores its
+  * `ts` column as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  * rejects by default. We flip the session conf
+  * `spark.sql.legacy.parquet.nanosAsLong` at read time (safe to set
+  * repeatedly) and convert the raw nanosecond longs to a microsecond
+  * `TimestampType` — the same truncation DuckDB applies when casting
+  * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+  *
+  * At 100 TB these readers are where partition pruning / pushdown begin:
+  * they return a bare scan, so every downstream filter/projection reaches
+  * the parquet reader (verify with `.explain`: `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events` with `ts` converted from TIMESTAMP(NANOS) to a usable
+    * microsecond timestamp. Integer division truncates toward zero ==
+    * floor for the post-1970 fixture data.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * All math is built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`/`transform`) in double precision — no UDFs, no
+  * driver-side vectors. Accumulation is sequential left-to-right, which
+  * matches DuckDB's list kernels, keeping the oracle hash-comparable
+  * after rounding.
+  *
+  * Scale shape:
+  *  - brute force: queries broadcast against the corpus — exact, O(N·Q),
+  *    the right answer when Q is small and the corpus is the 100 TB side;
+  *  - LSH: deterministic random-hyperplane signatures bucket the corpus;
+  *    candidates come from band-equality joins (shuffle on small keys),
+  *    exact cosine re-ranks candidates only. An IVF variant would swap
+  *    the signature for a nearest-centroid id; same join shape.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0), _ + _))
+
+  /** cosine = dot / sqrt(|a|^2 * |b|^2) — single sqrt, matching DuckDB's
+    * list_cosine_similarity formula shape. */
+  def cosine(a: Column, b: Column): Column = {
+    val sq = (v: Column) => aggregate(transform(asDouble(v), x => x * x), lit(0.0), _ + _)
+    dot(a, b) / sqrt(sq(a) * sq(b))
+  }
+
+  /** Exact top-k neighbors per query vector. `queries` must have columns
+    * (query_id, qe); the small side is broadcast — zero shuffle for the
+    * scoring pass, one shuffle for the per-query top-k window. Cosine is
+    * rounded to 6 places BEFORE ranking so cross-engine ties break
+    * identically (by neighbor_id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("embedding"), col("qe")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` unit-free gaussian
+    * vectors from a fixed seed (driver-side constant, broadcast as a
+    * literal — a few KB, never data-dependent).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign signature under the planes, banded into `bands` small integer
+    * bucket keys (each from numPlanes/bands sign bits — ANSI-safe ints).
+    */
+  def bandedSignature(vec: Column, planes: Seq[Seq[Double]], bands: Int): Column = {
+    val perBand = planes.size / bands
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until perBand).map { i =>
+        val plane = typedLit(planes(b * perBand + i))
+        when(aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
+          lit(0.0), _ + _) >= 0, 1 << i).otherwise(0)
+      }
+      bits.reduce(_ + _)
+    }
+    array(bandCols: _*)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus∩query band collisions
+    * (multi-probe across `bands` bands), exact cosine re-rank on the
+    * candidate set only. Recall vs `bruteForceTopK` is asserted in
+    * SimilaritySpec.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 16, bands: Int = 2, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val corpusBanded = corpus
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bandedSignature(col("embedding"), planes, bands))
+          .as(Seq("band", "bucket")))
+    val queryBanded = queries
+      .select(col("query_id"), col("qe"),
+        posexplode(bandedSignature(col("qe"), planes, bands))
+          .as(Seq("band", "bucket")))
+    val candidates = corpusBanded
+      .join(queryBanded, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("qe"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    candidates
+      .withColumn("cosine", round(cosine(col("embedding"), col("qe")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+}
