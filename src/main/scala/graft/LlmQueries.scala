@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram
@@ -183,6 +183,12 @@ object LlmQueries {
           col("d.n_chars").as("n_chars"), col("e.label").as("label"),
           size(col("e.embedding")).cast("long").as("emb_dim"))
         .orderBy("doc_id")
+    },
+
+    // Binary payload → batched partition-local feature extraction
+    // (decode stubbed; plumbing real — see graft.llm.Multimodal).
+    qNoOracle("q_multimodal_features") { (s, d) =>
+      Multimodal.featureSummary(documents(s, d)).orderBy("doc_id")
     }
   )
 }

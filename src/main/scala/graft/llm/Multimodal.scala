@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column pattern: media as opaque `binary` payloads with a
+  * typed metadata struct, processed in partition-local batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `decodeStub` derives a deterministic fake feature vector from the
+  * payload bytes. Everything around it — schema, typed Dataset plumbing,
+  * batched mapPartitions shape, partitioning — is real and tested
+  * (MultimodalSpec). Swapping in a real decoder changes ONLY the body of
+  * `decodeStub`.
+  *
+  * Scale notes: mapPartitions keeps the decoder per-partition (one codec
+  * init per task, not per row; batches bound peak memory). Binary
+  * payloads ride Parquet binary columns; at 100 TB, payloads should be
+  * size-bucketed (`repartitionByRange` on n_bytes) so decode tasks are
+  * even, and metadata-only queries never touch payload bytes thanks to
+  * Parquet column pruning.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                                 feature: Array[Float])
+
+  /** Wrap a text corpus as media records (payload = utf-8 bytes) — the
+    * fixture stand-in for real image/audio bytes.
+    */
+  def asMediaRecords(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload")).as[MediaRecord]
+  }
+
+  /** STUB decoder: a real implementation would decode image/audio bytes
+    * (JPEG→pixels, WAV→PCM) and extract features; deterministic fake =
+    * 8 floats folded from payload bytes. Marked clearly; see class doc.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    feat
+  }
+
+  /** Batched partition-local decode/feature-extract. `batchSize` mirrors
+    * the batch shape a vectorized (Arrow/pandas-UDF-style) decoder would
+    * use: the iterator is consumed in groups so a real codec can amortize
+    * setup across the batch.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch: real decoders init once here
+        batch.iterator.map { r =>
+          MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+            decodeStub(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Feature summary as a plain DataFrame query (registered rows-only). */
+  def featureSummary(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    extractFeatures(asMediaRecords(docs)).toDF()
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        size(col("feature")).cast("long").as("feature_dim"),
+        round(aggregate(col("feature"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("feature_sum"))
+  }
+}

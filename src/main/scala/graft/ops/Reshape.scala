@@ -20,8 +20,11 @@ object Reshape {
   /** A1: melt — all columns except `ids` become (variable, value) rows. */
   def melt(df: DataFrame, ids: Seq[String], variableCol: String = "variable",
            valueCol: String = "value"): DataFrame = {
+    // Backtick-quote: melted column names contain literal dots
+    // ("<id>.<field>") that a bare col() would parse as struct access.
+    val quote = (n: String) => col(s"`${n.replace("`", "")}`")
     val valueCols = df.columns.filterNot(ids.contains).toIndexedSeq
-    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, variableCol, valueCol)
+    df.unpivot(ids.map(quote).toArray, valueCols.map(quote).toArray, variableCol, valueCol)
   }
 
   /** A2: split `"<id>.<field>"` into two columns via regex groups

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming shapes for the engine (SURVEY.md §2.8): the
+  * reference's poll-append-watermark loop expressed as real streams.
+  *
+  * All transforms take an unbounded DataFrame (from `readStream`) and
+  * return one — sources/sinks stay at the edges so the same logic is
+  * testable with MemoryStream (StreamingSpec) and runnable against a
+  * file/kafka source in production.
+  *
+  * Scale notes: state stores are keyed by (group, window) — bounded by
+  * the watermark delay; dropDuplicates state is bounded the same way.
+  * Shuffle partitioning = `spark.sql.shuffle.partitions` per micro-batch.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts with late-data tolerance: the streaming
+    * equivalent of q_watermark_daily. Append-mode compatible (windows
+    * close once the watermark passes).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+                     lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("total_value"))
+
+  /** Streaming dedup within the watermark horizon — the streaming
+    * realization of the reference's insert-only MERGE (re-delivered ids
+    * are dropped; state expires with the watermark).
+    */
+  def dedupWithinWatermark(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id")
+
+  /** Session windows per user (30-minute gap), streaming-native. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+}

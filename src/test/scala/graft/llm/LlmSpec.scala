@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash candidates agree with exact jaccard on the fixtures (no false accepts)") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.minhashPairs(docs, threshold = 0.7).collect()
+    assert(out.nonEmpty) // the corpus has planted near-dups
+    out.foreach(r => assert(r.getDouble(2) >= 0.7))
+  }
+
+  test("simhash: identical docs have hamming 0; disjoint docs don't collide at ≤6") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
+  }
+
+  test("shingles: 3-grams of a short doc degrade to the whole text") {
+    val out = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).as[Seq[String]].head()
+    assert(out == Seq("a b"))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+      .as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 1.0))
+  }
+
+  test("LSH ANN output is consistent with brute-force cosine for every returned pair") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 500)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.lshTopK(corpus, queries, k = 10)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) => assert(math.abs(brute((q, n)) - c) < 1e-9) }
+  }
+
+  test("language-id picks the language whose markers dominate") {
+    val docs = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "el perro y la casa de que y"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("text stats compute token/stopword counts") {
+    val out = TextAnalysis.textStats(Seq((1L, "the quick a fox")).toDF("doc_id", "text"))
+      .select("n_tokens", "n_stopwords", "stopword_ratio")
+      .as[(Long, Long, Double)].head()
+    assert(out == ((4L, 2L, 0.5)))
+  }
+
+  test("rolling fingerprint is stable under a far-from-window edit, changes under full rewrite") {
+    def fp(text: String): Long =
+      TextAnalysis.rollingFingerprint(Seq((1L, text)).toDF("doc_id", "text"), window = 3)
+        .select("fingerprint").as[Long].head()
+    val base = "a b c d e f g h i j"
+    // The minimum window hash is position-independent content; appending
+    // tokens can only lower it or keep it — equality holds when the
+    // minimal window survives.
+    val appended = fp(base + " zz")
+    assert(fp(base) == fp(base))
+    assert(appended <= fp(base))
+    assert(fp("completely different words entirely here now") != fp(base))
+  }
+
+  test("multimodal: batched stub decode preserves rows and emits fixed-dim features") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaRecords(docs), batchSize = 7)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(_.n_bytes > 0))
+    // deterministic: re-run equals
+    val again = Multimodal.extractFeatures(Multimodal.asMediaRecords(docs), batchSize = 64)
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    rows.foreach(f => assert(again(f.doc_id) == f.feature.toSeq))
+  }
+}

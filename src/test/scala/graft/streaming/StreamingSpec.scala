@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+  test("streaming dedup within watermark drops re-delivered event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    input.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(2), 1, 2.0), Ev(1, ts(1), 1, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(2, ts(3), 1, 2.0), Ev(3, ts(4), 1, 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("tumbling windows close when the watermark passes (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumble_out").outputMode("append").start()
+    input.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(8), 1, 2.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the first window
+    input.addData(Ev(3, ts(30), 1, 3.0))
+    q.processAllAvailable()
+    input.addData(Ev(4, ts(59), 1, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumble_out")
+      .select(col("window_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    q.stop()
+    assert(rows("2024-01-01 00:00:00") == 2L)
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    input.addData(Ev(1, ts(1), 1, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(2, ts(40), 1, 2.0)) // watermark → 00:35
+    q.processAllAvailable()
+    input.addData(Ev(3, ts(2), 1, 9.0)) // 39 minutes late → dropped
+    q.processAllAvailable()
+    input.addData(Ev(4, ts(59), 1, 4.0))
+    q.processAllAvailable()
+    val first = spark.table("late_out")
+      .filter(col("window_start") === ts(0)).select("n_events").as[Long].collect()
+    q.stop()
+    assert(first.toSeq == Seq(1L)) // the late event never lands
+  }
+
+  test("batch session islands equal native session_window on real fixtures") {
+    val d = "/root/testdata/sf0.001"
+    val islands = SparkEntry.queries("q_session_islands")(spark, d)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val native = SparkEntry.queries("q_session_native")(spark, d)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(islands == native)
+  }
+}
