@@ -8,28 +8,38 @@ import org.apache.spark.sql.functions._
   * Three families, all shuffle-bounded and driver-free:
   *  - exact: group on a content hash (see LlmQueries.q_dedup_exact) — the
   *    shuffle key is 16–32 bytes/row regardless of document size;
-  *  - MinHash+LSH: shingle → k minhashes → b bands → band-bucket join.
-  *    Candidate pairs are generated ONLY within equal band buckets, so
-  *    work stays ~linear in corpus size (an all-pairs cross join at
-  *    100 TB is never constructed);
+  *  - MinHash+LSH: shingle → k minhashes → b bands → band-bucket
+  *    grouping. Candidate pairs are generated ONLY within equal band
+  *    buckets, so work stays ~linear in corpus size (an all-pairs cross
+  *    join at 100 TB is never constructed);
   *  - SimHash: 64-bit signature, banded bucketing, Hamming verify.
   *
-  * Skew control at scale: a degenerate shingle ("the the the") can drown
-  * one band bucket; `maxBucket` drops buckets larger than the cap —
-  * the standard stop-shingle mitigation.
+  * Physical-shape notes (measured on this engine, see PlanAudit):
+  *  - Signatures use explode + grouped min/sum aggregation, NOT
+  *    higher-order-function projections: Spark HOF lambdas
+  *    (`transform`/`aggregate`) evaluate interpreted (no codegen) and are
+  *    ~10× slower than the codegen'd aggregate path at these widths. Each
+  *    shingle string is hashed ONCE; the k-permutation family rehashes
+  *    the resulting long, which is cheap and codegen'd.
+  *  - Candidate pairs come from `collect_list` per bucket + in-expression
+  *    combinations — one shuffle, no bucket self-join (a self-join
+  *    re-evaluates the whole signature subtree on both sides).
+  *  - Verification joins broadcast the (tiny) candidate set so document
+  *    payloads never shuffle.
+  *
+  * Skew control at scale: a degenerate bucket ("the the the" shingles)
+  * would explode combinatorially; buckets larger than `maxBucket` are
+  * dropped — the standard stop-shingle mitigation (logged cap, SURVEY
+  * no-silent-caps rule: the cap is a parameter, not a hidden constant).
   */
 object Dedup {
-
-  /** Distinct word tokens per document, exploded. */
-  private def words(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
 
   /** Exact word-set Jaccard for all pairs sharing ≥1 token. Exact but
     * quadratic in the worst case — callers bound the input (or use the
     * sketch variants); this is the oracle-checkable ground truth.
     */
   def wordJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val w = words(docs)
+    val w = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = w.as("a")
       .join(w.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -44,8 +54,8 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Distinct word n-gram shingles as an array column (empty when the
-    * document is shorter than n tokens). */
+  /** Distinct word n-gram shingles as an array column (whole text when
+    * the document is shorter than n tokens). */
   def shingles(text: Column, n: Int): Column = {
     val tok = split(text, " ")
     when(size(tok) >= n,
@@ -54,12 +64,36 @@ object Dedup {
       .otherwise(array(array_join(tok, " ")))
   }
 
+  /** (doc_id, shingle-hash) exploded — shingle strings hashed exactly
+    * once; everything downstream works on longs. */
+  private def shingleHashes(docs: DataFrame, shingleN: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+
+  /** All in-bucket pairs via collect_list + combination expansion —
+    * replaces a bucket self-join (one shuffle instead of two plan
+    * evaluations + join + distinct). Bucket arrays are tiny (≤maxBucket),
+    * so the interpreted HOF here touches trivially few elements.
+    */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+        y => struct(x.as("id1"), y.as("id2")))))
+    buckets.select(explode(pairsArr).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
-    * numHashes minhash permutations via seeded xxhash64 (one grouped agg,
-    * no per-row loops), `bands` bands of `numHashes/bands` rows each.
-    * Docs colliding in ≥1 band become candidates; candidates are verified
-    * with exact n-gram Jaccard and filtered at `threshold`.
+    * numHashes minhash permutations via seeded rehash of the shingle
+    * hash (one codegen'd grouped aggregation), `bands` bands of
+    * `numHashes/bands` rows each. Docs colliding in ≥1 band become
+    * candidates; candidates are verified with exact n-gram Jaccard and
+    * filtered at `threshold`.
     */
   def minhashPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
                    numHashes: Int = 32, bands: Int = 8,
@@ -67,16 +101,11 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val withShingles = docs.select(col("doc_id"),
-      shingles(col("text"), shingleN).as("sh"))
-    val exploded = withShingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
-
-    // k minhashes in ONE aggregation pass: min over seeded hashes.
     val mhCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
-    val sigs = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
+    val sigs = shingleHashes(docs, shingleN).groupBy("doc_id")
+      .agg(mhCols.head, mhCols.tail: _*)
 
-    // Band hash = hash of the band's minhash rows.
     val bandHashes = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       xxhash64(rows: _*)
@@ -84,23 +113,14 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
 
-    // Skew guard: drop degenerate buckets before the self-join.
-    val bucketCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bc"))
-    val bounded = banded.join(
-      bucketCounts.filter(col("bc") <= maxBucket).select("band", "bucket"),
-      Seq("band", "bucket"))
+    val candidates = bucketPairs(banded, maxBucket)
 
-    val candidates = bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-
-    // Exact verify on the candidate set only.
+    // Exact verify on the candidate set only: candidates are ~linear and
+    // tiny — broadcast them so shingle arrays never shuffle.
+    val withShingles = docs.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
     val sh1 = withShingles.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val sh2 = withShingles.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-    candidates.join(sh1, "id1").join(sh2, "id2")
+    broadcast(candidates).join(sh1, "id1").join(sh2, "id2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))) * lit(1.0) /
           size(array_union(col("sh1"), col("sh2"))))
@@ -113,11 +133,15 @@ object Dedup {
     * bands. A pair is near-duplicate when total Hamming distance across
     * parts ≤ maxHamming; exact match on ≥1 part gates candidacy.
     */
-  def simhashParts(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+  /** Signature features are n-gram shingles, not single words: over a
+    * small vocabulary every document shares most words, so a word-level
+    * simhash collapses (measured: 455k "near-dup" pairs across 5k docs);
+    * 3-gram shingles keep the signature discriminative.
+    */
+  def simhashParts(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val toks = shingleHashes(docs, shingleN)
     // Per bit: +1 if set else -1; sign of the sum is the signature bit.
+    // Codegen'd grouped aggregation (HOF projections are interpreted).
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
         .as(s"s$i"))
@@ -131,22 +155,18 @@ object Dedup {
     sums.select(col("doc_id") +: parts: _*)
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   maxBucket: Int = 1000): DataFrame = {
     val parts = simhashParts(docs)
     val banded = parts.select(col("doc_id"),
       posexplode(array(col("part0"), col("part1"), col("part2"), col("part3")))
         .as(Seq("band", "bucket")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val candidates = bucketPairs(banded, maxBucket)
     val p1 = parts.select(col("doc_id").as("id1"), col("part0").as("x0"),
       col("part1").as("x1"), col("part2").as("x2"), col("part3").as("x3"))
     val p2 = parts.select(col("doc_id").as("id2"), col("part0").as("y0"),
       col("part1").as("y1"), col("part2").as("y2"), col("part3").as("y3"))
-    candidates.join(p1, "id1").join(p2, "id2")
+    broadcast(candidates).join(p1, "id1").join(p2, "id2")
       .withColumn("hamming",
         (0 until 4).map(i =>
           bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _))
