@@ -74,6 +74,28 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // Embedding-cosine near-dup, exact ground truth (bounded all-pairs
+    // with the native dot expression; see embeddingCosinePairsLsh for
+    // the scale path).
+    q("q_dedup_embedding_exact",
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.embeddingCosinePairsExact(
+          embeddings(s, d).filter(col("vec_id") < 300), threshold = 0.35)
+        .orderBy("id1", "id2")
+    },
+
+    // Embedding-cosine near-dup via hyperplane LSH buckets (recall-tuned
+    // banding + exact verify — approximate candidate set → rows-only).
+    qNoOracle("q_dedup_embedding") { (s, d) =>
+      Dedup.embeddingCosinePairsLsh(embeddings(s, d), threshold = 0.3)
+        .orderBy("id1", "id2")
+    },
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k: K query vectors broadcast against the
     // corpus — the exact baseline every ANN variant is measured against.
@@ -104,6 +126,17 @@ object LlmQueries {
     // brute force asserted in SimilaritySpec.
     qNoOracle("q_sim_ann_lsh") { (s, d) =>
       Similarity.lshTopK(
+          embeddings(s, d),
+          embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 10)
+        .orderBy("query_id", "rn")
+    },
+
+    // IVF-style ANN: coarse quantizer cells + nProbe probing (rows-only;
+    // cosine consistency vs brute force asserted in LlmSpec).
+    qNoOracle("q_sim_ivf") { (s, d) =>
+      Similarity.ivfTopK(
           embeddings(s, d),
           embeddings(s, d).filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
@@ -146,6 +179,18 @@ object LlmQueries {
           round(avg("n_chars"), 6).as("avg_chars"),
           round(avg(size(split(col("text"), " "))), 6).as("avg_tokens"))
         .orderBy("lang")
+    },
+
+    // BPE-ish tokenizer: alpha runs, digit runs, and single punctuation
+    // as separate tokens (ASCII regex — identical RE2/Java semantics).
+    q("q_token_bpe",
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     },
 
     // Content fingerprint: md5 (cross-engine) — the dedup/lineage key.

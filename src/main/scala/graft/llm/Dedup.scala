@@ -155,6 +155,46 @@ object Dedup {
     sums.select(col("doc_id") +: parts: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: bounded all-pairs
+    * with the native dot expression — the oracle-checkable ground truth.
+    * Callers bound the input; the LSH variant below is the scale path.
+    */
+  def embeddingCosinePairsExact(embs: DataFrame, threshold: Double): DataFrame = {
+    import graft.llm.Similarity.{dot, sumSq}
+    val a = embs.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      sumSq(col("embedding")).as("s1"))
+    val b = embs.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      sumSq(col("embedding")).as("s2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", dot(col("e1"), col("e2")) / sqrt(col("s1") * col("s2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane LSH buckets
+    * (more, narrower bands than similarity search — recall over
+    * precision since the exact cosine verify filters), candidates from
+    * bucket combinations, exact verify. Never all-pairs.
+    */
+  def embeddingCosinePairsLsh(embs: DataFrame, threshold: Double,
+                              numPlanes: Int = 16, bands: Int = 4,
+                              maxBucket: Int = 1000): DataFrame = {
+    import graft.llm.Similarity.{bandedSignature, dot, hyperplanes, sumSq}
+    val planes = hyperplanes(numPlanes, dim = 64)
+    val banded = embs.select(col("vec_id").as("doc_id"),
+      posexplode(bandedSignature(col("embedding"), planes, bands))
+        .as(Seq("band", "bucket")))
+    val candidates = bucketPairs(banded, maxBucket)
+    val a = embs.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      sumSq(col("embedding")).as("s1"))
+    val b = embs.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      sumSq(col("embedding")).as("s2"))
+    broadcast(candidates).join(a, "id1").join(b, "id2")
+      .withColumn("cosine", dot(col("e1"), col("e2")) / sqrt(col("s1") * col("s2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    maxBucket: Int = 1000): DataFrame = {
     val parts = simhashParts(docs)

@@ -86,6 +86,48 @@ object Similarity {
     array(bandCols: _*)
   }
 
+  /** IVF-style ANN top-k: a coarse quantizer assigns every corpus vector
+    * to its nearest centroid; queries probe their `nProbe` nearest
+    * centroid cells and re-rank exactly within them.
+    *
+    * Centroids here are a deterministic corpus sample (every
+    * `centroidEvery`-th vector) — production would run k-means offline;
+    * the engine contract is the assignment/probe join shape, which is
+    * what scales: assignment is a broadcast map-side pass (no shuffle of
+    * the corpus), probing shuffles only candidate cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Long = 50, nProbe: Int = 2): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
+        sumSq(col("embedding")).as("cesq"))
+    def cellSim(v: Column, vsq: Column) =
+      dot(v, col("ce")) / sqrt(vsq * col("cesq"))
+
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), col("centroid_id"))
+    val assigned = corpus.withColumn("vsq", sumSq(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cellSim(col("embedding"), col("vsq")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("vsq"), col("centroid_id"))
+
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), col("centroid_id"))
+    val probes = queries.withColumn("qsq", sumSq(col("qe")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cellSim(col("qe"), col("qsq")))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qsq"), col("centroid_id"))
+
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("embedding"), col("qe")) / sqrt(col("vsq") * col("qsq")), 6)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
   /** LSH-bucketed ANN top-k: candidates = corpus∩query band collisions
     * (multi-probe across `bands` bands), exact cosine re-rank on the
     * candidate set only. Recall vs `bruteForceTopK` is asserted in

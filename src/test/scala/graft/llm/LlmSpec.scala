@@ -69,6 +69,33 @@ class LlmSpec extends AnyFunSuite {
     lsh.foreach { case (q, n, c) => assert(math.abs(brute((q, n)) - c) < 1e-9) }
   }
 
+  test("IVF ANN returns cosines consistent with brute force; neighbors come from probed cells") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 500)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 10)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) => assert(math.abs(brute((q, n)) - c) < 1e-9) }
+  }
+
+  test("embedding-cosine dedup: LSH pairs are a subset of exact pairs with matching cosines") {
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val exact = Dedup.embeddingCosinePairsExact(embs, 0.3)
+      .select("id1", "id2", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Dedup.embeddingCosinePairsLsh(embs, 0.3)
+      .select("id1", "id2", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"LSH produced pair ($a,$b) not in exact set")
+      assert(math.abs(exact((a, b)) - c) < 1e-9)
+    }
+  }
+
   test("language-id picks the language whose markers dominate") {
     val docs = Seq(
       (1L, "the cat and the dog is a pet"),
