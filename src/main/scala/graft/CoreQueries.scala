@@ -427,6 +427,26 @@ object CoreQueries {
         .orderBy("bucket")
     },
 
+    // Sliding window (12h length, 6h slide): every event lands in two
+    // overlapping buckets — Spark's window() generator vs an explicit
+    // two-bucket unnest in the oracle.
+    q("q_window_sliding",
+      """WITH exploded AS (
+        |  SELECT unnest([time_bucket(INTERVAL '6 hours', ts::TIMESTAMP),
+        |                 time_bucket(INTERVAL '6 hours', ts::TIMESTAMP) - INTERVAL '6 hours'
+        |                ]) AS ws, value
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM exploded GROUP BY ws ORDER BY window_start""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "12 hours", "6 hours"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start")
+    },
+
     // Sessionization (30-min gap) via lag/cumsum islands — the portable
     // equivalent of session_window; equivalence proven in StreamingSpec.
     q("q_session_islands",

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based laws from SURVEY §5.3: ScalaCheck-generated inputs,
+  * invariants that must hold for ANY data, not just the fixtures.
+  * (Raw ScalaCheck + fixed seeds: the scalatestplus bridge isn't in the
+  * offline dependency cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val rows = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0, 3), Gen.choose(-1000.0, 1000.0)))
+
+  test("law: cumsum of grouped diff reconstructs the value for any data") {
+    samples(rows).foreach { data =>
+      val df = data.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+        .toDF("grp", "seq", "v")
+      val diffed = Windows.groupedDiff(df, Seq("grp"), Seq(col("seq")), Seq("v"))
+      val recon = Windows.groupedCumsum(
+          diffed.withColumn("v2", col("diff_v")),
+          Seq("grp"), Seq(col("seq")), Seq("v2"))
+      val pairs = recon.select("v", "cumsum_v2").as[(Double, Double)].collect()
+      pairs.foreach { case (v, r) => assert(math.abs(v - r) < 1e-6) }
+    }
+  }
+
+  private val emails = Gen.zip(
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10)),
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10)))
+
+  test("law: mask is idempotent for any local@domain") {
+    samples(Gen.listOfN(10, emails)).foreach { data =>
+      val df = data.map { case (l, d) => s"$l@$d.com" }.toDF("email")
+      val once = df.select(Pii.maskEmail(col("email")).as("e"))
+      val twice = once.select(Pii.maskEmail(col("e")).as("e"))
+      assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+      once.as[String].collect().foreach(e => assert(e.startsWith("*****@")))
+    }
+  }
+
+  private val messy = Gen.listOfN(20, Gen.oneOf(
+    Gen.choose(-1e6, 1e6).map(_.toString),
+    Gen.const(""),
+    Gen.alphaStr.map(_.take(12)),
+    Gen.const(null: String)))
+
+  test("law: coerceNumeric never yields null/NaN for any messy input") {
+    samples(messy).foreach { data =>
+      val out = data.toDF("x")
+        .select(Cleaning.coerceNumeric(col("x")).as("x")).as[Double].collect()
+      assert(out.length == data.length)
+      out.foreach(v => assert(!v.isNaN))
+    }
+  }
+
+  test("law: melt then pivotFirst round-trips a wide frame with unique keys") {
+    samples(Gen.listOfN(5, Gen.identifier.map(_.take(8).toLowerCase)), n = 5)
+      .filter(_.nonEmpty).foreach { values =>
+        val fields = values.indices.map(i => s"f$i")
+        val cols = for (id <- Seq("1", "2"); f <- fields) yield s"$id.$f"
+        val row = org.apache.spark.sql.Row((values ++ values).map(v => v: Any): _*)
+        val wide = spark.createDataFrame(
+          java.util.List.of(row),
+          org.apache.spark.sql.types.StructType(cols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType)).toSeq))
+        val back = Reshape.meltSplitPivot(wide, fields)
+        assert(back.count() == 2)
+        val r1 = back.filter(col("crypto_id") === "1").drop("crypto_id")
+          .collect().head.toSeq
+        assert(r1 == values.map(v => v: Any))
+      }
+  }
+
+  test("law: insert-only merge candidates are exactly source-minus-target keys") {
+    val keyGen = Gen.listOfN(20, Gen.choose(0L, 30L))
+    samples(Gen.zip(keyGen, keyGen), n = 5).foreach { case (srcKeys, tgtKeys) =>
+      val src = srcKeys.distinct.toDF("id")
+      val tgt = tgtKeys.distinct.toDF("id")
+      val out = graft.lake.Merge.insertCandidates(src, tgt, Seq("id"))
+        .as[Long].collect().toSet
+      assert(out == (srcKeys.toSet -- tgtKeys.toSet))
+    }
+  }
+}
