@@ -162,6 +162,19 @@ object CoreQueries2 {
         .orderBy("event_id")
     },
 
+    // Salted two-level aggregation: identical result to a direct
+    // groupBy (the oracle IS the direct groupBy) with the hot key's
+    // volume spread across 16 reducers — the aggregation-skew lever.
+    q("q_salted_agg",
+      """SELECT event_type, round(sum(value),2) AS sum_value, count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.ops.Skew.saltedAgg(events(s, d), "event_type", salts = 16,
+          sumCol = "value", saltFrom = col("event_id"))
+        .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
+          col("n_rows"))
+        .orderBy("event_type")
+    },
+
     // AS-OF join: each event picks up the user's most recent STRICTLY
     // prior purchase — one shuffle via union-tag + window
     // (TemporalJoins.asofJoin), never a theta join.

