@@ -37,6 +37,29 @@ class PipelinesSpec extends AnyFunSuite {
     assert(eth == 50.0)
   }
 
+  test("raw CoinLore-shaped JSON flows through extract → ticker pipeline (S4–S6 e2e)") {
+    val base = Files.createTempDirectory("graft-json").toString
+    val wmPath = base + "/metadata_ingestion.json"
+    val wm = new graft.lake.Watermark(wmPath)
+    val tickerJson =
+      """[{"id": "90", "symbol": "BTC", "price_usd": "60000.5",
+        |  "market_cap_usd": "1000000", "volume24": "500", "volume24a": "100"},
+        | {"id": "80", "symbol": "ETH", "price_usd": "3000.25",
+        |  "market_cap_usd": "500000", "volume24": "400", "volume24a": "50"}]""".stripMargin
+    val fetch = () => (tickerJson, Some("Mon, 12 Aug 2024 10:11:12 GMT"))
+    val raw = graft.sources.JsonNormalize.extract(spark, fetch,
+      watermark = Some((wm, "ticker", "fecha_actualizacion")))
+    // watermark recorded from the HTTP Date header (S2/S3)
+    assert(wm.get("ticker").lastValue == "2024-08-12 10:11:12")
+    // normalized frame runs the full pipeline
+    val gold = TickerPipeline.run(spark, raw, base)
+    assert(gold.count() == 2)
+    assert(gold.columns.contains("cumsum_volume24a"))
+    val btc = gold.filter(col("id") === "90")
+      .select("diff_market_cap_usd").as[Double].head()
+    assert(btc == 1000000.0) // first-row fallback
+  }
+
   test("exchanges pipeline: reshape → clean → confidential/silver split with partitioned write") {
     val base = Files.createTempDirectory("graft-exch").toString
     // one wide row: 3 exchanges × 7 fields = 21 columns (≥17 guard)

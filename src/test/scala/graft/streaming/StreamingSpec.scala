@@ -8,13 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
 
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
-
-  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
   test("streaming dedup within watermark drops re-delivered event_ids") {
     implicit val sqlCtx = spark.sqlContext
@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("window_start") === ts(0)).select("n_events").as[Long].collect()
     q.stop()
     assert(first.toSeq == Seq(1L)) // the late event never lands
+  }
+
+  test("file-source stream: new parquet files are picked up incrementally with checkpointing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val batch1 = Seq(Ev(1, ts(1), 1, 1.0), Ev(2, ts(2), 1, 2.0)).toDF()
+    batch1.write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+    val q = EventStreams.dedupWithinWatermark(stream, "10 minutes")
+      .writeStream.format("memory").queryName("file_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("file_out").count() == 2)
+    // a second file arrives — only its new ids land
+    Seq(Ev(2, ts(2), 1, 2.0), Ev(3, ts(3), 1, 3.0)).toDF()
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val ids = spark.table("file_out").select("event_id").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L))
   }
 
   test("batch session islands equal native session_window on real fixtures") {
