@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   * `ReadSchema`).
   */
 object Tables {
+  // Memoized per (session, path): repeated queries over the same fixture
+  // reuse one resolved relation, so file listing + schema resolution
+  // happen once per session instead of once per query (measurable in
+  // Bench, where 63 queries would otherwise re-list every scan).
+  // DataFrames are immutable plans — sharing them is safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -37,8 +46,10 @@ object Tables {
     * floor for the post-1970 fixture data.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    cache.computeIfAbsent((spark, s"$sfDir/events.parquet#converted"), { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table(spark, sfDir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    })
   }
 }
