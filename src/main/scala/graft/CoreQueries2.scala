@@ -162,6 +162,51 @@ object CoreQueries2 {
         .orderBy("event_id")
     },
 
+    // Array function coverage over the embedding column.
+    q("q_array_funcs",
+      """SELECT vec_id,
+        | round(list_max(embedding::DOUBLE[]), 6) AS emb_max,
+        | round(list_min(embedding::DOUBLE[]), 6) AS emb_min,
+        | len(embedding) AS emb_len,
+        | round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1_norm
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          round(array_max(col("embedding")).cast("double"), 6).as("emb_max"),
+          round(array_min(col("embedding")).cast("double"), 6).as("emb_min"),
+          size(col("embedding")).cast("long").as("emb_len"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))), 6).as("l1_norm"))
+        .orderBy("vec_id")
+    },
+
+    // Explicit GROUPING SETS (beyond rollup/cube) via the SQL front door.
+    q("q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // argmax/argmin aggregates; ordering value made unique so ties
+    // break identically in both engines.
+    q("q_argmax",
+      """SELECT o_custkey,
+        | max_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS best_order,
+        | min_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS worst_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val rank = col("o_totalprice") * 1000000 + col("o_orderkey")
+      orders(s, d).groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), rank).as("best_order"),
+          min_by(col("o_orderkey"), rank).as("worst_order"))
+        .orderBy("o_custkey")
+    },
+
     // Salted two-level aggregation: identical result to a direct
     // groupBy (the oracle IS the direct groupBy) with the hot key's
     // volume spread across 16 reducers — the aggregation-skew lever.
