@@ -162,6 +162,26 @@ object CoreQueries2 {
         .orderBy("event_id")
     },
 
+    // Typed Dataset[T] surface: Column-expression filter first (so
+    // pushdown still reaches the scan), then a typed projection through
+    // case-class encoders — the documented typed/untyped boundary.
+    q("q_typed_filter",
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1 - l_discount), 2) AS net
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.typed.TypedTables.lineitems(s, d)
+        .filter(col("l_quantity") >= 49)
+        .map(li => (li.l_orderkey, li.l_linenumber,
+          // DuckDB round(x, 2) is std::round(x*100)/100 — replicate it
+          // exactly (BigDecimal decimal rounding disagrees on the ~0.1%
+          // of raw products whose double sits at the .xx5 window)
+          math.round(li.l_extendedprice * (1 - li.l_discount) * 100.0) / 100.0))
+        .toDF("l_orderkey", "l_linenumber", "net")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Array function coverage over the embedding column.
     q("q_array_funcs",
       """SELECT vec_id,
