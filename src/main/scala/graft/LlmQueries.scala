@@ -96,6 +96,16 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // End-to-end dedup: minhash pairs → connected components → canonical
+    // survivor per cluster + all unpaired docs (iterative CC → rows-only;
+    // cluster semantics asserted in LlmSpec).
+    qNoOracle("q_dedup_survivors") { (s, d) =>
+      Dedup.dedupSurvivors(
+          documents(s, d).select("doc_id", "lang", "n_chars"),
+          Dedup.minhashPairs(documents(s, d), threshold = 0.7))
+        .orderBy("doc_id")
+    },
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k: K query vectors broadcast against the
     // corpus — the exact baseline every ANN variant is measured against.

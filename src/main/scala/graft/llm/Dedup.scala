@@ -198,6 +198,52 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Connected components over near-duplicate pairs: min-label
+    * propagation to fixpoint. Each iteration is one distributed
+    * join+aggregate; the driver loop only checks convergence (a count —
+    * no data is collected). Iterations are bounded by cluster diameter,
+    * which for dedup graphs is tiny (chains of re-posts). Lineage is cut
+    * per iteration with localCheckpoint so plans stay constant-size.
+    *
+    * Input: (id1, id2) pairs. Output: (id, component) where component =
+    * min id reachable — the canonical representative.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val vertices = edges.select(col("src").as("id")).distinct()
+    var labels = vertices.withColumn("component", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min("component").as("nmin"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end dedup: near-dup pairs → components → keep the canonical
+    * (min doc_id) member of each cluster, plus every unpaired doc.
+    */
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val components = connectedComponents(pairs)
+    val casualties = components.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.join(casualties, Seq("doc_id"), "left_anti")
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    maxBucket: Int = 1000): DataFrame = {
     val parts = simhashParts(docs)

@@ -96,6 +96,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components merge transitive chains and leave singletons alone") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupSurvivors keeps the canonical member per cluster plus all unpaired docs") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val survivors = Dedup.dedupSurvivors(docs, pairs).as[Long].collect().toSet
+    assert(survivors == Set(1L, 10L, 99L))
+  }
+
+  test("fixture dedup end-to-end: survivors = docs minus non-canonical near-dups") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(docs, 0.7)
+    val survivors = Dedup.dedupSurvivors(docs.select("doc_id"), pairs).count()
+    val casualties = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component")).count()
+    assert(survivors == docs.count() - casualties)
+    assert(casualties > 0) // the corpus has planted near-dups
+  }
+
   test("language-id picks the language whose markers dominate") {
     val docs = Seq(
       (1L, "the cat and the dog is a pet"),
