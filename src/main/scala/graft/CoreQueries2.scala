@@ -133,6 +133,10 @@ object CoreQueries2 {
 
     // lead + global ntile in one pass (two window specs, one shuffle
     // each — Spark plans them as consecutive Window operators).
+    // Scale note: the GLOBAL ntile window is deliberately unpartitioned —
+    // a single-task sort. Fine for a dimension-sized table like orders;
+    // at fact scale the equivalent is approx percentile bucketing
+    // (q_percentiles) or a range-partitioned rank, never a global window.
     q("q_lead_ntile",
       """SELECT o_orderkey,
         | lead(o_totalprice) OVER (PARTITION BY o_custkey
