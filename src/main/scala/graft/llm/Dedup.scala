@@ -55,13 +55,15 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles as an array column (whole text when
-    * the document is shorter than n tokens). */
+    * the document is shorter than n tokens). Native single-loop
+    * expression — the HOF formulation (transform+slice+array_join) is
+    * interpreted per element and O(n²) in allocations
+    * (org.apache.spark.sql.graft.ShinglesExpr).
+    */
   def shingles(text: Column, n: Int): Column = {
-    val tok = split(text, " ")
-    when(size(tok) >= n,
-      array_distinct(transform(sequence(lit(0), size(tok) - n),
-        i => array_join(slice(tok, i + 1, lit(n)), " "))))
-      .otherwise(array(array_join(tok, " ")))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      org.apache.spark.sql.graft.ShinglesExpr(GraftColumnBridge.expression(text), n))
   }
 
   /** (doc_id, shingle-hash) exploded — shingle strings hashed exactly
