@@ -96,6 +96,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHash UDAF signature equals the k-aggregate expression form, bit for bit") {
+    import graft.functions.MinHashAgg
+    val docs = Tables.documents(spark, sf).limit(50)
+    val hashes = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val viaUdaf = hashes.groupBy("doc_id")
+      .agg(MinHashAgg.minhashSig(32)(col("h")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val mhCols = (0 until 32).map(i => min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
+    val viaExprs = hashes.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong(_)).toSeq).toMap
+    assert(viaUdaf == viaExprs)
+  }
+
   test("connected components merge transitive chains and leave singletons alone") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val cc = Dedup.connectedComponents(pairs)
