@@ -83,6 +83,55 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("law: asofJoin equals the last(ignoreNulls) window formulation on random events") {
+    import org.apache.spark.sql.expressions.Window
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 1000)))
+    samples(evGen, n = 5).foreach { data =>
+      val events = data.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k.toLong, new java.sql.Timestamp(t * 60000L), i % 3 == 0)
+      }.toDF("id", "k", "t", "is_ref")
+      val refs = events.filter(col("is_ref"))
+        .select(col("k"), col("t"), col("id").as("ref_id"))
+      val viaAsof = TemporalJoins.asofJoin(events, refs, Seq("k"), "t", "t",
+          Seq("ref_id"), strict = true)
+        .select(col("id"), col("asof_ref_id")).as[(Long, Option[Long])]
+        .collect().toMap
+      val w = Window.partitionBy("k").orderBy(col("t"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val viaWindow = events
+        .withColumn("prev", last(when(col("is_ref"), col("id")), ignoreNulls = true).over(w))
+        .select(col("id"), col("prev")).as[(Long, Option[Long])].collect().toMap
+      // identical timestamps: asof sorts right-before-left within a ts
+      // only via the tag; the window formulation uses (t, id). Restrict
+      // the law to unique (k, t) inputs to keep the order comparable.
+      val uniq = data.map { case (k, t) => (k, t) }
+      whenever2(uniq.distinct.size == uniq.size) {
+        assert(viaAsof == viaWindow, s"asof=$viaAsof\nwindow=$viaWindow")
+      }
+    }
+  }
+
+  private def whenever2(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  test("law: banded rangeJoin equals the naive theta join on random events") {
+    val evGen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 500)))
+    samples(evGen, n = 5).foreach { data =>
+      val a = data.zipWithIndex.map { case ((k, t), i) =>
+        (k.toLong, i.toLong, new java.sql.Timestamp(t * 60000L))
+      }.toDF("k", "id1", "t1")
+      val b = data.zipWithIndex.map { case ((k, t), i) =>
+        (k.toLong, i.toLong + 1000, new java.sql.Timestamp((t + 7) * 60000L))
+      }.toDF("k", "id2", "t2")
+      val windowMicros = 30L * 60 * 1000000 // 30 minutes
+      val banded = TemporalJoins.rangeJoin(a, b, Seq("k"), "t1", "t2", windowMicros)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val naive = a.join(b, Seq("k"))
+        .filter(abs(unix_micros(col("t1")) - unix_micros(col("t2"))) <= windowMicros)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(banded == naive)
+    }
+  }
+
   test("law: insert-only merge candidates are exactly source-minus-target keys") {
     val keyGen = Gen.listOfN(20, Gen.choose(0L, 30L))
     samples(Gen.zip(keyGen, keyGen), n = 5).foreach { case (srcKeys, tgtKeys) =>
