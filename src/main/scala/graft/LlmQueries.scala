@@ -266,6 +266,20 @@ object LlmQueries {
     // (decode stubbed; plumbing real — see graft.llm.Multimodal).
     qNoOracle("q_multimodal_features") { (s, d) =>
       Multimodal.featureSummary(documents(s, d)).orderBy("doc_id")
+    },
+
+    // resize → frame-sample composition over binary payloads (stub
+    // codecs; real batching/schema/partitioning) — each doc yields a
+    // bounded nested array of fixed-size frames.
+    qNoOracle("q_multimodal_frames") { (s, d) =>
+      import s.implicits._
+      Multimodal.sampleFrames(
+          Multimodal.resize(Multimodal.asMediaRecords(documents(s, d)), targetBytes = 128),
+          frameBytes = 32, stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          md5(element_at(col("frames"), 1)).as("first_frame_md5"))
+        .orderBy("doc_id")
     }
   )
 }

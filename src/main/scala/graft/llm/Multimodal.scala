@@ -71,6 +71,51 @@ object Multimodal {
     }
   }
 
+  final case class MediaFrames(doc_id: Long, n_frames: Int,
+                               frames: Array[Array[Byte]])
+
+  /** STUB frame sampler: a real implementation would decode video/audio
+    * and sample keyframes / fixed-rate windows; the deterministic fake
+    * takes every `stride`-th fixed-size byte window. The Spark-side
+    * shape — batched partition-local processing, bounded frames per
+    * record, nested binary output schema — is the real contract.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 32,
+                   stride: Int = 4, maxFrames: Int = 8): Dataset[MediaFrames] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val frames = r.payload.grouped(frameBytes).zipWithIndex
+          .collect { case (w, i) if i % stride == 0 => w }
+          .take(maxFrames).toArray
+        MediaFrames(r.doc_id, frames.length, frames)
+      }
+    }
+  }
+
+  /** STUB resize: real code would decode → scale → re-encode; the fake
+    * downsamples payload bytes to `targetBytes` deterministically.
+    * Output stays a MediaRecord, so resize composes with every other
+    * stage (the pipeline-shape contract).
+    */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.payload.length <= targetBytes) r
+        else {
+          val step = r.payload.length.toDouble / targetBytes
+          val out = new Array[Byte](targetBytes)
+          var i = 0
+          while (i < targetBytes) { out(i) = r.payload((i * step).toInt); i += 1 }
+          MediaRecord(r.doc_id, r.mime, out)
+        }
+      }
+    }
+  }
+
   /** Feature summary as a plain DataFrame query (registered rows-only). */
   def featureSummary(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
