@@ -43,4 +43,41 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding `horizon`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends —
+    * the requirements for Spark to age out join state (otherwise
+    * state grows forever).
+    */
+  def clicksLeadingToPurchase(clicks: DataFrame, purchases: DataFrame,
+                              horizon: String = "30 minutes",
+                              lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming → lake sink: each micro-batch lands via the insert-only
+    * merge (`graft.lake.Merge`), so replayed batches (restarts,
+    * re-delivery) never duplicate rows — the streaming realization of
+    * the reference's append + when_not_matched_insert_all story, with
+    * exactly-once-per-key layers instead of its duplicating append.
+    */
+  def writeToLayer(events: DataFrame, targetPath: String, keys: Seq[String],
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.lake.Merge.insertOnlyMerge(batch.sparkSession, batch.toDF(), targetPath, keys)
+      }
+      .start()
 }

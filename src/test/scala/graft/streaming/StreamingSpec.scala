@@ -89,6 +89,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.clicksLeadingToPurchase(
+      clicks.toDF(), purchases.toDF(), horizon = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, ts(5), 1, 1.0), Ev(2, ts(50), 1, 1.0), Ev(3, ts(8), 2, 1.0))
+    purchases.addData(Ev(100, ts(20), 1, 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    // click 1 (t=5, same user, within 30m before t=20) matches;
+    // click 2 is AFTER the purchase; click 3 is another user
+    assert(rows == Set((100L, 1L)))
+  }
+
+  test("foreachBatch sink lands micro-batches via insert-only merge (replay-safe)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val target = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    val q = EventStreams.writeToLayer(input.toDF(), target, Seq("event_id"), ckpt)
+    input.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(2), 1, 2.0))
+    q.processAllAvailable()
+    // re-delivery of id 2 in a later batch: merge drops it
+    input.addData(Ev(2, ts(2), 1, 2.0), Ev(3, ts(3), 1, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(target).select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("batch session islands equal native session_window on real fixtures") {
     val d = "/root/testdata/sf0.001"
     val islands = SparkEntry.queries("q_session_islands")(spark, d)
