@@ -215,9 +215,20 @@ object Dedup {
     // whole sketch pipeline (minhash etc.), and every iteration touches
     // edges twice — without this checkpoint the upstream pipeline would
     // re-execute 2×iterations times (measured: 34s instead of ~6s).
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edgesRaw = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint()
+    // Size the iteration parallelism to the edge list (~1M edges per
+    // partition): near-dup graphs are orders smaller than the corpus, and
+    // every CC iteration re-scans these partitions — a tiny graph spread
+    // over the session-default partition count schedules wide, almost
+    // empty task sets each round. coalesce() is narrow (no shuffle); big
+    // edge lists keep their full parallelism.
+    val n = edgesRaw.count()
+    val targetParts = math.max(1, math.min(
+      edgesRaw.rdd.getNumPartitions, math.ceil(n / 1e6).toInt))
+    val edges = if (targetParts < edgesRaw.rdd.getNumPartitions)
+      edgesRaw.coalesce(targetParts) else edgesRaw
     val vertices = edges.select(col("src").as("id")).distinct()
     var labels = vertices.withColumn("component", col("id")).localCheckpoint()
     var converged = false
@@ -226,15 +237,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min("component").as("nmin"))
+      // Carry the previous label through the join so convergence is a
+      // filter-count over the already-materialized checkpoint — not a
+      // second join job per iteration (halves the per-iteration jobs).
       val next = labels.join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
       converged = changed == 0
       i += 1
     }
@@ -255,7 +267,11 @@ object Dedup {
 
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    maxBucket: Int = 1000): DataFrame = {
-    val parts = simhashParts(docs)
+    // The signature table is ~5 small ints per document but its plan is a
+    // 65-aggregate pipeline over every shingle; it feeds three consumers
+    // (banding, both verify sides). Materialize it once so the heavy
+    // aggregation doesn't run 3× (and its large codegen compiles once).
+    val parts = simhashParts(docs).localCheckpoint()
     val banded = parts.select(col("doc_id"),
       posexplode(array(col("part0"), col("part1"), col("part2"), col("part3")))
         .as(Seq("band", "bucket")))
