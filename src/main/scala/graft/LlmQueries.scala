@@ -234,9 +234,29 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
-    // n-gram language-ID heuristic + quality score (model-like scoring →
-    // rows-only check; accuracy asserted against `lang` in TextSpec).
-    qNoOracle("q_langid") { (s, d) =>
+    // Marker-token language-ID heuristic: per-language hit counts, argmax
+    // with (hits DESC, lang DESC) tie-break — fully relational, so the
+    // oracle replays it as a UNION ALL + window argmax.
+    q("q_langid",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tok) AS n, 'en' AS lang,
+        |    len(list_filter(tok, x -> x IN ('the','a','of','and','is'))) AS hits FROM t
+        |  UNION ALL SELECT doc_id, len(tok), 'es',
+        |    len(list_filter(tok, x -> x IN ('el','la','de','que','y'))) FROM t
+        |  UNION ALL SELECT doc_id, len(tok), 'de',
+        |    len(list_filter(tok, x -> x IN ('der','die','das','und','ist'))) FROM t
+        |  UNION ALL SELECT doc_id, len(tok), 'fr',
+        |    len(list_filter(tok, x -> x IN ('le','la','les','et','est'))) FROM t
+        |  UNION ALL SELECT doc_id, len(tok), 'zh',
+        |    len(list_filter(tok, x -> x IN ('的','是','了','在','我'))) FROM t),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hits DESC, lang DESC) AS rn FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN hits > 0 THEN lang ELSE 'und' END AS predicted_lang,
+        |  hits AS score, round(hits * 1.0 / n, 6) AS confidence
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.languageId(documents(s, d)).orderBy("doc_id")
     },
 
@@ -263,15 +283,45 @@ object LlmQueries {
     },
 
     // Binary payload → batched partition-local feature extraction
-    // (decode stubbed; plumbing real — see graft.llm.Multimodal).
-    qNoOracle("q_multimodal_features") { (s, d) =>
+    // (decode stubbed; plumbing real — see graft.llm.Multimodal). The
+    // stub accumulates per-position byte sums in double and quantizes to
+    // float once, so the oracle reproduces the exact floats with a
+    // ::REAL::DOUBLE round-trip on its own position sums.
+    q("q_multimodal_features",
+      """WITH pos AS (
+        |  SELECT doc_id, (i - 1) % 8 AS p,
+        |    (sum(ord(substr(text, i, 1)) / 255.0)::REAL)::DOUBLE AS s
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)
+        |  GROUP BY doc_id, (i - 1) % 8)
+        |SELECT d.doc_id, 'text/plain' AS mime,
+        |  length(d.text)::BIGINT AS n_bytes, 8::BIGINT AS feature_dim,
+        |  round(sum(p.s), 6) AS feature_sum
+        |FROM documents d JOIN pos p ON p.doc_id = d.doc_id
+        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Multimodal.featureSummary(documents(s, d)).orderBy("doc_id")
     },
 
     // resize → frame-sample composition over binary payloads (stub
     // codecs; real batching/schema/partitioning) — each doc yields a
-    // bounded nested array of fixed-size frames.
-    qNoOracle("q_multimodal_frames") { (s, d) =>
+    // bounded nested array of fixed-size frames. The stub transforms are
+    // deterministic byte sampling, so the oracle rebuilds the resized
+    // payload with the same floor(i·len/128) index math and replays the
+    // stride-2 window count.
+    q("q_multimodal_frames",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) <= 128 THEN text
+        |         ELSE list_aggregate(list_transform(range(0, 128),
+        |                i -> substr(text,
+        |                  (floor(i * (length(text) / 128.0)))::INT + 1, 1)),
+        |              'string_agg', '')
+        |    END AS rz
+        |  FROM documents)
+        |SELECT doc_id,
+        |  least(8, (CAST(ceil(length(rz) / 32.0) AS BIGINT) + 1) // 2) AS n_frames,
+        |  md5(substr(rz, 1, 32)) AS first_frame_md5
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       Multimodal.sampleFrames(
           Multimodal.resize(Multimodal.asMediaRecords(documents(s, d)), targetBytes = 128),

@@ -39,16 +39,20 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would decode image/audio bytes
     * (JPEG→pixels, WAV→PCM) and extract features; deterministic fake =
-    * 8 floats folded from payload bytes. Marked clearly; see class doc.
+    * 8 floats folded from payload bytes. Accumulates in double and
+    * quantizes to float once at the end (the usual decoder pattern —
+    * wide accumulator, narrow output), which also makes the emitted
+    * floats reproducible by the DuckDB oracle. Marked clearly; see
+    * class doc.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val feat = new Array[Float](8)
+    val acc = new Array[Double](8)
     var i = 0
     while (i < payload.length) {
-      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      acc(i % 8) += (payload(i) & 0xff) / 255.0
       i += 1
     }
-    feat
+    acc.map(_.toFloat)
   }
 
   /** Batched partition-local decode/feature-extract. `batchSize` mirrors
