@@ -314,6 +314,22 @@ object CoreQueries3 {
       a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
     },
 
+    // Skew-replicated join (ops/Skew.saltedJoin): results identical to
+    // the plain join — the oracle IS the unsalted formulation.
+    q("q_salted_join",
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val fact = lineitem(s, d).select(col("l_suppkey").as("suppkey"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val dim = supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, "suppkey", salts = 8,
+          saltFrom = col("l_orderkey") * 8 + col("l_linenumber"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
     // Z-order clustering key (see graft.lake.Compaction): the Morton
     // interleave both engines compute with identical bit arithmetic.
     q("q_zorder_key",

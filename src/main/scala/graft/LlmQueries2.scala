@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second LLM-curation tranche: the corpus-preparation operators a
+  * training-data pipeline runs between raw crawl and tokenizer —
+  * sliding-window chunking, vocabulary statistics, benchmark
+  * decontamination, Gopher-style composite quality rules, and embedding
+  * introspection. All pure DataFrame expressions, all oracle-checked.
+  */
+object LlmQueries2 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Sliding-window chunking with overlap (64-token windows, stride 48):
+    // the context-window packer. Chunk count = 1 + ceil((n-64)/48)
+    // (min 1); chunk i covers tokens [i·48+1, i·48+64]. Explode keeps the
+    // whole thing one narrow pass — no shuffle at all.
+    q("q_chunk_docs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |  unnest(range(0, greatest(1,
+        |    1 + CAST(ceil((len(tok) - 64) / 48.0) AS BIGINT)))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  len(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_chunk_tokens,
+        |  md5(array_to_string(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val nChunks = greatest(lit(1L),
+        (ceil((size(col("tok")) - lit(64)) / lit(48.0)) + 1).cast("long"))
+      val chunk = slice(col("tok"), col("chunk_idx") * 48 + 1, lit(64))
+      documents(s, d).select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"), col("tok"),
+          explode(sequence(lit(0L), nChunks.cast("long") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(chunk).cast("long").as("n_chunk_tokens"),
+          md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Corpus vocabulary: token frequency top-50 (stopword discovery /
+    // tokenizer seeding). One explode + one shuffle; ties broken by token
+    // so the LIMIT boundary is deterministic.
+    q("q_token_freq",
+      """SELECT w AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+      documents(s, d).select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)
+    },
+
+    // Benchmark decontamination scan: corpus-level counts of documents
+    // containing any of a known-contaminant phrase set (substring match —
+    // the exact-overlap first pass before n-gram contamination checks).
+    q("q_contamination",
+      """SELECT
+        |  count_if(contains(text, 'fast merge batch'))::BIGINT AS hit_p0,
+        |  count_if(contains(text, 'window spark order'))::BIGINT AS hit_p1,
+        |  count_if(contains(text, 'value table part'))::BIGINT AS hit_p2,
+        |  count_if(contains(text, 'fast merge batch')
+        |    OR contains(text, 'window spark order')
+        |    OR contains(text, 'value table part'))::BIGINT AS hit_any,
+        |  count(*) AS n_docs
+        |FROM documents""".stripMargin) { (s, d) =>
+      val phrases = Seq("fast merge batch", "window spark order", "value table part")
+      val hits = phrases.map(p => col("text").contains(p))
+      documents(s, d).agg(
+        count_if(hits(0)).as("hit_p0"), count_if(hits(1)).as("hit_p1"),
+        count_if(hits(2)).as("hit_p2"),
+        count_if(hits.reduce(_ || _)).as("hit_any"),
+        count(lit(1)).as("n_docs"))
+    },
+
+    // Gopher-style composite quality rules: token count, repetition
+    // ratio (top token frequency / tokens), alphabetic density — each
+    // flagged, plus the final keep decision. The repetition signal needs
+    // one explode + two aggregations; everything else is projection.
+    q("q_gopher_filter",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
+        |f AS (SELECT doc_id, unnest(tok) AS w FROM t),
+        |c AS (SELECT doc_id, w, count(*) AS cnt FROM f GROUP BY doc_id, w),
+        |m AS (SELECT doc_id, max(cnt) AS max_tok FROM c GROUP BY doc_id)
+        |SELECT t.doc_id, len(tok)::BIGINT AS n_tokens,
+        |  round(m.max_tok * 1.0 / len(tok), 6) AS rep_ratio,
+        |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+        |    / length(text), 6) AS alpha_ratio,
+        |  len(tok) < 30 AS too_short,
+        |  m.max_tok * 1.0 / len(tok) > 0.12 AS too_repetitive,
+        |  length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+        |    / length(text) < 0.81 AS low_alpha,
+        |  (len(tok) >= 30 AND m.max_tok * 1.0 / len(tok) <= 0.12
+        |    AND length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+        |      / length(text) >= 0.81) AS keep
+        |FROM t JOIN m ON m.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val maxTok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("max_tok"))
+      val nTokens = size(split(col("text"), " "))
+      val repRatio = col("max_tok") * lit(1.0) / nTokens
+      val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
+        length(col("text"))
+      docs.join(maxTok, "doc_id")
+        .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
+          round(repRatio, 6).as("rep_ratio"),
+          round(alphaRatio, 6).as("alpha_ratio"),
+          (nTokens < 30).as("too_short"),
+          (repRatio > 0.12).as("too_repetitive"),
+          (alphaRatio < 0.81).as("low_alpha"),
+          (nTokens >= 30 && repRatio <= 0.12 && alphaRatio >= 0.81).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Embedding introspection: dominant dimension per vector (first
+    // index of the max — identical 1-based semantics in both engines).
+    q("q_embed_argmax",
+      """SELECT vec_id, label,
+        |  list_position(embedding, list_max(embedding)) AS best_dim,
+        |  list_max(embedding) AS best_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      embeddings(s, d).select(col("vec_id"), col("label"),
+          array_position(col("embedding"), array_max(col("embedding"))).as("best_dim"),
+          array_max(col("embedding")).as("best_val"))
+        .orderBy("vec_id")
+    }
+  )
+}

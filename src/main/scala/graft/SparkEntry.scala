@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    CoreQueries.all ++ CoreQueries2.all ++ CoreQueries3.all ++ LlmQueries.all
+    CoreQueries.all ++ CoreQueries2.all ++ CoreQueries3.all ++
+      LlmQueries.all ++ LlmQueries2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's Gold-layer window aggregation (SURVEY §3.1) — clean,

@@ -31,4 +31,23 @@ object Skew {
       .groupBy(col(key))
       .agg(sum("__psum").as(s"sum_$sumCol"), sum("__pcnt").as("n_rows"))
   }
+
+  /** Skew-replicated equi-join: the fact side gets a deterministic salt
+    * in [0, salts), the (small) dim side is replicated once per salt,
+    * and the join runs on (key, salt) — a hot fact key spreads across
+    * `salts` reducers instead of melting one. Join results are IDENTICAL
+    * to the unsalted join (q_salted_join proves it against the oracle).
+    *
+    * Use when the dim side is too big to broadcast outright but small
+    * enough to replicate `salts`× through a shuffle, and AQE's runtime
+    * skew splitting isn't available (e.g. the skewed side is already
+    * partitioned by the join key for a later stage).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 saltFrom: Column): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

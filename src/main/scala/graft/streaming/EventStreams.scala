@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming shapes for the engine (SURVEY.md §2.8): the
   * reference's poll-append-watermark loop expressed as real streams.
@@ -43,6 +44,70 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long,
+                              total_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * escape hatch when `session_window` can't express the state machine
+    * (e.g. value-dependent gaps, session caps, mid-session emission).
+    * Here it re-implements gap-based sessions so StreamingSpec can assert
+    * it agrees with the native operator.
+    *
+    * State per user is one open session (4 fields — O(users) total, not
+    * O(events)); an event-time timeout at `end + gap` closes and emits
+    * the session once the watermark passes it, exactly like
+    * `session_window`'s append-mode semantics.
+    */
+  def statefulSessionAgg(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                         lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def out(user: Long, s: SessionState) = SessionOut(user,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end + gapMs),
+      s.n, s.total)
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(out(user, s))
+          } else {
+            // Micro-batch arrival order is not time order: sort the batch.
+            val evs = it.toIndexedSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= out(user, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Timeout must sit past the current watermark; an already-
+              // expired session closes at the next watermark advance.
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding `horizon`. Both sides carry

@@ -10,6 +10,21 @@ import graft.{SparkEntry, TestSpark}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
+/** Batch-mode session_window reference for the stateful-session
+  * equivalence test (same output shape as statefulSessionAgg).
+  */
+object EventStreamsBatchRef {
+  def nativeSessions(events: org.apache.spark.sql.DataFrame,
+                     gap: String): Set[(Long, String, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("tv"))
+      .select(col("user_id"), col("sw.start").cast("string"), col("n"), col("tv"))
+      .as[(Long, String, Long, Double)].collect().toSet
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -122,6 +137,56 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val ids = spark.read.parquet(target).select("event_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState sessions: gap split, timeout close, agg values") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.statefulSessionAgg(input.toDF(),
+        gapMs = 30 * 60 * 1000L, lateness = "5 minutes")
+      .writeStream.format("memory").queryName("fmgws_out").outputMode("append").start()
+    // session 1: two events 10 min apart for user 1; user 2 gets one
+    input.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(11), 1, 2.0), Ev(3, ts(5), 2, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("fmgws_out").isEmpty) // nothing closed yet
+    // jump event time past gap+lateness: sessions time out and emit
+    input.addData(Ev(4, Timestamp.valueOf("2024-01-01 02:00:00"), 1, 3.0))
+    q.processAllAvailable()
+    input.addData(Ev(5, Timestamp.valueOf("2024-01-01 04:00:00"), 3, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("fmgws_out")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("n_events"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains((1L, "2024-01-01 00:01:00", 2L, 3.0)))
+    assert(rows.contains((2L, "2024-01-01 00:05:00", 1L, 5.0)))
+    // the 02:00 event for user 1 closed as its own session too
+    assert(rows.contains((1L, "2024-01-01 02:00:00", 1L, 3.0)))
+  }
+
+  test("stateful sessions agree with native session_window on a replayed batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val evs = (0 until 40).map { i =>
+      Ev(i, ts(i * 2 % 60), 1L + i % 3, i.toDouble) // spread over 3 users
+    }
+    val q = EventStreams.statefulSessionAgg(input.toDF(),
+        gapMs = 10 * 60 * 1000L, lateness = "1 minute")
+      .writeStream.format("memory").queryName("fmgws_eq").outputMode("append").start()
+    input.addData(evs: _*)
+    q.processAllAvailable()
+    input.addData(Ev(99, Timestamp.valueOf("2024-01-01 06:00:00"), 99, 0.0)) // flush
+    q.processAllAvailable()
+    q.stop()
+    val stateful = spark.table("fmgws_eq")
+      .filter(col("user_id") < 90)
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("n_events"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val native = EventStreamsBatchRef.nativeSessions(
+      spark.createDataset(evs).toDF(), "10 minutes")
+    assert(stateful == native)
   }
 
   test("batch session islands equal native session_window on real fixtures") {
