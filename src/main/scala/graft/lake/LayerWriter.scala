@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * store is plain Parquet with the same observable semantics the reference
   * actually uses: overwrite, append, and single-column partitioned writes.
   * (The reference never uses time travel / updates / deletes / concurrent
-  * writers, so nothing user-visible is lost; documented gap: no optimistic
-  * concurrency.)
+  * writers, so nothing user-visible is lost at this layer; tables that DO
+  * want Delta's versioned semantics — commit log, time travel, optimize,
+  * vacuum, conflict detection — use [[VersionedTable]].)
   *
   * Scale notes: `partitionBy` here is the 100 TB partition-pruning lever —
   * the reference partitions Silver exchanges by `country`

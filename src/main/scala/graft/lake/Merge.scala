@@ -9,8 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Without Delta jars the identical observable semantics are a LEFT ANTI
   * join (existence test) followed by an append, under a single-writer
-  * assumption (the reference is single-writer too; the gap vs delta-rs is
-  * optimistic-concurrency conflict detection, documented in SURVEY §7.4).
+  * assumption (the reference is single-writer too). For the delta-rs
+  * features beyond that — versioned commits, conflict detection, time
+  * travel — see [[VersionedTable.insertOnlyMerge]], which runs this same
+  * anti-join core through the transaction log.
   *
   * Scale notes: the anti join shuffles both sides on the merge key unless
   * the *target key set* is small enough to broadcast. For an append-mostly

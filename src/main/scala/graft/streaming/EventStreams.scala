@@ -145,4 +145,20 @@ object EventStreams {
         graft.lake.Merge.insertOnlyMerge(batch.sparkSession, batch.toDF(), targetPath, keys)
       }
       .start()
+
+  /** Streaming → versioned lake table: every micro-batch lands as an
+    * insert-only merge COMMIT on a [[graft.lake.VersionedTable]] — replay
+    * safety from the key merge, plus an auditable version per batch and
+    * time travel across batches (what the reference's delta-rs append
+    * gave it, minus the duplicate rows its append-only mode produced).
+    */
+  def writeToVersioned(events: DataFrame, targetPath: String, keys: Seq[String],
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.lake.VersionedTable(batch.sparkSession, targetPath)
+          .insertOnlyMerge(batch.toDF(), keys): Unit
+      }
+      .start()
 }

@@ -1,0 +1,100 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable() = VersionedTable(spark,
+    Files.createTempDirectory("graft-vt").toString + "/t")
+
+  test("overwrite + append produce versions; time travel reads old snapshots") {
+    val t = freshTable()
+    val v0 = t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = t.commitAppend(Seq((3L, "c")).toDF("id", "v"))
+    assert((v0, v1) == (0, 1))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.read(Some(0)).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(t.history().map(h => (h._1, h._2, h._3)) ==
+      Seq((0, "overwrite", 2L), (1, "append", 3L)))
+  }
+
+  test("append enforces schema; evolution only with allowNewColumns") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    // wrong type
+    intercept[RuntimeException] {
+      t.commitAppend(Seq((2, "b")).toDF("id", "v")) // id is INT here, not BIGINT
+    }
+    // new column rejected by default...
+    intercept[RuntimeException] {
+      t.commitAppend(Seq((2L, "b", 9.0)).toDF("id", "v", "extra"))
+    }
+    // ...accepted with evolution; old rows read as null for the new col
+    t.commitAppend(Seq((2L, "b", 9.0)).toDF("id", "v", "extra"),
+      allowNewColumns = true)
+    val rows = t.read().select("id", "extra").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.0))
+  }
+
+  test("insert-only merge is idempotent and skips empty batches") {
+    val t = freshTable()
+    assert(t.insertOnlyMerge(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq("id")).contains(0))
+    // re-delivery: same keys → no new version
+    assert(t.insertOnlyMerge(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq("id")).isEmpty)
+    assert(t.latestVersion().contains(0))
+    // mixed batch: only the new key lands
+    assert(t.insertOnlyMerge(Seq((2L, "x"), (3L, "c")).toDF("id", "v"),
+      Seq("id")).contains(1))
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("optimize compacts files without changing content; history intact") {
+    val t = freshTable()
+    (0 until 5).foreach(i => if (i == 0) t.commitOverwrite(Seq((i.toLong, i)).toDF("id", "x"))
+                             else t.commitAppend(Seq((i.toLong, i)).toDF("id", "x")))
+    val filesBefore = t.history().last._4
+    assert(filesBefore >= 5)
+    t.optimize(targetRowsPerFile = 100)
+    assert(t.history().last._4 == 1)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 5L).toSeq)
+    // pre-optimize snapshot still readable
+    assert(t.read(Some(2)).count() == 3)
+  }
+
+  test("vacuum drops unreferenced files; retained snapshots still read") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitOverwrite(Seq((2L, "b")).toDF("id", "v")) // v0's file now unreferenced by latest
+    t.commitOverwrite(Seq((3L, "c")).toDF("id", "v"))
+    val deleted = t.vacuum(retainVersions = 2)
+    assert(deleted >= 1)
+    assert(t.read().select("v").as[String].collect().toSeq == Seq("c"))
+    assert(t.read(Some(1)).select("v").as[String].collect().toSeq == Seq("b"))
+    intercept[Exception] { t.read(Some(0)).collect() } // vacuumed away
+  }
+
+  test("state is durable: a fresh handle sees the same log and snapshots") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))
+    val reopened = VersionedTable(spark, t.tablePath)
+    assert(reopened.versions() == Seq(0, 1))
+    assert(reopened.read().count() == 2)
+    assert(reopened.read(Some(0)).count() == 1)
+    // and the reopened handle continues the version chain
+    assert(reopened.commitAppend(Seq((3L, "c")).toDF("id", "v")) == 2)
+    assert(t.read().count() == 3) // visible through the original handle too
+  }
+}

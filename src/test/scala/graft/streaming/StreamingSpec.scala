@@ -189,6 +189,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == native)
   }
 
+  test("versioned streaming sink: one commit per batch, replay-safe, time travel") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val target = java.nio.file.Files.createTempDirectory("graft-vsink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vsink-ckpt").toString
+    val q = EventStreams.writeToVersioned(input.toDF(), target, Seq("event_id"), ckpt)
+    input.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(2), 1, 2.0))
+    q.processAllAvailable()
+    input.addData(Ev(2, ts(2), 1, 2.0), Ev(3, ts(3), 1, 3.0)) // id 2 replayed
+    q.processAllAvailable()
+    q.stop()
+    val vt = graft.lake.VersionedTable(spark, target)
+    assert(vt.read().select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(vt.read(Some(0)).count() == 2) // first batch snapshot
+    assert(vt.history().map(_._2) == Seq("overwrite", "append"))
+  }
+
   test("batch session islands equal native session_window on real fixtures") {
     val d = "/root/testdata/sf0.001"
     val islands = SparkEntry.queries("q_session_islands")(spark, d)
