@@ -33,15 +33,9 @@ object LlmQueries2 {
         |  md5(array_to_string(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
         |    AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
-      val nChunks = greatest(lit(1L),
-        (ceil((size(col("tok")) - lit(64)) / lit(48.0)) + 1).cast("long"))
-      val chunk = slice(col("tok"), col("chunk_idx") * 48 + 1, lit(64))
-      documents(s, d).select(col("doc_id"), split(col("text"), " ").as("tok"))
-        .select(col("doc_id"), col("tok"),
-          explode(sequence(lit(0L), nChunks.cast("long") - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(chunk).cast("long").as("n_chunk_tokens"),
-          md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+      graft.llm.TextAnalysis.chunk(documents(s, d), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     },
 
@@ -101,23 +95,8 @@ object LlmQueries2 {
         |      / length(text) >= 0.81) AS keep
         |FROM t JOIN m ON m.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val docs = documents(s, d)
-      val maxTok = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(max("cnt").as("max_tok"))
-      val nTokens = size(split(col("text"), " "))
-      val repRatio = col("max_tok") * lit(1.0) / nTokens
-      val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
-        length(col("text"))
-      docs.join(maxTok, "doc_id")
-        .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
-          round(repRatio, 6).as("rep_ratio"),
-          round(alphaRatio, 6).as("alpha_ratio"),
-          (nTokens < 30).as("too_short"),
-          (repRatio > 0.12).as("too_repetitive"),
-          (alphaRatio < 0.81).as("low_alpha"),
-          (nTokens >= 30 && repRatio <= 0.12 && alphaRatio >= 0.81).as("keep"))
+      graft.llm.TextAnalysis.gopherFilter(documents(s, d),
+          minTokens = 30, maxRepRatio = 0.12, minAlphaRatio = 0.81)
         .orderBy("doc_id")
     },
 

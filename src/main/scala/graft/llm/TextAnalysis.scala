@@ -56,6 +56,50 @@ object TextAnalysis {
       round(best.getField("hits") * lit(1.0) / size(tok), 6).as("confidence"))
   }
 
+  /** Gopher-style composite quality rules: token count, repetition ratio
+    * (top token frequency / tokens), alphabetic density — flags plus the
+    * final keep decision. One explode + two aggregations for the
+    * repetition signal; everything else is projection (q_gopher_filter).
+    */
+  def gopherFilter(docs: DataFrame, minTokens: Int = 30,
+                   maxRepRatio: Double = 0.12,
+                   minAlphaRatio: Double = 0.81): DataFrame = {
+    val maxTok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("max_tok"))
+    val nTokens = size(split(col("text"), " "))
+    val repRatio = col("max_tok") * lit(1.0) / nTokens
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
+      length(col("text"))
+    docs.join(maxTok, "doc_id")
+      .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
+        round(repRatio, 6).as("rep_ratio"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        (nTokens < minTokens).as("too_short"),
+        (repRatio > maxRepRatio).as("too_repetitive"),
+        (alphaRatio < minAlphaRatio).as("low_alpha"),
+        (nTokens >= minTokens && repRatio <= maxRepRatio &&
+          alphaRatio >= minAlphaRatio).as("keep"))
+  }
+
+  /** Sliding-window token chunking with overlap (context packing):
+    * chunk i covers tokens [i·stride+1, i·stride+window]; chunk count =
+    * max(1, 1 + ceil((n-window)/stride)). One narrow explode — no
+    * shuffle (q_chunk_docs).
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    val nChunks = greatest(lit(1L),
+      (ceil((size(col("tok")) - lit(window)) / lit(stride.toDouble)) + 1).cast("long"))
+    val chunkTok = slice(col("tok"), col("chunk_idx") * stride + 1, lit(window))
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(chunkTok).cast("long").as("n_chunk_tokens"),
+        array_join(chunkTok, " ").as("chunk_text"))
+  }
+
   /** Winnowing-style rolling fingerprint: hash every w-token window,
     * keep the minimum — stable under small edits anywhere outside the
     * minimal window (the property DedupSpec asserts).
