@@ -7,7 +7,9 @@ import org.apache.spark.sql.graft.{DotProductF, SumSqF}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry so they're usable from
-  * `spark.sql` as well as the Column API.
+  * `spark.sql` as well as the Column API, and injects the engine's
+  * algebraic optimizer rules (e.g. `dot_f(a,a)` → `sum_sq_f(a)`,
+  * [[org.apache.spark.sql.graft.DotSelfToSumSq]]).
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
@@ -33,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "sum_sq_f takes 1 argument")
         SumSqF(children.head)
       }))
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
   }
 }

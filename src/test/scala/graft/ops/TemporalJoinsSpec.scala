@@ -64,4 +64,41 @@ class TemporalJoinsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("injected optimizer rule rewrites dot_f(a,a) to sum_sq_f(a)") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions()).getOrCreate()
+      // non-foldable input (id-dependent) so constant folding can't hide
+      // the rewrite
+      val df = s.sql(
+        "SELECT dot_f(v, v) AS selfdot, sum_sq_f(v) AS ssq FROM " +
+          "(SELECT array(cast(id AS FLOAT), 4.0F) AS v FROM range(3))")
+      val optimized = df.queryExecution.optimizedPlan
+      val dots = optimized.expressions
+        .flatMap(_.collect { case d: org.apache.spark.sql.graft.DotProductF => d })
+      val sums = optimized.expressions
+        .flatMap(_.collect { case ss: org.apache.spark.sql.graft.SumSqF => ss })
+      assert(dots.isEmpty, "self-dot should be rewritten away")
+      assert(sums.length == 2)
+      val r = df.orderBy("selfdot").collect()
+      assert(r.map(_.getDouble(0)).toSeq == Seq(16.0, 17.0, 20.0))
+      assert(r.map(_.getDouble(1)).toSeq == Seq(16.0, 17.0, 20.0))
+      // non-self dot is untouched
+      val df2 = s.sql("SELECT dot_f(v, array(2.0F)) AS d FROM " +
+        "(SELECT array(cast(id AS FLOAT)) AS v FROM range(3))")
+      val dots2 = df2.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case d: org.apache.spark.sql.graft.DotProductF => d })
+      assert(dots2.nonEmpty)
+      assert(df2.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(0.0, 2.0, 4.0))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
