@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SumSqF(children.head)
       }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinBanding)
   }
 }
