@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth query tranche: array-predicate higher-order functions, explicit
+  * null ordering, exact decimal aggregation, unix-time round trips, date
+  * arithmetic, and the remaining string surface. Oracle conventions per
+  * QueryDef.scala.
+  */
+object CoreQueries4 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Array predicate HOFs: filter-count / exists / forall per vector.
+    // (Breadth surface — the scoring hot paths use the native codegen'd
+    // expressions instead; HOF lambdas evaluate interpreted.)
+    q("q_array_predicates",
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+        |  list_bool_or(list_transform(embedding, x -> x > 2.0)) AS any_gt2,
+        |  list_bool_and(list_transform(embedding, x -> x > -4.0)) AS all_gt_neg4
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      embeddings(s, d).select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("embedding"), x => x > 2.0f).as("any_gt2"),
+          forall(col("embedding"), x => x > -4.0f).as("all_gt_neg4"))
+        .orderBy("vec_id")
+    },
+
+    // Explicit null ordering made value-observable: rank under
+    // ASC NULLS LAST (engines' DEFAULT null order differs — Spark sorts
+    // nulls first ascending, DuckDB last — so portable SQL must say it).
+    q("q_null_ordering",
+      """SELECT c_custkey, nullif(c_nationkey % 7, 0) AS k,
+        |  row_number() OVER (ORDER BY nullif(c_nationkey % 7, 0) ASC NULLS LAST,
+        |    c_custkey) AS rn
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val k = expr("nullif(c_nationkey % 7, 0)")
+      customer(s, d).filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), k.as("k"),
+          row_number().over(Window.orderBy(k.asc_nulls_last, col("c_custkey")))
+            .as("rn"))
+        .orderBy("c_custkey")
+    },
+
+    // Exact decimal aggregation: money sums with NO float rounding —
+    // the correct type for a ledger at any scale (sum order never
+    // matters; both engines agree digit-for-digit). Emitted as strings:
+    // the compare harness coerces decimal columns inconsistently
+    // (int-truncation vs float), and the string IS the exactness claim.
+    q("q_decimal_agg",
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS sum_price,
+        |  sum((l_extendedprice::DECIMAL(18,2)) * (l_discount::DECIMAL(18,2)))::VARCHAR
+        |    AS sum_discounted,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("string").as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+            .cast("string").as("sum_discounted"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Unix-time round trip: epoch seconds (truncated) and back to a
+    // formatted wall-clock string (UTC sessions both sides).
+    q("q_unixtime_roundtrip",
+      """SELECT event_id,
+        |  floor(epoch(ts))::BIGINT AS epoch_s,
+        |  strftime(to_timestamp(floor(epoch(ts))::BIGINT), '%Y-%m-%d %H:%M:%S')
+        |    AS wallclock
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).filter(col("user_id") < 20)
+        .select(col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          from_unixtime(unix_timestamp(col("ts"))).as("wallclock"))
+        .orderBy("event_id")
+    },
+
+    // Date arithmetic: day deltas, interval shifts, calendar parts.
+    q("q_date_arith",
+      """SELECT o_orderkey,
+        |  date_diff('day', TIMESTAMP '2024-01-01', o_orderdate)::BIGINT AS days_since,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  extract(year FROM o_orderdate)::BIGINT AS y,
+        |  extract(month FROM o_orderdate)::BIGINT AS m,
+        |  extract(day FROM o_orderdate)::BIGINT AS dom
+        |FROM orders WHERE o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("2024-01-01").cast("timestamp"))
+            .cast("long").as("days_since"),
+          date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd")
+            .as("due_date"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+        .orderBy("o_orderkey")
+    },
+
+    // String surface, second helping: translate / pads / repeat / instr
+    // / trim family.
+    q("q_string_funcs2",
+      """SELECT p_partkey,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS shouty_vowels,
+        |  lpad(p_partkey::VARCHAR, 8, '0') AS padded_key,
+        |  rpad(p_brand, 12, '.') AS brand_dotted,
+        |  repeat(p_type || '|', 2) AS type_twice,
+        |  instr(p_name, ' ')::BIGINT AS space_at,
+        |  trim('  ' || p_name || '  ') AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select(col("p_partkey"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("shouty_vowels"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+          rpad(col("p_brand"), 12, ".").as("brand_dotted"),
+          repeat(concat(col("p_type"), lit("|")), 2).as("type_twice"),
+          instr(col("p_name"), " ").cast("long").as("space_at"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+        .orderBy("p_partkey")
+    },
+
+    // Regex capture groups: split a structured id into its parts.
+    q("q_regex_groups",
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 1) AS name_prefix,
+        |  regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) AS name_digits,
+        |  CAST(regexp_extract(c_name, '#0*([0-9]+)$', 1) AS BIGINT) AS name_num
+        |FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([A-Za-z]+)#([0-9]+)", 1).as("name_prefix"),
+          regexp_extract(col("c_name"), "([A-Za-z]+)#([0-9]+)", 2).as("name_digits"),
+          regexp_extract(col("c_name"), "#0*([0-9]+)$", 1).cast("long").as("name_num"))
+        .orderBy("c_custkey")
+    }
+  )
+}
