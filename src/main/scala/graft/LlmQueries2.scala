@@ -100,6 +100,84 @@ object LlmQueries2 {
         .orderBy("doc_id")
     },
 
+    // Per-language token-budget quota sampling (data mixing): rank docs
+    // by quality within each language, admit in order until the
+    // language's token budget fills. One window pass — the shape that
+    // builds a trillion-token mix from per-source quality ranks.
+    q("q_token_budget",
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)
+        |      AS alpha
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY alpha DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens_used
+        |FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val t = documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
+          length(col("text"))).as("alpha"))
+      val w = Window.partitionBy("lang").orderBy(col("alpha").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum("n_tokens").over(w))
+        .filter(col("cum") <= 3000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_used"))
+        .orderBy("lang")
+    },
+
+    // Cross-source vocabulary overlap (contamination/diversity audit):
+    // pairwise Jaccard of per-source token vocabularies — the corpus-mix
+    // diagnostic run before weighting sources.
+    q("q_source_overlap",
+      """WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+        |ix AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2)
+        |SELECT s1, s2, inter,
+        |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS vocab_jaccard
+        |FROM ix JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
+        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      val v = documents(s, d)
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
+      val ix = v.as("a")
+        .join(v.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      ix.join(sz.select(col("source").as("s1"), col("n").as("n1")), "s1")
+        .join(sz.select(col("source").as("s2"), col("n").as("n2")), "s2")
+        .select(col("s1"), col("s2"), col("inter"),
+          round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 6)
+            .as("vocab_jaccard"))
+        .orderBy("s1", "s2")
+    },
+
+    // BPE merge-pair statistics: adjacent-token pair frequencies — the
+    // count a byte-pair/word-pair tokenizer maximizes per merge step.
+    // zip_with over two shifted slices: no shuffle until the count.
+    q("q_bpe_pairs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |p AS (SELECT tok[i] AS w1, tok[i+1] AS w2
+        |  FROM t, unnest(range(1, len(tok))) AS u(i))
+        |SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      val tok = col("tok")
+      val pairs = zip_with(
+        slice(tok, lit(1), size(tok) - 1), slice(tok, lit(2), size(tok) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))
+      documents(s, d).select(split(col("text"), " ").as("tok"))
+        .select(explode(pairs).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(50)
+    },
+
     // Embedding introspection: dominant dimension per vector (first
     // index of the max — identical 1-based semantics in both engines).
     q("q_embed_argmax",
