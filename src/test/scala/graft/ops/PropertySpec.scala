@@ -132,6 +132,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: z-value interleave is order-preserving within each dimension") {
+    // fixing one coordinate, z is strictly monotone in the other — the
+    // property that makes z-ranges prunable rectangles
+    val pairs = samples(Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)), 20)
+    val df = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.lake.Compaction.zValue(col("x"), col("y"), 8).as("z"))
+    val rowsOut = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rowsOut.combinations(2).foreach { case Array((x1, y1, z1), (x2, y2, z2)) =>
+      if (x1 == x2 && y1 < y2) assert(z1 < z2)
+      if (y1 == y2 && x1 < x2) assert(z1 < z2)
+    }
+    // bijective on the 8-bit × 8-bit domain sample
+    assert(rowsOut.map(_._3).distinct.length ==
+      rowsOut.map(t => (t._1, t._2)).distinct.length)
+  }
+
+  test("law: sliding chunks cover every token and respect the stride geometry") {
+    val texts = samples(Gen.choose(1, 200).map(n =>
+      (0 until n).map(i => s"w$i").mkString(" ")), 8)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val chunks = graft.llm.TextAnalysis.chunk(df, window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val n = t.split(" ").length
+      val mine = chunks.filter(_._1 == i.toLong).sortBy(_._2)
+      val expected = math.max(1, 1 + math.ceil((n - 64) / 48.0).toInt)
+      assert(mine.length == expected)
+      // chunks are dense 0..k-1 and sizes are full except possibly the tail
+      assert(mine.map(_._2).toSeq == (0 until expected).map(_.toLong))
+      mine.dropRight(1).foreach { case (_, _, sz) => assert(sz == 64) }
+      // last chunk reaches the final token: (k-1)*48 + lastSize >= n
+      val (_, lastIdx, lastSz) = mine.last
+      assert(lastIdx * 48 + lastSz >= n)
+    }
+  }
+
+  test("law: salted join equals the plain join for any salt count") {
+    val data = samples(Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0.0, 10.0))), 5)
+    data.zipWithIndex.foreach { case (rowsIn, run) =>
+      val fact = rowsIn.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "rid")
+      val dim = (0L to 5L).map(k => (k, s"d$k")).toDF("k", "label")
+      Seq(1, 3, 8).foreach { salts =>
+        val salted = Skew.saltedJoin(fact, dim, "k", salts, col("rid"))
+          .select("rid", "label").as[(Long, String)].collect().toSet
+        val plain = fact.join(dim, "k")
+          .select("rid", "label").as[(Long, String)].collect().toSet
+        assert(salted == plain, s"run=$run salts=$salts")
+      }
+    }
+  }
+
   test("law: insert-only merge candidates are exactly source-minus-target keys") {
     val keyGen = Gen.listOfN(20, Gen.choose(0L, 30L))
     samples(Gen.zip(keyGen, keyGen), n = 5).foreach { case (srcKeys, tgtKeys) =>
