@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column pattern: media as opaque `binary` payloads with a
   * typed metadata struct, processed in partition-local batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * `decodeStub` derives a deterministic fake feature vector from the
-  * payload bytes. Everything around it — schema, typed Dataset plumbing,
-  * batched mapPartitions shape, partitioning — is real and tested
-  * (MultimodalSpec). Swapping in a real decoder changes ONLY the body of
-  * `decodeStub`.
+  * Decoding is REAL for the formats the JVM ships codecs for —
+  * PNG/JPEG/BMP/GIF via `javax.imageio` and WAV/PCM via
+  * `javax.sound.sampled` (see [[MediaCodecs]]; features = grayscale
+  * histogram / RMS energy). Mimes with no JDK codec (video, modern
+  * audio) fall back to `decodeStub`, a deterministic byte-fold marked
+  * clearly below. The Spark-side shape — schema, typed Dataset
+  * plumbing, batched mapPartitions, partitioning — is identical either
+  * way and is what MultimodalSpec tests.
   *
   * Scale notes: mapPartitions keeps the decoder per-partition (one codec
   * init per task, not per row; batches bound peak memory). Binary
@@ -69,11 +71,29 @@ object Multimodal {
         // per-batch: real decoders init once here
         batch.iterator.map { r =>
           MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
-            decodeStub(r.payload))
+            decodeByMime(r.mime, r.payload))
         }
       }
     }
   }
+
+  /** Real decode where the JDK has a codec; deterministic fallback
+    * elsewhere. Feature vector is fixed-dim 8 for every modality (the
+    * multimodal-table contract: one schema across mimes).
+    */
+  private def decodeByMime(mime: String, payload: Array[Byte]): Array[Float] =
+    mime match {
+      case m if m.startsWith("image/") =>
+        MediaCodecs.imageFeatures(payload).map(_.histogram)
+          .getOrElse(decodeStub(payload))
+      case "audio/wav" | "audio/x-wav" =>
+        MediaCodecs.wavFeatures(payload).map { a =>
+          Array(a.sampleRate / 48000f, a.channels.toFloat,
+            math.min(a.nFrames, 1L << 24).toFloat, a.durationSec.toFloat,
+            a.rms.toFloat, 0f, 0f, 0f)
+        }.getOrElse(decodeStub(payload))
+      case _ => decodeStub(payload)
+    }
 
   final case class MediaFrames(doc_id: Long, n_frames: Int,
                                frames: Array[Array[Byte]])
@@ -98,17 +118,21 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: real code would decode → scale → re-encode; the fake
-    * downsamples payload bytes to `targetBytes` deterministically.
-    * Output stays a MediaRecord, so resize composes with every other
-    * stage (the pipeline-shape contract).
+  /** Resize: REAL raster scaling (decode → area-average → PNG
+    * re-encode, [[MediaCodecs.resizeImage]]) for image mimes; for
+    * non-image payloads a deterministic byte downsample to
+    * `targetBytes`. Output stays a MediaRecord, so resize composes with
+    * every other stage (the pipeline-shape contract).
     */
   def resize(media: Dataset[MediaRecord], targetBytes: Int = 64): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        if (r.payload.length <= targetBytes) r
+        if (r.mime.startsWith("image/"))
+          MediaCodecs.resizeImage(r.payload, maxDim = targetBytes)
+            .map(b => MediaRecord(r.doc_id, "image/png", b)).getOrElse(r)
+        else if (r.payload.length <= targetBytes) r
         else {
           val step = r.payload.length.toDouble / targetBytes
           val out = new Array[Byte](targetBytes)
