@@ -200,17 +200,24 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Connected components over near-duplicate pairs: min-label
-    * propagation to fixpoint. Each iteration is one distributed
-    * join+aggregate; the driver loop only checks convergence (a count —
-    * no data is collected). Iterations are bounded by cluster diameter,
-    * which for dedup graphs is tiny (chains of re-posts). Lineage is cut
-    * per iteration with localCheckpoint so plans stay constant-size.
+  /** Connected components over near-duplicate pairs.
+    *
+    * Adaptive, like AQE: the edge list (candidate near-dup PAIRS) is
+    * orders of magnitude smaller than the corpus, so when it fits one
+    * task (≤ `localThreshold` edges) a partition-local union-find
+    * resolves it in a single narrow pass — two jobs total instead of
+    * 2×iterations. Above the threshold the distributed min-label
+    * propagation loop runs: each iteration is one join+aggregate, the
+    * driver only checks convergence (a count — no data is collected),
+    * iterations are bounded by cluster diameter (tiny for dedup
+    * graphs), and lineage is cut per iteration with localCheckpoint so
+    * plans stay constant-size. Both paths produce identical labels.
     *
     * Input: (id1, id2) pairs. Output: (id, component) where component =
     * min id reachable — the canonical representative.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          localThreshold: Long = 5000000L): DataFrame = {
     // Materialize the edge list ONCE: pairs is usually the output of a
     // whole sketch pipeline (minhash etc.), and every iteration touches
     // edges twice — without this checkpoint the upstream pipeline would
@@ -225,6 +232,7 @@ object Dedup {
     // empty task sets each round. coalesce() is narrow (no shuffle); big
     // edge lists keep their full parallelism.
     val n = edgesRaw.count()
+    if (n <= localThreshold) return localComponents(edgesRaw)
     val targetParts = math.max(1, math.min(
       edgesRaw.rdd.getNumPartitions, math.ceil(n / 1e6).toInt))
     val edges = if (targetParts < edgesRaw.rdd.getNumPartitions)
@@ -251,6 +259,42 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Small-graph path: one-task union-find with path compression over
+    * the (already materialized) edge list. Labels = min id per
+    * component, identical to the iterative path's fixpoint.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
+        }
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        it.foreach { case (a, b) =>
+          seen += a; seen += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+        seen.foreach { id =>
+          val r = find(id)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), id)
+        }
+        seen.iterator.map(id => (id, minOfRoot(find(id))))
+      }
+      .toDF("id", "component")
   }
 
   /** End-to-end dedup: near-dup pairs → components → keep the canonical

@@ -118,6 +118,16 @@ class LlmSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("distributed CC path produces the same labels as the local union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(8L) == 5L && local(3L) == 1L && local(11L) == 10L)
+  }
+
   test("dedupSurvivors keeps the canonical member per cluster plus all unpaired docs") {
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
