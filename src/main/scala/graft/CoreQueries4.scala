@@ -129,6 +129,28 @@ object CoreQueries4 {
         .orderBy("p_partkey")
     },
 
+    // Grouped standardization / anomaly flag: per-group mean/stddev via
+    // a window (one pass), z-score per row, |z| > 2.5 flagged. The
+    // monitoring-pipeline shape: no second scan for the stats.
+    q("q_zscore_anomaly",
+      """WITH s AS (SELECT event_id, event_type, value,
+        |    avg(value) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  round((value - mu) / sigma, 6) AS z,
+        |  abs((value - mu) / sigma) > 2.5 AS is_anomaly
+        |FROM s ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type")
+      events(s, d).select(col("event_id"), col("event_type"), col("value"),
+          avg("value").over(w).as("mu"),
+          stddev_samp("value").over(w).as("sigma"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sigma"), 6).as("z"),
+          (abs((col("value") - col("mu")) / col("sigma")) > 2.5).as("is_anomaly"))
+        .orderBy("event_id")
+    },
+
     // Regex capture groups: split a structured id into its parts.
     q("q_regex_groups",
       """SELECT c_custkey,

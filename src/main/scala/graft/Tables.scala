@@ -46,10 +46,21 @@ object Tables {
     * floor for the post-1970 fixture data.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    cache.computeIfAbsent((spark, s"$sfDir/events.parquet#converted"), { _ =>
+    val key = (spark, s"$sfDir/events.parquet#converted")
+    val cached = cache.get(key)
+    if (cached != null) cached
+    else {
+      // Built OUTSIDE computeIfAbsent: the inner table() also touches
+      // this map, and nested computeIfAbsent on one ConcurrentHashMap
+      // throws "Recursive update" whenever the two keys land in the
+      // same bin (nondeterministic — it appeared only after unrelated
+      // cache keys shifted the table layout). putIfAbsent keeps the
+      // memoization race-safe; losers just drop their duplicate plan.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(spark, sfDir, "events")
+      val df = table(spark, sfDir, "events")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    })
+      cache.putIfAbsent(key, df)
+      cache.get(key)
+    }
   }
 }
