@@ -151,6 +151,74 @@ object CoreQueries4 {
         .orderBy("event_id")
     },
 
+    // Explicit cartesian product (bounded): dim × dim enumeration — the
+    // one join shape that SHOULD be a nested loop.
+    q("q_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // LIKE / ILIKE / NOT LIKE / escaped-wildcard patterns.
+    q("q_like_patterns",
+      """SELECT p_partkey,
+        |  p_name LIKE '%re%' AS has_re,
+        |  p_type ILIKE 'econ%' AS is_economy_ci,
+        |  p_name NOT LIKE 'small%' AS not_small,
+        |  p_brand LIKE 'B#_%' ESCAPE '#' AS underscore_after_b
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select(col("p_partkey"),
+          col("p_name").like("%re%").as("has_re"),
+          col("p_type").ilike("econ%").as("is_economy_ci"),
+          (!col("p_name").like("small%")).as("not_small"),
+          expr("p_brand LIKE 'B#_%' ESCAPE '#'").as("underscore_after_b"))
+        .orderBy("p_partkey")
+    },
+
+    // Scalar conditionals: greatest/least across columns, coalesce
+    // chains, inline if.
+    q("q_scalar_conditionals",
+      """SELECT s_suppkey,
+        |  greatest(s_acctbal, 0.0) AS bal_floor,
+        |  least(s_acctbal, 5000.0) AS bal_cap,
+        |  coalesce(nullif(s_name, ''), 'unknown') AS name_or_default,
+        |  CASE WHEN s_acctbal >= 0 THEN 'credit' ELSE 'debit' END AS side
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      supplier(s, d).select(col("s_suppkey"),
+          greatest(col("s_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("s_acctbal"), lit(5000.0)).as("bal_cap"),
+          coalesce(expr("nullif(s_name, '')"), lit("unknown")).as("name_or_default"),
+          when(col("s_acctbal") >= 0, "credit").otherwise("debit").as("side"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer — selective
+    // fact filter, 3-way join, revenue aggregate, top 20.
+    q("q10_returned_revenue",
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  n_name
+        |FROM customer
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
     // Regex capture groups: split a structured id into its parts.
     q("q_regex_groups",
       """SELECT c_custkey,
