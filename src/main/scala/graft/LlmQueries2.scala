@@ -141,10 +141,14 @@ object LlmQueries2 {
         |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS vocab_jaccard
         |FROM ix JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
         |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      // The (source, word) vocabulary is tiny but its plan explodes every
+      // token; it feeds THREE consumers (sizes + both join sides) —
+      // materialize once so the explode+distinct doesn't run 3×.
       val v = documents(s, d)
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .distinct()
+        .localCheckpoint()
       val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
       val ix = v.as("a")
         .join(v.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
