@@ -55,7 +55,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
 
   def latestVersion(): Option[Int] = versions().lastOption
 
-  private case class Commit(version: Int, action: String, files: Seq[String],
+  private[lake] case class Commit(version: Int, action: String, files: Seq[String],
                             schemaDdl: String, rows: Long, ts: Long)
 
   private def readCommit(v: Int): Commit = {
@@ -78,7 +78,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
       num("rows"), num("ts"))
   }
 
-  private def writeCommit(c: Commit): Unit = {
+  private[lake] def writeCommit(c: Commit): Unit = {
     val dir = new Path(logDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val dst = versionFile(c.version)

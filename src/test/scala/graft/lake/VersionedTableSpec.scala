@@ -85,6 +85,24 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[Exception] { t.read(Some(0)).collect() } // vacuumed away
   }
 
+  test("commit protocol: a second writer at the same version conflicts, never clobbers") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    // a racing writer won version 1 first
+    val winner = t.Commit(1, "append", Seq("v00000001-part-00000.parquet"),
+      "id BIGINT, v STRING", 2L, 0L)
+    t.writeCommit(winner)
+    // the slow writer tries to commit the same version
+    val err = intercept[RuntimeException] {
+      t.writeCommit(t.Commit(1, "overwrite", Seq.empty, "id BIGINT", 0L, 1L))
+    }
+    assert(err.getMessage.contains("concurrent commit conflict"))
+    // the winner's record is untouched and the chain continues past it
+    assert(t.versions() == Seq(0, 1))
+    assert(t.history()(1) == ((1, "append", 2L, 1)))
+    assert(t.commitAppend(Seq((9L, "z")).toDF("id", "v")) == 2)
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
