@@ -182,6 +182,38 @@ object LlmQueries2 {
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(50)
     },
 
+    // Sequence packing: assign chunks to fixed-budget training
+    // sequences (1024 tokens) by running-total division — the
+    // boundary-splitting approximation every packer starts from; one
+    // window pass, then per-pack occupancy stats.
+    q("q_pack_sequences",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |  unnest(range(0, greatest(1,
+        |    1 + CAST(ceil((len(tok) - 64) / 48.0) AS BIGINT)))) AS chunk_idx
+        |  FROM t),
+        |sized AS (SELECT doc_id, chunk_idx,
+        |  len(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])::BIGINT AS n FROM c),
+        |packed AS (SELECT doc_id, chunk_idx, n,
+        |  (((sum(n) OVER (ORDER BY doc_id, chunk_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) // 1024))::BIGINT
+        |    AS pack_id
+        |  FROM sized)
+        |SELECT pack_id, count(*) AS n_chunks, sum(n)::BIGINT AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, d) =>
+      val sized = graft.llm.TextAnalysis.chunk(documents(s, d), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens").as("n"))
+      val w = Window.orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sized
+        .withColumn("pack_id", floor((sum("n").over(w) - col("n")) / 1024).cast("long"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n").as("n_tokens"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("pack_id")
+    },
+
     // Embedding introspection: dominant dimension per vector (first
     // index of the max — identical 1-based semantics in both engines).
     q("q_embed_argmax",
