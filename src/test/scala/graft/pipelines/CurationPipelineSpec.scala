@@ -35,6 +35,14 @@ class CurationPipelineSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"))
       .filter(col("mx") =!= col("n") - 1).count()
     assert(dense == 0)
+    // and the curated output lands in the versioned lake: one commit,
+    // time-travel-able, replay-safe via keyed merge
+    val path = java.nio.file.Files.createTempDirectory("graft-curated").toString + "/chunks"
+    val vt = graft.lake.VersionedTable(spark, path)
+    vt.insertOnlyMerge(chunks, keys = Seq("doc_id", "chunk_idx"))
+    vt.insertOnlyMerge(chunks, keys = Seq("doc_id", "chunk_idx")) // replay: no-op
+    assert(vt.versions() == Seq(0))
+    assert(vt.read().count() == n)
     chunks.unpersist()
   }
 
