@@ -118,6 +118,20 @@ class LlmSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("HLL approx distinct stays within 5% of the exact count per group") {
+    val li = Tables.lineitem(spark, sf)
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("a"))
+      .as[(String, Long)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("e"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05,
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("distributed CC path produces the same labels as the local union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (7L, 8L))
       .toDF("id1", "id2")
