@@ -118,7 +118,13 @@ object RangeJoinBanding extends Rule[LogicalPlan] with PredicateHelper {
     val seq = Sequence(IntegralDivide(asLong(lo), b),
       IntegralDivide(asLong(hi), b), Some(Literal(1L)),
       Some(conf.sessionLocalTimeZone))
-    val gen = Explode(seq)
+    // Empty intervals (lo > hi) match nothing in the original theta
+    // join; an ascending Sequence would RAISE on them instead — guard
+    // with an empty array so those rows simply generate no buckets.
+    val guarded = If(LessThanOrEqual(asLong(lo), asLong(hi)), seq,
+      Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+    val gen = Explode(guarded)
     val bucketB = AttributeReference("__graft_bucket",
       gen.elementSchema.head.dataType, gen.elementSchema.head.nullable)()
 

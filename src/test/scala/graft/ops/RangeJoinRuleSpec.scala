@@ -37,8 +37,10 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     import s.implicits._
     val points = Seq((1L, -250L), (2L, -10L), (3L, 0L), (4L, 95L), (5L, 205L),
       (6L, 1000L)).toDF("pid", "t")
+    // iid 14 is an EMPTY interval (lo > hi): matches nothing in a theta
+    // join, and must not crash the banded rewrite's sequence generator
     val intervals = Seq((10L, -300L, -200L), (11L, -20L, 20L), (12L, 90L, 210L),
-      (13L, 5000L, 6000L)).toDF("iid", "lo", "hi")
+      (13L, 5000L, 6000L), (14L, 500L, 100L)).toDF("iid", "lo", "hi")
     (points, intervals)
   }
 
