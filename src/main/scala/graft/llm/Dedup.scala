@@ -204,9 +204,9 @@ object Dedup {
     *
     * Adaptive, like AQE: the edge list (candidate near-dup PAIRS) is
     * orders of magnitude smaller than the corpus, so when it fits one
-    * task (≤ `localThreshold` edges) a partition-local union-find
-    * resolves it in a single narrow pass — two jobs total instead of
-    * 2×iterations. Above the threshold the distributed min-label
+    * task (≤ `localThreshold` edges — sized so the union-find maps stay
+    * ~100 MB) a partition-local union-find resolves it in a single
+    * narrow pass — two jobs total instead of 2×iterations. Above the threshold the distributed min-label
     * propagation loop runs: each iteration is one join+aggregate, the
     * driver only checks convergence (a count — no data is collected),
     * iterations are bounded by cluster diameter (tiny for dedup
@@ -217,7 +217,7 @@ object Dedup {
     * min id reachable — the canonical representative.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-                          localThreshold: Long = 5000000L): DataFrame = {
+                          localThreshold: Long = 1000000L): DataFrame = {
     // Materialize the edge list ONCE: pairs is usually the output of a
     // whole sketch pipeline (minhash etc.), and every iteration touches
     // edges twice — without this checkpoint the upstream pipeline would
