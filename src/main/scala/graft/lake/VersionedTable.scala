@@ -233,6 +233,17 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
       val c = readCommit(v)
       (v, c.action, c.rows, c.files.length)
     }
+
+  /** The commit log as a DataFrame — SQL-queryable table metadata
+    * (versions, actions, row counts, file counts, commit times).
+    */
+  def historyDF(): DataFrame = {
+    import spark.implicits._
+    versions().map { v =>
+      val c = readCommit(v)
+      (c.version, c.action, c.rows, c.files.length, c.ts)
+    }.toDF("version", "action", "rows", "n_files", "committed_at_ms")
+  }
 }
 
 object VersionedTable {

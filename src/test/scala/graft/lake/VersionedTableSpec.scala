@@ -23,6 +23,9 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(Some(0)).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     assert(t.history().map(h => (h._1, h._2, h._3)) ==
       Seq((0, "overwrite", 2L), (1, "append", 3L)))
+    // the log is SQL-queryable
+    assert(t.historyDF().select("version", "action").as[(Int, String)]
+      .collect().toSeq == Seq((0, "overwrite"), (1, "append")))
   }
 
   test("append enforces schema; evolution only with allowNewColumns") {
