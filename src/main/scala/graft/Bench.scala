@@ -10,12 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: initialize Hadoop FS, parquet reader, codegen and
-    // JIT paths once so the first measured query isn't charged for
-    // session startup (per-query times stay honest).
+    // Untimed warmup: initialize Hadoop FS, parquet footers, codegen and
+    // JIT paths once so the first measured query of each table family
+    // isn't charged for session startup (per-query times stay honest).
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "documents", "embeddings").foreach { t =>
+        Tables.table(spark, sfDir, t).count()
+      }
+      Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // Deterministic (sorted) order: hash-map order would shuffle which
     // queries absorb residual warmup, making per-query times
