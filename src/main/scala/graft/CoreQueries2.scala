@@ -263,6 +263,25 @@ object CoreQueries2 {
         .orderBy("event_id")
     },
 
+    // Non-strict AS-OF: the latest purchase AT-OR-BEFORE each event —
+    // purchase events match themselves (the `<=` tie semantics the
+    // strict variant above excludes).
+    q("q_asof_nonstrict",
+      """SELECT event_id, user_id,
+        | last_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      TemporalJoins.asofJoin(ev, purchases, Seq("user_id"), "ts", "ts",
+          payload = Seq("event_id"), strict = false)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("last_purchase_id"))
+        .orderBy("event_id")
+    },
+
     // Banded range join: event pairs within 5 minutes per user — join
     // on (user, time-bucket±1) then exact predicate; candidates stay
     // linear in corpus density, never |E|² (TemporalJoins.rangeJoin).
