@@ -219,6 +219,46 @@ object CoreQueries4 {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
+    // Boolean aggregates: universally/existentially quantified group
+    // predicates in one pass.
+    q("q_bool_agg",
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  bool_and(o_custkey IS NOT NULL) AS all_keyed,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          bool_and(col("o_custkey").isNotNull).as("all_keyed"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Higher-moment aggregates: population skewness and excess kurtosis.
+    // The oracle replays Spark's population formulas from raw moments
+    // (DuckDB's own skewness/kurtosis are sample-corrected — different
+    // statistics, not a bug on either side).
+    q("q_higher_moments",
+      """SELECT l_returnflag,
+        |  round((avg(l_quantity*l_quantity*l_quantity)
+        |     - 3*avg(l_quantity)*avg(l_quantity*l_quantity) + 2*avg(l_quantity)^3)
+        |    / (avg(l_quantity*l_quantity) - avg(l_quantity)^2)^1.5, 6) AS skew_q,
+        |  round((avg(l_quantity*l_quantity*l_quantity*l_quantity)
+        |     - 4*avg(l_quantity)*avg(l_quantity*l_quantity*l_quantity)
+        |     + 6*avg(l_quantity)^2*avg(l_quantity*l_quantity)
+        |     - 3*avg(l_quantity)^4)
+        |    / (avg(l_quantity*l_quantity) - avg(l_quantity)^2)^2 - 3, 6) AS kurt_q,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(skewness("l_quantity"), 6).as("skew_q"),
+          round(kurtosis("l_quantity"), 6).as("kurt_q"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Regex capture groups: split a structured id into its parts.
     q("q_regex_groups",
       """SELECT c_custkey,
