@@ -259,6 +259,24 @@ object CoreQueries4 {
         .orderBy("l_returnflag")
     },
 
+    // Backreference rewriting + delimiter field extraction. (Backref
+    // SYNTAX differs — Spark/Java `$1` vs DuckDB/RE2 `\1` — same
+    // semantics; each side uses its own dialect.)
+    q("q_string_funcs3",
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '([A-Za-z]+)#0*([0-9]+)', '\2-\1') AS flipped,
+        |  split_part(c_name, '#', 1) AS name_part,
+        |  split_part(c_name, '#', -1) AS num_part
+        |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "([A-Za-z]+)#0*([0-9]+)", "$2-$1")
+            .as("flipped"),
+          split_part(col("c_name"), lit("#"), lit(1)).as("name_part"),
+          split_part(col("c_name"), lit("#"), lit(-1)).as("num_part"))
+        .orderBy("c_custkey")
+    },
+
     // Regex capture groups: split a structured id into its parts.
     q("q_regex_groups",
       """SELECT c_custkey,

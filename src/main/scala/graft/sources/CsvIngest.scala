@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   */
 object CsvIngest {
 
-  final case class Ingested(clean: DataFrame, quarantine: DataFrame)
+  final case class Ingested(clean: DataFrame, quarantine: DataFrame,
+                            private val shared: DataFrame) {
+    /** Release the shared scan cache once both sides are consumed. */
+    def unpersist(): Unit = { shared.unpersist(); () }
+  }
 
   def read(spark: SparkSession, path: String, schema: StructType,
            header: Boolean = true, delimiter: String = ","): Ingested = {
@@ -36,6 +40,6 @@ object CsvIngest {
     val clean = raw.filter(col(corrupt).isNull).drop(corrupt)
     val quarantine = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))
-    Ingested(clean, quarantine)
+    Ingested(clean, quarantine, raw)
   }
 }
