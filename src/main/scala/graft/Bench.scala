@@ -1,6 +1,40 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * The driver keeps only the tail of stdout (~2000 chars) and parses the
+  * JSON line inside that window (BENCH_r01..r03 all came back parsed:null
+  * — r1/r2 from sbt log wrappers, r3 because the 112-query line was ~4 KB
+  * and overflowed the window). So Bench times a HEADLINE subset — one or
+  * two queries per operator family — with millisecond precision, keeping
+  * the line well under the window. `Verify` still covers every registered
+  * query for correctness.
+  */
 object Bench {
+  /** One per family: TPC-H-shaped, joins (broadcast/semi/as-of/range/
+    * salted), windows/sessions, reshape, lake ops, scalar funcs, and the
+    * LLM-pipeline ops (dedup exact/minhash/jaccard, similarity brute/LSH/
+    * IVF, text analysis, multimodal, packing, decontamination). */
+  private val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+    "q10_returned_revenue",
+    "q_join_dims", "q_semi_join", "q_asof_join", "q_range_join",
+    "q_salted_join",
+    "q_gold_window", "q_silver_clean", "q_rank_topn", "q_topk_global",
+    "q_session_islands", "q_window_sliding", "q_cube",
+    "q_unpivot", "q_pivot_sum",
+    "q_merge_insert_only", "q_watermark_daily",
+    "q_string_funcs", "q_date_ops",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard",
+    "q_sim_topk", "q_sim_ann_lsh", "q_sim_ivf",
+    "q_langid", "q_quality_score", "q_token_bpe",
+    "q_multimodal_features", "q_contamination", "q_pack_sequences",
+    "q_source_overlap",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,18 +56,29 @@ object Bench {
       }
       Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    val all = SparkEntry.queries
     // Deterministic (sorted) order: hash-map order would shuffle which
     // queries absorb residual warmup, making per-query times
     // incomparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = headline.filter(all.contains).sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    val total = results.map(_._2).sum
+    def line(qs: Seq[(String, Double)]): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+    }
+    // Hard guard: never exceed the driver's parse window.
+    var out = line(results)
+    var keep = results
+    while (out.length > 1800 && keep.nonEmpty) {
+      keep = keep.dropRight(1); out = line(keep)
+    }
+    println(out)
     spark.stop()
   }
 }
