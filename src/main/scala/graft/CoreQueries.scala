@@ -496,10 +496,29 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
-    // Native session_window variant (not ANSI-SQL-expressible in DuckDB
-    // with identical output shape → rows-only check; islands equivalence
-    // is covered by q_session_islands + StreamingSpec).
-    qNoOracle("q_session_native") { (s, d) =>
+    // Native session_window variant. The oracle replays it via the
+    // lag/cumsum islands formulation projected to session_window's
+    // output shape (equivalence also asserted in StreamingSpec). Gap
+    // boundary: session_window treats an event at exactly prev+gap as a
+    // NEW session (windows are [start, start+gap)), hence `>=` here
+    // where q_session_islands uses `>`.
+    q("q_session_native",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, ts::TIMESTAMP AS tsv,
+        |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |         OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+        |), sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsv, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(tsv), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))

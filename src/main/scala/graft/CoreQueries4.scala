@@ -290,6 +290,42 @@ object CoreQueries4 {
           regexp_extract(col("c_name"), "([A-Za-z]+)#([0-9]+)", 2).as("name_digits"),
           regexp_extract(col("c_name"), "#0*([0-9]+)$", 1).cast("long").as("name_num"))
         .orderBy("c_custkey")
+    },
+
+    // TPC-H Q18 shape (large-volume orders): HAVING-filtered fact
+    // aggregate feeding an IN-subquery semi join back onto the same
+    // fact, then the customer/orders/lineitem join and re-aggregation.
+    // Scale shape: the big-orders list is aggregated BEFORE any join
+    // (map-side partial agg, one shuffle on l_orderkey), the semi join
+    // carries only o_orderkey, AQE brokers the (usually tiny) build
+    // side, and the final top-k is TakeOrdered — no global sort.
+    q("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty_all"))
+        .filter(col("sum_qty_all") > 300)
+        .select("l_orderkey")
+      orders(s, d).as("o")
+        .join(big, col("o.o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(customer(s, d).as("c"), col("o.o_custkey") === col("c.c_custkey"))
+        .join(lineitem(s, d).as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("c.c_name").as("c_name"), col("c.c_custkey").as("c_custkey"),
+          col("o.o_orderkey").as("o_orderkey"), col("o.o_orderdate").as("o_orderdate"),
+          col("o.o_totalprice").as("o_totalprice"))
+        .agg(round(sum("l.l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     }
   )
 }

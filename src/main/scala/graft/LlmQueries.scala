@@ -260,8 +260,24 @@ object LlmQueries {
       TextAnalysis.languageId(documents(s, d)).orderBy("doc_id")
     },
 
-    // Rolling-hash document fingerprint (xxhash64-based → rows-only).
-    qNoOracle("q_fingerprint_rolling") { (s, d) =>
+    // Winnowing rolling-hash fingerprint: deterministic integer math
+    // (md5-derived token hash, Horner base-131 mod 1e9+7, min over 8-token
+    // windows) — the oracle replays it with list comprehensions.
+    q("q_fingerprint_rolling",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |h AS (SELECT doc_id, tok,
+        |  [('0x' || substr(md5(x), 1, 8))::BIGINT % 1000000007 for x in tok] AS th
+        |  FROM t),
+        |w AS (SELECT doc_id, len(tok) AS n, th,
+        |  [list_reduce(th[i+1:i+8], (acc, x) -> (acc*131 + x) % 1000000007)
+        |   for i in range(0, greatest(len(tok) - 7, 0))] AS wh
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN n >= 8 THEN list_min(wh)
+        |       ELSE list_reduce(th, (acc, x) -> (acc*131 + x) % 1000000007)
+        |  END AS fingerprint,
+        |  greatest(n - 7, 1) AS n_windows
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.rollingFingerprint(documents(s, d)).orderBy("doc_id")
     },
 

@@ -184,8 +184,9 @@ object LlmQueries2 {
 
     // Sequence packing: assign chunks to fixed-budget training
     // sequences (1024 tokens) by running-total division — the
-    // boundary-splitting approximation every packer starts from; one
-    // window pass, then per-pack occupancy stats.
+    // boundary-splitting approximation every packer starts from. The
+    // running total is a two-pass distributed prefix sum (llm.Packing):
+    // no unpartitioned window, unlike the oracle's single OVER clause.
     q("q_pack_sequences",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |c AS (SELECT doc_id, tok,
@@ -204,14 +205,7 @@ object LlmQueries2 {
         |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, d) =>
       val sized = graft.llm.TextAnalysis.chunk(documents(s, d), window = 64, stride = 48)
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens").as("n"))
-      val w = Window.orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sized
-        .withColumn("pack_id", floor((sum("n").over(w) - col("n")) / 1024).cast("long"))
-        .groupBy("pack_id")
-        .agg(count(lit(1)).as("n_chunks"), sum("n").as("n_tokens"),
-          countDistinct("doc_id").as("n_docs"))
-        .orderBy("pack_id")
+      graft.llm.Packing.packSequences(sized, budget = 1024)
     },
 
     // Embedding introspection: dominant dimension per vector (first

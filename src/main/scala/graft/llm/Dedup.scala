@@ -258,6 +258,13 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // No silent caps: min-label propagation needs ~diameter iterations;
+    // returning part-propagated labels would split real clusters without
+    // any signal. A graph that legitimately needs more hops should be
+    // rerun with a bigger maxIter — not silently mislabeled.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter iterations " +
+        "(graph diameter exceeds maxIter); rerun with a larger maxIter")
     labels
   }
 

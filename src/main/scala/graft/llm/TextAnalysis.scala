@@ -100,17 +100,26 @@ object TextAnalysis {
         array_join(chunkTok, " ").as("chunk_text"))
   }
 
-  /** Winnowing-style rolling fingerprint: hash every w-token window,
-    * keep the minimum — stable under small edits anywhere outside the
-    * minimal window (the property DedupSpec asserts).
+  /** Winnowing-style rolling fingerprint: polynomial (Karp-Rabin) hash of
+    * every w-token window, keep the minimum — stable under small edits
+    * anywhere outside the minimal window (the property LlmSpec asserts).
+    * The hash is explicit integer math — md5-derived 32-bit token hash,
+    * Horner fold base 131 mod 1e9+7 — so any engine replays it
+    * bit-identically (q_fingerprint_rolling is oracle-checked, unlike
+    * the earlier engine-specific xxhash64 variant).
     */
   def rollingFingerprint(docs: DataFrame, window: Int = 8): DataFrame = {
+    val M = 1000000007L
     val tok = tokens(col("text"))
+    val tokHash = transform(tok,
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % M)
+    def horner(xs: Column): Column =
+      aggregate(xs, lit(0L), (acc, x) => (acc * 131L + x) % M)
     val windows = transform(sequence(lit(0), size(tok) - window),
-      i => xxhash64(array_join(slice(tok, i + 1, lit(window)), " ")))
+      i => horner(slice(tokHash, i + 1, lit(window))))
     docs.select(col("doc_id"),
       when(size(tok) >= window, array_min(windows))
-        .otherwise(xxhash64(col("text"))).as("fingerprint"),
+        .otherwise(horner(tokHash)).as("fingerprint"),
       greatest(size(tok) - window + 1, lit(1)).as("n_windows"))
   }
 }

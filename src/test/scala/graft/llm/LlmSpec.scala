@@ -142,6 +142,22 @@ class LlmSpec extends AnyFunSuite {
     assert(local(8L) == 5L && local(3L) == 1L && local(11L) == 10L)
   }
 
+  test("CC signals non-convergence instead of returning part-propagated labels") {
+    // A 12-node chain has diameter 11: min-label propagation moves the
+    // minimum one hop per iteration, so maxIter=5 CANNOT converge — the
+    // no-silent-caps contract is an explicit failure, never truncated
+    // labels that silently split a real cluster.
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5, localThreshold = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // With enough iterations the same chain fully converges to min-id 0.
+    val ok = Dedup.connectedComponents(chain, maxIter = 15, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.size == 12 && ok.values.forall(_ == 0L))
+  }
+
   test("dedupSurvivors keeps the canonical member per cluster plus all unpaired docs") {
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
@@ -190,6 +206,11 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(base) == fp(base))
     assert(appended <= fp(base))
     assert(fp("completely different words entirely here now") != fp(base))
+    // Exact values precomputed with DuckDB's replay of the same integer
+    // math (md5-hex token hash, Horner base 131 mod 1e9+7) — pins the
+    // cross-engine contract the q_fingerprint_rolling oracle relies on.
+    assert(fp(base) == 27032613L)
+    assert(fp("short text") == 193455525L) // < window tokens → whole-doc Horner
   }
 
   test("multimodal: batched stub decode preserves rows and emits fixed-dim features") {
