@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fifth query tranche: the remaining classic analytic join/subquery
+  * shapes (TPC-H Q7/Q13/Q16/Q17/Q19 adapted to the fixture schema) plus
+  * the oracle-checked exact-dedup-survivors pipeline. Oracle conventions
+  * per QueryDef.scala.
+  */
+object CoreQueries5 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // dimension filters are applied BEFORE the fact joins — supplier and
+    // customer are pre-joined to the two-nation slice (broadcast), so the
+    // big lineitem⋈orders join only carries rows that can qualify; the
+    // (A,B)|(B,A) pair disjunction collapses to supp≠cust post-join.
+    q("q7_nation_volume",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE n1.n_name IN ('NATION_1','NATION_2')
+        |  AND n2.n_name IN ('NATION_1','NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      def natSlice(key: String, out: String) =
+        nation(s, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as(key), col("n_name").as(out))
+      val sup = supplier(s, d)
+        .join(broadcast(natSlice("n1k", "supp_nation")),
+          col("s_nationkey") === col("n1k"))
+        .select("s_suppkey", "supp_nation")
+      val cust = customer(s, d)
+        .join(broadcast(natSlice("n2k", "cust_nation")),
+          col("c_nationkey") === col("n2k"))
+        .select("c_custkey", "cust_nation")
+      lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q13 shape (customer order distribution): LEFT OUTER with an
+    // extra predicate in the join condition (not a post-filter — that
+    // would drop no-order customers), then a second aggregation OVER the
+    // first one's result. Both aggs shuffle on their own key; the outer
+    // histogram is tiny.
+    q("q13_order_distribution",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      customer(s, d).select("c_custkey")
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count("o_orderkey").as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q16 shape (supplier diversity per part group): NOT-IN
+    // subquery (→ left anti; supplier keys are non-null so semantics
+    // coincide) + COUNT DISTINCT over the join of fact and a filtered
+    // dimension. The excluded-supplier list is tiny → broadcast anti.
+    q("q16_supplier_cnt",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val excluded = supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+      val parts = part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): correlated scalar
+    // subquery — avg quantity per part — written de-correlated, the plan
+    // every engine rewrites it to. Since p_partkey determines p_brand,
+    // the per-part averages are computed over the brand-filtered slice
+    // only (identical values, ~25× less aggregated).
+    q("q17_small_qty",
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#3'
+        |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, d) =>
+      val brandParts = part(s, d).filter(col("p_brand") === "Brand#3").select("p_partkey")
+      val li = lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val thresholds = li.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.5).as("qty_threshold"))
+      li.join(thresholds, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q19 shape (disjunctive mixed-table predicate): three
+    // brand/size/quantity conjunctions OR'd together. Catalyst extracts
+    // the per-side unions (p_brand IN..., quantity range hull) below the
+    // join and keeps the full disjunction as the join filter.
+    q("q19_disjunctive_pushdown",
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = part(s, d).select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(20, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+
+    // Exact-dedup survivors, fully oracle-checked: word-Jaccard pairs on
+    // the bounded doc window (same slice as q_dedup_jaccard) → connected
+    // components → keep each cluster's min-id member plus all unpaired
+    // docs. The oracle replays the clustering with a WITH RECURSIVE
+    // transitive closure (min reachable id per node) — the sketch-based
+    // q_dedup_survivors keeps its rows-only check, this pins the CC +
+    // survivor semantics against DuckDB end-to-end.
+    q("q_dedup_survivors_exact",
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 200
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS overlap
+        |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |   JOIN sizes s1 ON s1.doc_id = id1
+        |   JOIN sizes s2 ON s2.doc_id = id2
+        |  WHERE overlap * 1.0 / (s1.sz + s2.sz - overlap) >= 0.9
+        |), edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), reach(id, comp) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+        |), cc AS (
+        |  SELECT id, min(comp) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id < 200
+        |  AND d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).filter(col("doc_id") < 200)
+      graft.llm.Dedup.dedupSurvivors(
+          docs.select("doc_id", "lang", "n_chars"),
+          graft.llm.Dedup.wordJaccardPairs(docs, 0.9))
+        .orderBy("doc_id")
+    }
+  )
+}
