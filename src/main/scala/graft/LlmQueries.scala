@@ -20,6 +20,223 @@ object LlmQueries {
   private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, None)
 
+  /** Shared DuckDB shingle CTEs: the exact replay of ShinglesExpr —
+    * distinct 3-gram word shingles, whole text when shorter. */
+  private val shingleCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(tok) >= 3
+      |    THEN list_distinct([array_to_string(tok[i:i+2], ' ')
+      |                       for i in range(1, len(tok) - 1)])
+      |    ELSE [array_to_string(tok, ' ')] END AS shingles FROM t)""".stripMargin
+
+  /** Shared DuckDB in-bucket candidate CTEs over a `banded(doc_id, band,
+    * bucket)` CTE: sorted bucket membership, 2..1000 size cap, distinct
+    * ordered pairs — the replay of Dedup.bucketPairs. */
+  private val bucketCandCtes: String =
+    """buckets AS (SELECT band, bucket, list_sort(list(doc_id)) AS ids
+      |  FROM banded GROUP BY band, bucket
+      |  HAVING count(*) BETWEEN 2 AND 1000),
+      |cand AS (SELECT DISTINCT a.id1, b.id2 FROM
+      |    (SELECT band, bucket, unnest(ids) AS id1 FROM buckets) a
+      |  JOIN (SELECT band, bucket, unnest(ids) AS id2 FROM buckets) b
+      |    USING (band, bucket)
+      |  WHERE a.id1 < b.id2)""".stripMargin
+
+  /** The 16×64 hyperplane matrix as a DuckDB list literal — the SAME
+    * fixed-seed [[Similarity.hyperplanes]] values the Spark side bakes
+    * into its signature expressions (floats widened to double, emitted
+    * with Double.toString's round-trip guarantee). */
+  private def planesLiteral: String = Similarity.hyperplanes(16, 64)
+    .map(p => p.map(v => v.toFloat.toDouble.toString).mkString("[", ", ", "]"))
+    .mkString("[", ",\n  ", "]")
+
+  /** Sign-bit band bucket over the plane literal: replay of
+    * Similarity.bandedSignature for a 16-plane signature in `bands`
+    * bands (bit i of band b = sign of plane b·perBand+i). */
+  private def bucketExpr(vecCol: String, bands: Int): String = {
+    val perBand = 16 / bands
+    (0 until perBand).map { i =>
+      s"""(CASE WHEN list_dot_product($vecCol::DOUBLE[],
+         |    pl.P[b*$perBand + ${i + 1}]) >= 0 THEN ${1 << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+  }
+
+  /** Σx² in double over a float vector — the SumSqF replay. */
+  private def sumSqSql(vecCol: String): String =
+    s"list_sum(list_transform($vecCol::DOUBLE[], x -> x * x))"
+
+  /** Full DuckDB replay of the hyperplane-LSH near-dup pipeline:
+    * 16 planes → 4 sign-bit bands → in-bucket pairs (2..1000 cap) →
+    * exact cosine verify at 0.3 (dot / sqrt(Σa²·Σb²), the same operation
+    * order as the native DotProductF/SumSqF expressions). */
+  private val embeddingLshOracle: String = {
+    val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      s"sqrt(${sumSqSql("a.embedding")} * ${sumSqSql("b.embedding")})"
+    s"""WITH pl AS (SELECT $planesLiteral AS P),
+       |banded AS (SELECT vec_id AS doc_id, b AS band,
+       |  ${bucketExpr("embedding", 4)} AS bucket
+       |  FROM embeddings, pl, unnest(range(0, 4)) AS u(b)),
+       |$bucketCandCtes
+       |SELECT id1, id2, round($cos, 6) AS cosine
+       |FROM cand
+       | JOIN embeddings a ON a.vec_id = cand.id1
+       | JOIN embeddings b ON b.vec_id = cand.id2
+       |WHERE $cos >= 0.3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Full DuckDB replay of the LSH ANN top-k: 2 bands × 8 sign bits,
+    * query↔corpus band collisions, exact re-rank (cosine rounded to 6
+    * BEFORE ranking so ties break identically), top-10 per query. */
+  private val annLshOracle: String = {
+    val cos = "list_dot_product(c.embedding::DOUBLE[], q.qe::DOUBLE[]) / " +
+      s"sqrt(${sumSqSql("c.embedding")} * ${sumSqSql("q.qe")})"
+    s"""WITH pl AS (SELECT $planesLiteral AS P),
+       |cb AS (SELECT vec_id, b AS band, ${bucketExpr("embedding", 2)} AS bucket
+       |  FROM embeddings, pl, unnest(range(0, 2)) AS u(b)),
+       |qb AS (SELECT vec_id AS query_id, b AS band,
+       |  ${bucketExpr("embedding", 2)} AS bucket
+       |  FROM embeddings, pl, unnest(range(0, 2)) AS u(b) WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT query_id, cb.vec_id AS neighbor_id
+       |  FROM cb JOIN qb USING (band, bucket) WHERE cb.vec_id <> qb.query_id),
+       |scored AS (SELECT query_id, neighbor_id, round($cos, 6) AS cosine
+       |  FROM cand
+       |   JOIN embeddings c ON c.vec_id = cand.neighbor_id
+       |   JOIN (SELECT vec_id AS qid, embedding AS qe FROM embeddings) q
+       |     ON q.qid = cand.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rn FROM ranked
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Full DuckDB replay of the IVF ANN top-k: centroids = every 50th
+    * vector, nearest-centroid assignment (tie → lower centroid_id),
+    * 2-cell probe per query, exact re-rank within probed cells. */
+  private val ivfOracle: String = {
+    def cellSim(v: String) =
+      s"list_dot_product($v::DOUBLE[], c.ce::DOUBLE[]) / " +
+        s"sqrt(${sumSqSql(v)} * ${sumSqSql("c.ce")})"
+    val cos = "list_dot_product(a.embedding::DOUBLE[], q.qe::DOUBLE[]) / " +
+      s"sqrt(${sumSqSql("a.embedding")} * ${sumSqSql("q.qe")})"
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e, cent c) WHERE rn = 1),
+       |probes AS (SELECT query_id, qe, centroid_id FROM (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) WHERE rn <= 2),
+       |scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round($cos, 6) AS cosine
+       |  FROM assigned a JOIN probes q USING (centroid_id)
+       |  WHERE a.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rn FROM ranked
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Full DuckDB replay of the MinHash+LSH pipeline: 3-gram shingles →
+    * md5-int hashes → 32 linear-permutation minhashes → 8 Horner band
+    * buckets → in-bucket pairs (2..1000 cap) → exact Jaccard verify.
+    * The permutation constants are interpolated from the SAME
+    * [[graft.llm.Dedup.permConstants]] the Spark side uses, so the two
+    * engines share one hash family by construction.
+    */
+  /** CTE chain computing the verified minhash pair set as `pairs(id1,
+    * id2, jaccard)` — shared by the minhash query oracle and the
+    * survivors oracle (which clusters these pairs). */
+  private val minhashPairsCtes: String = {
+    val P = Dedup.HashP
+    val params = (0 until 32).map { i =>
+      val (a, b) = Dedup.permConstants(i); s"[$a,$b]"
+    }.mkString("[", ",", "]")
+    s"""$shingleCtes,
+       |hx AS (SELECT doc_id, shingles,
+       |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs FROM sh),
+       |sig AS (SELECT doc_id,
+       |  [list_min([(p[1] * x + p[2]) % $P for x in xs]) for p in $params] AS mh
+       |  FROM hx),
+       |banded AS (SELECT doc_id, b AS band,
+       |  list_reduce(mh[b*4+1 : b*4+4], (acc, x) -> (acc * 131 + x) % $P) AS bucket
+       |  FROM sig, unnest(range(0, 8)) AS u(b)),
+       |$bucketCandCtes,
+       |pairs AS (SELECT id1, id2,
+       |  round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0 /
+       |        len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS jaccard
+       |FROM cand
+       | JOIN hx s1 ON s1.doc_id = cand.id1
+       | JOIN hx s2 ON s2.doc_id = cand.id2
+       |WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0 /
+       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.7)""".stripMargin
+  }
+
+  private val minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin
+
+  /** Survivors over the minhash pair set: WITH RECURSIVE transitive
+    * closure (min reachable id = component), keep each cluster's min-id
+    * member plus every unpaired doc — the replay of
+    * Dedup.connectedComponents + dedupSurvivors on sketch pairs. */
+  private val survivorsOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Full DuckDB replay of the SimHash pipeline: per-shingle 64 feature
+    * bits from two md5 halves → per-bit majority counts → four 16-bit
+    * signature parts → part-equality banding → Hamming ≤ 6 verify.
+    * The 64 bit-sum and 16×4 part expressions are generated from the
+    * same loop structure as Dedup.simhashParts.
+    */
+  private val simhashOracle: String = {
+    val sums = (0 until 64).map { i =>
+      val src = if (i < 32) s"(h1 >> $i)" else s"(h2 >> ${i - 32})"
+      s"sum($src & 1) AS c$i"
+    }.mkString(", ")
+    val parts = (0 until 4).map { p =>
+      val bits = (0 until 16).map { b =>
+        s"(CASE WHEN c${p * 16 + b} * 2 > n THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS part$p"
+    }.mkString(", ")
+    val hamming = (0 until 4).map { p =>
+      s"bit_count(xor(p1.part$p, p2.part$p))"
+    }.mkString(" + ")
+    s"""WITH $shingleCtes,
+       |g AS (SELECT doc_id,
+       |  ('0x' || substr(m, 1, 8))::BIGINT AS h1,
+       |  ('0x' || substr(m, 9, 8))::BIGINT AS h2
+       |  FROM (SELECT doc_id, unnest([md5(s) for s in shingles]) AS m FROM sh)),
+       |c AS (SELECT doc_id, count(*) AS n, $sums FROM g GROUP BY doc_id),
+       |parts AS (SELECT doc_id, $parts FROM c),
+       |banded AS (SELECT doc_id, b AS band,
+       |  [part0, part1, part2, part3][b + 1] AS bucket
+       |  FROM parts, unnest(range(0, 4)) AS u(b)),
+       |$bucketCandCtes
+       |SELECT id1, id2, $hamming AS hamming
+       |FROM cand
+       | JOIN parts p1 ON p1.doc_id = cand.id1
+       | JOIN parts p2 ON p2.doc_id = cand.id2
+       |WHERE $hamming <= 6
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -61,15 +278,18 @@ object LlmQueries {
 
     // MinHash+LSH near-dup: shingle → 32 minhashes → 8 bands × 4 rows →
     // band-bucket join (candidates ~linear, never all-pairs) → exact
-    // 3-gram Jaccard verify ≥ 0.7. Sketch-based → rows-only check.
-    qNoOracle("q_dedup_minhash") { (s, d) =>
+    // 3-gram Jaccard verify ≥ 0.7. The hash family is replayable integer
+    // math, so the ENTIRE sketch pipeline is oracle-checked (see
+    // minhashOracle above), not rows-only.
+    q("q_dedup_minhash", minhashOracle) { (s, d) =>
       Dedup.minhashPairs(documents(s, d), threshold = 0.7)
         .orderBy("id1", "id2")
     },
 
     // SimHash near-dup: 64-bit signature, 4×16-bit band bucketing,
-    // Hamming distance ≤ 6 verify. Rows-only check.
-    qNoOracle("q_dedup_simhash") { (s, d) =>
+    // Hamming distance ≤ 6 verify — replayable md5-half feature bits, so
+    // the signature/banding/verify pipeline is oracle-checked end to end.
+    q("q_dedup_simhash", simhashOracle) { (s, d) =>
       Dedup.simhashPairs(documents(s, d), maxHamming = 6)
         .orderBy("id1", "id2")
     },
@@ -90,16 +310,19 @@ object LlmQueries {
     },
 
     // Embedding-cosine near-dup via hyperplane LSH buckets (recall-tuned
-    // banding + exact verify — approximate candidate set → rows-only).
-    qNoOracle("q_dedup_embedding") { (s, d) =>
+    // banding + exact verify). The hyperplanes are a fixed-seed constant
+    // matrix interpolated into the oracle, so the candidate generation
+    // AND the verify replay exactly — full oracle check.
+    q("q_dedup_embedding", embeddingLshOracle) { (s, d) =>
       Dedup.embeddingCosinePairsLsh(embeddings(s, d), threshold = 0.3)
         .orderBy("id1", "id2")
     },
 
     // End-to-end dedup: minhash pairs → connected components → canonical
-    // survivor per cluster + all unpaired docs (iterative CC → rows-only;
-    // cluster semantics asserted in LlmSpec).
-    qNoOracle("q_dedup_survivors") { (s, d) =>
+    // survivor per cluster + all unpaired docs. With the replayable
+    // minhash family, the oracle replays the WHOLE chain — sketch,
+    // verify, recursive-CTE clustering, survivor selection.
+    q("q_dedup_survivors", survivorsOracle) { (s, d) =>
       Dedup.dedupSurvivors(
           documents(s, d).select("doc_id", "lang", "n_chars"),
           Dedup.minhashPairs(documents(s, d), threshold = 0.7))
@@ -132,9 +355,10 @@ object LlmQueries {
     },
 
     // LSH-bucketed ANN: deterministic random-hyperplane signatures,
-    // multi-probe band join — the scale path. Rows-only check; recall vs
-    // brute force asserted in SimilaritySpec.
-    qNoOracle("q_sim_ann_lsh") { (s, d) =>
+    // multi-probe band join — the scale path. Fully oracle-checked via
+    // the interpolated plane matrix; recall vs brute force additionally
+    // asserted in SimilaritySpec.
+    q("q_sim_ann_lsh", annLshOracle) { (s, d) =>
       Similarity.lshTopK(
           embeddings(s, d),
           embeddings(s, d).filter(col("vec_id") < 10)
@@ -143,9 +367,11 @@ object LlmQueries {
         .orderBy("query_id", "rn")
     },
 
-    // IVF-style ANN: coarse quantizer cells + nProbe probing (rows-only;
-    // cosine consistency vs brute force asserted in LlmSpec).
-    qNoOracle("q_sim_ivf") { (s, d) =>
+    // IVF-style ANN: coarse quantizer cells + nProbe probing — the
+    // deterministic sample quantizer makes the whole assign/probe/rerank
+    // pipeline oracle-replayable; cosine consistency vs brute force
+    // additionally asserted in LlmSpec.
+    q("q_sim_ivf", ivfOracle) { (s, d) =>
       Similarity.ivfTopK(
           embeddings(s, d),
           embeddings(s, d).filter(col("vec_id") < 10)

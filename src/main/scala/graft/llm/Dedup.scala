@@ -72,6 +72,36 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
+  /** Prime modulus for the replayable hash family (minhash permutations,
+    * band buckets): all arithmetic stays well under 2^63, so any
+    * overflow-checking engine (DuckDB) computes the identical values. */
+  val HashP: Long = 1000000007L
+
+  /** i-th minhash permutation constants (a, b) for h → (a·h + b) mod
+    * [[HashP]]. Pure arithmetic in i — the oracle SQL interpolates the
+    * same values, so both engines share one hash family by construction.
+    */
+  def permConstants(i: Int): (Long, Long) =
+    (math.max(1L, (2654435761L * (i + 1)) % HashP),
+      (40503L * (i + 1) + 17) % HashP)
+
+  /** Replayable 32-bit hash: md5 digest bytes [4o, 4o+4) as a long —
+    * md5 is the one hash both Spark and DuckDB expose bit-identically
+    * (xxhash64 is engine-specific → rows-only forever). Computed by the
+    * fused native expression (one digest call, no hex-string round
+    * trip — the conv(substr(md5(...))) formulation measured ~1.4×
+    * slower on the minhash pipeline).
+    */
+  def md5Int(c: Column, byteOffset: Int = 0): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(org.apache.spark.sql.graft.Md5IntExpr(
+      GraftColumnBridge.expression(c), byteOffset))
+  }
+
+  private def shingleHashesReplayable(docs: DataFrame, shingleN: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+      .select(col("doc_id"), md5Int(col("shingle")).as("h"))
+
   /** All in-bucket pairs via collect_list + combination expansion —
     * replaces a bucket self-join (one shuffle instead of two plan
     * evaluations + join + distinct). Bucket arrays are tiny (≤maxBucket),
@@ -91,11 +121,14 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs.
     *
-    * numHashes minhash permutations via seeded rehash of the shingle
-    * hash (one codegen'd grouped aggregation), `bands` bands of
+    * numHashes minhash permutations via the replayable linear hash
+    * family (one codegen'd grouped aggregation), `bands` bands of
     * `numHashes/bands` rows each. Docs colliding in ≥1 band become
     * candidates; candidates are verified with exact n-gram Jaccard and
-    * filtered at `threshold`.
+    * filtered at `threshold`. Every step is deterministic integer math
+    * (md5-int shingle hash, (a·h+b) mod P permutations, Horner band
+    * buckets), so the DuckDB oracle replays the WHOLE pipeline —
+    * candidates, caps, and verify — with list comprehensions.
     */
   def minhashPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
                    numHashes: Int = 32, bands: Int = 8,
@@ -103,14 +136,16 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val mhCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
-    val sigs = shingleHashes(docs, shingleN).groupBy("doc_id")
+    val mhCols = (0 until numHashes).map { i =>
+      val (a, b) = permConstants(i)
+      min((col("h") * a + b) % HashP).as(s"mh$i")
+    }
+    val sigs = shingleHashesReplayable(docs, shingleN).groupBy("doc_id")
       .agg(mhCols.head, mhCols.tail: _*)
 
     val bandHashes = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      xxhash64(rows: _*)
+      rows.reduce((acc, x) => (acc * 131L + x) % HashP)
     }
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
@@ -141,14 +176,23 @@ object Dedup {
     * 3-gram shingles keep the signature discriminative.
     */
   def simhashParts(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val toks = shingleHashes(docs, shingleN)
+    // 64 feature bits from two replayable 32-bit md5 halves (digest
+    // bytes 0-3 and 4-7) — same cross-engine hash contract as minhash,
+    // so the whole simhash pipeline is oracle-checked too.
+    val toks = docs
+      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+      .select(col("doc_id"),
+        md5Int(col("shingle")).as("h1"), md5Int(col("shingle"), 4).as("h2"))
     // Per bit: count of set bits; majority (2c > n) is the signature
     // bit — algebraically identical to the classic Σ(±1) > 0 but the
     // aggregate update is a branch-free shift+and+add, which roughly
     // halves the janino compile time of this 65-aggregate plan.
     // Codegen'd grouped aggregation (HOF projections are interpreted).
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i"))
+    val bitSums = (0 until 64).map { i =>
+      val src = if (i < 32) shiftright(col("h1"), i)
+                else shiftright(col("h2"), i - 32)
+      sum(src.bitwiseAND(lit(1L))).as(s"c$i")
+    }
     val sums = toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
     val parts = (0 until 4).map { p =>
