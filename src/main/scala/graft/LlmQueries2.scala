@@ -203,9 +203,15 @@ object LlmQueries2 {
         |SELECT pack_id, count(*) AS n_chunks, sum(n)::BIGINT AS n_tokens,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, d) =>
-      val sized = graft.llm.TextAnalysis.chunk(documents(s, d), window = 64, stride = 48)
+      val docs = documents(s, d)
+      val sized = graft.llm.TextAnalysis.chunk(docs, window = 64, stride = 48)
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens").as("n"))
-      graft.llm.Packing.packSequences(sized, budget = 1024)
+      // Bucketing bounds from the pre-explode table: a doc_id-only scan
+      // (parquet column stats), not a re-run of the chunk pipeline.
+      val b = docs.agg(min(col("doc_id")).cast("double"),
+        max(col("doc_id")).cast("double")).head()
+      graft.llm.Packing.packSequences(sized, budget = 1024,
+        docBounds = Some((b.getDouble(0), b.getDouble(1))))
     },
 
     // Embedding introspection: dominant dimension per vector (first

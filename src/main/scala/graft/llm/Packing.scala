@@ -33,15 +33,25 @@ object Packing {
     * lexicographic `orderCols` order. Distributed: no unpartitioned
     * window anywhere in the plan. The leading order column must be
     * numeric and non-null (it seeds the range bucketing).
+    *
+    * `boundsHint`: (min, max) of the leading order column, when the
+    * caller knows them from a cheaper source (e.g. parquet column stats
+    * of the pre-explode table) — any superset range bucketing on the
+    * same column is correct, it only shifts bucket occupancy. Without a
+    * hint one extra narrow min/max pass over `df` runs.
     */
   def runningTotal(df: DataFrame, valueCol: String, orderCols: Seq[String],
-                   buckets: Int = 0): DataFrame = {
+                   buckets: Int = 0,
+                   boundsHint: Option[(Double, Double)] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val k = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
     val lead = col(orderCols.head).cast("double")
-    val bounds = df.agg(min(lead), max(lead)).head()
+    val bounds = boundsHint match {
+      case Some((lo, hi)) => org.apache.spark.sql.Row(lo, hi)
+      case None => df.agg(min(lead), max(lead)).head()
+    }
     val bucket: Column =
       if (bounds.isNullAt(0) || bounds.getDouble(0) == bounds.getDouble(1)) lit(1L)
       else width_bucket(lead, lit(bounds.getDouble(0)), lit(bounds.getDouble(1)), lit(k))
@@ -65,9 +75,13 @@ object Packing {
   /** Pack (doc_id, chunk_idx, n)-shaped chunk rows into fixed-budget
     * sequences: pack_id = exclusive-running-total(n) div budget, in
     * global (doc_id, chunk_idx) order. Returns per-pack occupancy stats.
+    * `docBounds` = (min, max) doc_id of the source table when known —
+    * saves the bounds pass re-running the chunk explode (every doc
+    * yields ≥1 chunk, so source-table bounds equal chunk bounds).
     */
-  def packSequences(sized: DataFrame, budget: Int): DataFrame = {
-    runningTotal(sized, "n", Seq("doc_id", "chunk_idx"))
+  def packSequences(sized: DataFrame, budget: Int,
+                    docBounds: Option[(Double, Double)] = None): DataFrame = {
+    runningTotal(sized, "n", Seq("doc_id", "chunk_idx"), boundsHint = docBounds)
       .withColumn("pack_id",
         floor((col("running") - col("n")) / budget).cast("long"))
       .groupBy("pack_id")
