@@ -28,7 +28,7 @@ object Bench {
     * IVF, text analysis, multimodal, packing, decontamination). */
   private val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
-    "q10_returned_revenue",
+    "q10_returned_revenue", "q18_large_orders", "q7_nation_volume",
     "q_join_dims", "q_semi_join", "q_asof_join", "q_range_join",
     "q_salted_join",
     "q_gold_window", "q_silver_clean", "q_rank_topn", "q_topk_global",

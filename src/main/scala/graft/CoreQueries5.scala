@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fifth query tranche: the remaining classic analytic join/subquery
@@ -196,6 +197,84 @@ object CoreQueries5 {
           docs.select("doc_id", "lang", "n_chars"),
           graft.llm.Dedup.wordJaccardPairs(docs, 0.9))
         .orderBy("doc_id")
+    },
+
+    // TPC-H Q22 shape (inactive above-average customers): uncorrelated
+    // scalar subquery (global average, broadcast 1-row join) + NOT
+    // EXISTS anti join against a filtered fact, then a dimension
+    // rollup. The anti-join build side carries only o_custkey.
+    q("q22_inactive_customers",
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val avgBal = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      customer(s, d)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // TPC-H Q11 shape (important part values): group aggregate filtered
+    // against a fraction of the GLOBAL aggregate — the scalar-subquery-
+    // over-the-same-fact pattern. Both aggregations share one scan-side
+    // partial-agg shape; the global total is a broadcast 1-row join.
+    q("q11_top_value_parts",
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) >
+        |  (SELECT sum(l_extendedprice) * 0.00055 FROM lineitem)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, d) =>
+      val total = lineitem(s, d)
+        .agg((sum("l_extendedprice") * 0.00055).as("threshold"))
+      lineitem(s, d).groupBy("l_partkey")
+        .agg(sum("l_extendedprice").as("pv"))
+        .crossJoin(broadcast(total))
+        .filter(col("pv") > col("threshold"))
+        .select(col("l_partkey"), round(col("pv"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // KMV (k-minimum-values) distinct sketch: unlike HLL
+    // (q_approx_distinct, engine-internal → rows-only forever), KMV on
+    // the replayable md5 hash is a fully oracle-checkable approximate
+    // count-distinct: estimate = (k-1) · 2³² / kth-min-hash. One
+    // distinct shuffle + one per-group top-k window — at scale the
+    // distinct pre-aggregates map-side and only k hashes per group
+    // matter.
+    q("q_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |  ('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk FROM h)
+        |SELECT l_returnflag,
+        |  CAST(floor((256 - 1) * 4294967296.0 / max(hv)) AS BIGINT) AS kmv_estimate,
+        |  count(*) AS k_used
+        |FROM r WHERE rk <= 256 GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_returnflag").orderBy("hv")
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          graft.llm.Dedup.md5Int(col("l_partkey").cast("string")).as("hv"))
+        .distinct()
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 256)
+        .groupBy("l_returnflag")
+        .agg(floor(lit((256 - 1) * 4294967296.0) / max("hv")).cast("long")
+            .as("kmv_estimate"),
+          count(lit(1)).as("k_used"))
+        .orderBy("l_returnflag")
     }
   )
 }
