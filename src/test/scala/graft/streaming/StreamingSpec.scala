@@ -45,6 +45,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("transformWithState running totals accumulate across micro-batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider; scope it to this
+    // query and restore the default for the other suites.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = EventStreams.runningTotals(input.toDF())
+        .writeStream.format("memory").queryName("tws_out").outputMode("update").start()
+      input.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(2), 1, 2.0), Ev(3, ts(3), 2, 5.0))
+      q.processAllAvailable()
+      input.addData(Ev(4, ts(4), 1, 4.0), Ev(5, ts(5), 3, 7.0))
+      q.processAllAvailable()
+      // Latest update per user wins: state accumulated across batches.
+      val last = spark.table("tws_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, n, t) => u -> ((n, t)) }.toMap
+      q.stop()
+      assert(last(1L) == ((3L, 7.0)))  // 1.0 + 2.0, then + 4.0
+      assert(last(2L) == ((1L, 5.0)))
+      assert(last(3L) == ((1L, 7.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("tumbling windows close when the watermark passes (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
