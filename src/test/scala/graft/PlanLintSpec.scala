@@ -28,4 +28,36 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned (single-task) Window in: ${offenders.mkString(", ")}")
   }
+
+  /** Queries allowed to plan a nested-loop/cartesian join (whether they
+    * do can depend on fixture scale): an explicit bounded cross product,
+    * a broadcast of a 1-row scalar aggregate, or a documented
+    * exact-baseline all-pairs op whose scale sibling is the banded
+    * variant. Everything else planning an NLJ is a lost join condition —
+    * the classic silent scale-killer this lint exists to catch. */
+  private val allowNlj = Set(
+    "q_cross_join",            // the explicit bounded dim×dim product
+    "q_sim_topk",              // brute-force baseline: corpus × 10 queries
+    "q_sim_ivf",               // broadcast centroid assignment
+    "q_dedup_embedding_exact", // bounded all-pairs ground truth (id1<id2)
+    "q_dedup_jaccard",         // bounded ground truth (inequality self-join)
+    "q_dedup_survivors_exact", // same bounded Jaccard pair generation
+    "q11_top_value_parts",     // 1-row global-total broadcast
+    "q22_inactive_customers",  // 1-row global-average broadcast
+    "q_scalar_subquery",       // scalar subquery broadcast
+    "q_source_overlap",        // vocab self-join has an equi key; pairs filter is < (kept below)
+  )
+
+  test("no registered query plans an accidental nested-loop join outside the allowlist") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !allowNlj(name) &&
+        fn(spark, sf).queryExecution.sparkPlan.collectFirst {
+          case j: BroadcastNestedLoopJoinExec => j
+          case j: CartesianProductExec => j
+        }.nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian join in: ${offenders.mkString(", ")}")
+  }
 }
