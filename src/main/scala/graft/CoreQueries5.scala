@@ -275,6 +275,25 @@ object CoreQueries5 {
             .as("kmv_estimate"),
           count(lit(1)).as("k_used"))
         .orderBy("l_returnflag")
+    },
+
+    // nth_value over the full-partition frame (the remaining analytic
+    // window function): 2nd/3rd element of each customer's order
+    // history — positional window lookups, frame-exact in both engines.
+    q("q_nth_value",
+      """SELECT o_orderkey, o_custkey,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy("o_orderkey")
     }
   )
 }
