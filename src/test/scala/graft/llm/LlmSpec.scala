@@ -213,6 +213,16 @@ class LlmSpec extends AnyFunSuite {
     assert(fp("short text") == 193455525L) // < window tokens → whole-doc Horner
   }
 
+  test("Md5IntExpr matches the cross-engine md5-prefix contract") {
+    // DuckDB: ('0x' || substr(md5('hello'), 1, 8))::BIGINT = 1564557354
+    // (md5('hello') = 5d41402a...; byte offset 4 → bc4b2a76).
+    val out = Seq("hello").toDF("s")
+      .select(Dedup.md5Int(col("s")).as("h0"), Dedup.md5Int(col("s"), 4).as("h4"))
+      .as[(Long, Long)].head()
+    assert(out._1 == 0x5d41402aL && out._1 == 1564557354L)
+    assert(out._2 == 0xbc4b2a76L)
+  }
+
   test("multimodal: batched stub decode preserves rows and emits fixed-dim features") {
     val docs = Tables.documents(spark, sf).limit(100)
     val feats = Multimodal.extractFeatures(Multimodal.asMediaRecords(docs), batchSize = 7)
