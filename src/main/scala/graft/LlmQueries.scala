@@ -20,15 +20,16 @@ object LlmQueries {
   private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, None)
 
-  /** Shared DuckDB shingle CTEs: the exact replay of ShinglesExpr —
-    * distinct 3-gram word shingles, whole text when shorter. */
-  private val shingleCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(tok) >= 3
-      |    THEN list_distinct([array_to_string(tok[i:i+2], ' ')
-      |                       for i in range(1, len(tok) - 1)])
-      |    ELSE [array_to_string(tok, ' ')] END AS shingles FROM t)""".stripMargin
+  /** Shared DuckDB shingle CTEs over a (doc_id, text) source: the exact
+    * replay of ShinglesExpr — distinct 3-gram word shingles, whole text
+    * when shorter. */
+  private def shingleCtes(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM $src),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tok) >= 3
+       |    THEN list_distinct([array_to_string(tok[i:i+2], ' ')
+       |                       for i in range(1, len(tok) - 1)])
+       |    ELSE [array_to_string(tok, ' ')] END AS shingles FROM t)""".stripMargin
 
   /** Shared DuckDB in-bucket candidate CTEs over a `banded(doc_id, band,
     * bucket)` CTE: sorted bucket membership, 2..1000 size cap, distinct
@@ -152,12 +153,12 @@ object LlmQueries {
   /** CTE chain computing the verified minhash pair set as `pairs(id1,
     * id2, jaccard)` — shared by the minhash query oracle and the
     * survivors oracle (which clusters these pairs). */
-  private val minhashPairsCtes: String = {
+  private def minhashPairsCtes(src: String): String = {
     val P = Dedup.HashP
     val params = (0 until 32).map { i =>
       val (a, b) = Dedup.permConstants(i); s"[$a,$b]"
     }.mkString("[", ",", "]")
-    s"""$shingleCtes,
+    s"""${shingleCtes(src)},
        |hx AS (SELECT doc_id, shingles,
        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs FROM sh),
        |sig AS (SELECT doc_id,
@@ -178,7 +179,7 @@ object LlmQueries {
   }
 
   private val minhashOracle: String =
-    s"""WITH $minhashPairsCtes
+    s"""WITH ${minhashPairsCtes("documents")}
        |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin
 
   /** Survivors over the minhash pair set: WITH RECURSIVE transitive
@@ -186,7 +187,7 @@ object LlmQueries {
     * member plus every unpaired doc — the replay of
     * Dedup.connectedComponents + dedupSurvivors on sketch pairs. */
   private val survivorsOracle: String =
-    s"""WITH RECURSIVE $minhashPairsCtes,
+    s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
        |  UNION SELECT id2, id1 FROM pairs),
        |reach(id, comp) AS (
@@ -197,6 +198,53 @@ object LlmQueries {
        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
        |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Full DuckDB replay of the END-TO-END curation pipeline
+    * (CurationPipeline.run with default Config): non-empty-text
+    * expectation → Gopher quality keep → minhash-survivor dedup ON THE
+    * KEPT SET → 64/48 sliding-window chunking with provenance. Composes
+    * the gopher, minhash-pair, recursive-clustering, and chunking
+    * replays over a chained source. */
+  private val curationOracle: String =
+    s"""WITH RECURSIVE src AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) > 0),
+       |f AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM src),
+       |wc AS (SELECT doc_id, w, count(*) AS cnt FROM f GROUP BY doc_id, w),
+       |m AS (SELECT doc_id, max(cnt) AS max_tok FROM wc GROUP BY doc_id),
+       |gop AS (SELECT s.doc_id,
+       |  len(string_split(s.text, ' '))::BIGINT AS n_tokens,
+       |  round(m.max_tok * 1.0 / len(string_split(s.text, ' ')), 6) AS rep_ratio,
+       |  round(length(regexp_replace(s.text, '[^a-z]', '', 'g')) * 1.0
+       |    / length(s.text), 6) AS alpha_ratio,
+       |  (len(string_split(s.text, ' ')) >= 30
+       |    AND m.max_tok * 1.0 / len(string_split(s.text, ' ')) <= 0.12
+       |    AND length(regexp_replace(s.text, '[^a-z]', '', 'g')) * 1.0
+       |      / length(s.text) >= 0.81) AS keep
+       |  FROM src s JOIN m ON m.doc_id = s.doc_id),
+       |kept AS (SELECT s.doc_id, s.text, g.n_tokens, g.rep_ratio, g.alpha_ratio
+       |  FROM src s JOIN gop g ON g.doc_id = s.doc_id WHERE g.keep),
+       |${minhashPairsCtes("kept")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) e0
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+       |survivors AS (SELECT k.* FROM kept k
+       |  WHERE k.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)),
+       |ch AS (SELECT doc_id, string_split(text, ' ') AS ctok,
+       |    n_tokens, rep_ratio, alpha_ratio,
+       |  unnest(range(0, greatest(1,
+       |    1 + CAST(ceil((len(string_split(text, ' ')) - 64) / 48.0) AS BIGINT))))
+       |    AS chunk_idx
+       |  FROM survivors)
+       |SELECT doc_id, chunk_idx,
+       |  len(ctok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_chunk_tokens,
+       |  md5(array_to_string(ctok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+       |    AS chunk_md5,
+       |  n_tokens, rep_ratio, alpha_ratio
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Full DuckDB replay of the SimHash pipeline: per-shingle 64 feature
     * bits from two md5 halves → per-bit majority counts → four 16-bit
@@ -218,7 +266,7 @@ object LlmQueries {
     val hamming = (0 until 4).map { p =>
       s"bit_count(xor(p1.part$p, p2.part$p))"
     }.mkString(" + ")
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes("documents")},
        |g AS (SELECT doc_id,
        |  ('0x' || substr(m, 1, 8))::BIGINT AS h1,
        |  ('0x' || substr(m, 9, 8))::BIGINT AS h2
@@ -327,6 +375,19 @@ object LlmQueries {
           documents(s, d).select("doc_id", "lang", "n_chars"),
           Dedup.minhashPairs(documents(s, d), threshold = 0.7))
         .orderBy("doc_id")
+    },
+
+    // End-to-end curation pipeline (expectations → Gopher quality →
+    // minhash-survivor dedup → sliding-window chunking, with
+    // provenance): the full training-data flow, oracle-replayed as one
+    // composed CTE chain. chunk_text hashed to md5 on both sides to
+    // keep the compare payload small.
+    q("q_curation_pipeline", curationOracle) { (s, d) =>
+      graft.pipelines.CurationPipeline.run(documents(s, d)).chunks
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"),
+          col("n_tokens"), col("rep_ratio"), col("alpha_ratio"))
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // ---- similarity search --------------------------------------------
