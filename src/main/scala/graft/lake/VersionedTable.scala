@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
 /** A versioned Parquet table with a Delta-style transaction log —
@@ -193,6 +194,33 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
         val candidates = Merge.insertCandidates(source, read(), keys)
         if (candidates.isEmpty) None else Some(commitAppend(candidates))
     }
+
+  /** Change data feed: rows ADDED in versions (fromVersion, toVersion],
+    * with a `_commit_version` column — Delta CDF semantics for this
+    * lake's insert-only write model. Per version it reads ONLY the
+    * files new in that commit (set difference against the previous
+    * commit's list), so the cost is proportional to the change, not the
+    * table: the incremental-consumer contract that lets a downstream
+    * job follow a 100 TB table by reading megabytes per sync. Rewrite
+    * commits (`overwrite`/`optimize`) re-add the whole snapshot; they
+    * surface every row as added (callers can detect rewrites from the
+    * commit action via [[historyDF]] and resync instead).
+    */
+  def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val prev = if (v == 0) Set.empty[String] else readCommit(v - 1).files.toSet
+      val added = readCommit(v).files.filterNot(prev)
+      if (added.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(added.map(f => s"$tablePath/$f"): _*)
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (batches.isEmpty) {
+      val v = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+      read(Some(v)).limit(0).withColumn("_commit_version", lit(0))
+    } else batches.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Compact the current snapshot to ~targetRowsPerFile (content
     * unchanged — a pure layout version; older versions still readable).

@@ -28,6 +28,22 @@ class VersionedTableSpec extends AnyFunSuite {
       .collect().toSeq == Seq((0, "overwrite"), (1, "append")))
   }
 
+  test("change data feed returns only rows added per version, cost proportional to the change") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))           // v0
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))                         // v1
+    t.insertOnlyMerge(Seq((3L, "dup"), (4L, "d")).toDF("id", "v"), Seq("id")) // v2: only id=4
+    val cdf = t.changesBetween(0, 2)
+      .select(col("id"), col("_commit_version")).as[(Long, Int)]
+      .collect().sorted.toSeq
+    assert(cdf == Seq((3L, 1), (4L, 2)))
+    // empty range → empty frame with the CDF column, schema intact
+    assert(t.changesBetween(2, 2).count() == 0)
+    assert(t.changesBetween(2, 2).columns.contains("_commit_version"))
+    // full range from before v0 includes the initial snapshot as added
+    assert(t.changesBetween(-1, 2).count() == 4)
+  }
+
   test("append enforces schema; evolution only with allowNewColumns") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
