@@ -277,6 +277,28 @@ object CoreQueries5 {
         .orderBy("l_returnflag")
     },
 
+    // Fuzzy string matching: edit-distance near-dup pairs over a
+    // bounded dimension slice — the Levenshtein ground-truth baseline
+    // for name/title-level dedup (both engines implement standard edit
+    // distance, so the oracle is exact). Bounded all-pairs by design;
+    // the scale path for fuzzy text dedup is the banded minhash family.
+    q("q_fuzzy_match",
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  levenshtein(a.p_name, b.p_name) AS edit_dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 300 AND b.p_partkey < 300
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val p = part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_name"))
+      p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("edit_dist", levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("edit_dist") <= 2)
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+          col("edit_dist"))
+        .orderBy("id1", "id2")
+    },
+
     // nth_value over the full-partition frame (the remaining analytic
     // window function): 2nd/3rd element of each customer's order
     // history — positional window lookups, frame-exact in both engines.

@@ -41,6 +41,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_sim_ivf",               // broadcast centroid assignment
     "q_dedup_embedding_exact", // bounded all-pairs ground truth (id1<id2)
     "q_dedup_jaccard",         // bounded ground truth (inequality self-join)
+    "q_fuzzy_match",           // bounded edit-distance ground truth (inequality self-join)
     "q_dedup_survivors_exact", // same bounded Jaccard pair generation
     "q11_top_value_parts",     // 1-row global-total broadcast
     "q22_inactive_customers",  // 1-row global-average broadcast
