@@ -15,11 +15,19 @@ import org.apache.spark.sql.SparkSession
   * `BENCH_FULL_r{N}.json` in the repo each run (the committed record the
   * stdout window can't fit).
   *
-  * Timing protocol: every query runs once UNTIMED first (codegen + JIT
-  * warm — r4 showed 35-query cold runs drifting 1.26× on identical code),
-  * then once timed, in sorted name order. A query that throws is recorded
-  * in `errors` (stderr + both JSON outputs) and excluded from timings, so
-  * a regression can't masquerade as a fast run.
+  * Timing protocol (`warm+release+min2-v3`, the `protocol` field in both
+  * JSON outputs — bump the epoch whenever the methodology changes so a
+  * protocol change can't masquerade as a code regression): every query
+  * runs once UNTIMED first (codegen + JIT warm — r4 showed 35-query cold
+  * runs drifting 1.26× on identical code), then TWO independent timed
+  * sweeps in sorted name order, reporting the per-query minimum. Min-of-2
+  * exists because round 5's record showed a contiguous 4-query window of
+  * the single timed sweep (q_sim_ann_lsh..q_source_overlap) inflated
+  * 1.4–6.2× by a transient machine stall while isolation runs and a
+  * re-run reproduced round-4 times exactly — a one-off spike now has to
+  * hit the same query in both sweeps to survive into the record. A query
+  * that throws is recorded in `errors` (stderr + both JSON outputs) and
+  * excluded from timings, so a regression can't masquerade as a fast run.
   */
 object Bench {
   /** One per family: TPC-H-shaped, joins (broadcast/semi/as-of/range/
@@ -99,31 +107,50 @@ object Bench {
     }
     System.gc()
     // Timed pass, deterministic (sorted) order.
-    val errors = Seq.newBuilder[String]
-    val results = names.flatMap { name =>
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    def jitStats(): String = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      val cc = pools.filter(_.getName.toLowerCase.contains("codeheap"))
+        .map(p => f"${p.getName.replace("CodeHeap '", "").replace("'", "")}=${p.getUsage.getUsed / 1e6}%.0fM")
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      (cc :+ f"heap=${heap.getUsed / 1e9}%.1fG").mkString(" ")
+    }
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    def sweep(pass: Int): Map[String, Double] = names.flatMap { name =>
       releaseCaches()
       val t0 = System.nanoTime()
       try {
         all(name)(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (debug) System.err.println(f"[bench] p$pass $name%-28s ${dt}%6.2fs  ${jitStats()}")
+        Some(name -> dt)
       } catch {
         case e: Throwable =>
           errors += name
           System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
           None
       }
+    }.toMap
+    val (s1, s2) = (sweep(1), sweep(2))
+    val results = names.flatMap { n =>
+      (s1.get(n), s2.get(n)) match {
+        case (Some(a), Some(b)) => Some(n -> math.min(a, b))
+        case (a, b)             => a.orElse(b).map(n -> _)
+      }
     }
     def fmt(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    val errs = errors.result()
-    val errJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = errors.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val protocol = "warm+release+min2-v3"
     // Full per-query record: every registered query, committed in-repo.
     val repo = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
     val round = currentRound(repo)
     val fullJson = {
       val m = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"round":$round,"sf":"$sfDir","unit":"sec","timed":${results.length},""" +
-        s""""total":${fmt(results.map(_._2).sum)},"errors":$errJson,"queries":$m}"""
+      s"""{"round":$round,"sf":"$sfDir","unit":"sec","protocol":"$protocol",""" +
+        s""""timed":${results.length},"total":${fmt(results.map(_._2).sum)},""" +
+        s""""errors":$errJson,"queries":$m}"""
     }
     try Files.writeString(Paths.get(repo, f"BENCH_FULL_r$round%02d.json"), fullJson)
     catch { case e: Throwable =>
@@ -138,8 +165,8 @@ object Bench {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(qs.map(_._2).sum)},"unit":"sec",""" +
-        s""""timed":${headlineTimes.length},"reported":${qs.length},""" +
-        s""""errors":$errJson,"queries":$m,"sf":"$sfDir"}"""
+        s""""protocol":"$protocol","timed":${headlineTimes.length},""" +
+        s""""reported":${qs.length},"errors":$errJson,"queries":$m,"sf":"$sfDir"}"""
     }
     var keep = headlineTimes
     var out = line(keep)

@@ -18,8 +18,6 @@ object CoreQueries {
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
-  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame) =
-    QueryDef(name, fn, None)
 
   private val disc = lit(1) - col("l_discount")
   private val charge = col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))
@@ -214,6 +212,28 @@ object CoreQueries {
       val target = orders(s, d).filter(col("o_orderkey") % 3 === 0)
       Merge.insertCandidates(source, target, Seq("o_orderkey"))
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // Full MERGE semantics (Delta when_matched_update_all +
+    // when_not_matched_insert_all) as a pure query: matched target rows
+    // replaced by their source version, unmatched targets survive,
+    // unmatched sources insert. [[lake.VersionedTable.merge]] runs this
+    // same relational core on the affected-file slice (copy-on-write).
+    q("q_merge_upsert",
+      """WITH target AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |source AS (SELECT o_orderkey, round(o_totalprice + 1000, 2) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT t.o_orderkey, t.o_totalprice FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        |UNION ALL SELECT o_orderkey, o_totalprice FROM source
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val target = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val source = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 1000, 2).as("o_totalprice"))
+      Merge.upsert(target, source, Seq("o_orderkey")).orderBy("o_orderkey")
     },
 
     // ---- set ops / sort / top-k ---------------------------------------
@@ -528,11 +548,23 @@ object CoreQueries {
         .orderBy("user_id", "session_start")
     },
 
-    // HLL approximate distinct (algorithm-specific → rows-only check).
-    qNoOracle("q_approx_distinct") { (s, d) =>
+    // HLL approximate distinct. HLL internals can never hash-match another
+    // engine, so the contract made checkable instead: Spark emits the
+    // EXACT distinct plus a boolean `within_tol` asserting the HLL
+    // estimate is within 5% of it; the oracle emits the same exact count
+    // and literal TRUE. The row hash-matches iff HLL held its tolerance.
+    q("q_approx_distinct",
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        | TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          count(lit(1)).as("n_rows"))
+        .agg(countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey").as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_tol"))
         .orderBy("l_returnflag")
     }
   )

@@ -316,6 +316,86 @@ object CoreQueries5 {
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
           nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
         .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q21 shape (suppliers who alone failed a multi-supplier
+    // order): the double-correlated quantifier pair — EXISTS (another
+    // supplier on the same order) AND NOT EXISTS (another supplier who
+    // ALSO failed it) — the hardest decorrelation shape. The fixture has
+    // no receipt/commit dates, so "failed" = returned line
+    // (l_returnflag='R') on a finished ('F') order; the join topology is
+    // Q21's exactly. Decorrelated form: both quantifiers become one
+    // semi and one anti join on (orderkey, suppkey≠suppkey) — equi on
+    // the order key with the inequality as a join residual, so both
+    // shuffle hash-partitioned on l_orderkey with NO nested loop; the
+    // supplier name lookup broadcasts.
+    q("q21_waiting_supplier",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-H Q15 shape (top supplier by windowed revenue): a named
+    // aggregate view consumed twice — once as the join input, once under
+    // a global MAX scalar subquery — completing Q11's fraction-of-total
+    // pattern with its equality-to-global-extreme sibling. The revenue
+    // aggregation runs ONCE per consumer off the same scan-side partial
+    // agg; the 1-row max broadcasts. Revenue is compared UNROUNDED (both
+    // engines pick the same argmax; sums differing by float accumulation
+    // order sit ~1e-10 apart vs ~1e3 gaps between suppliers) and only
+    // rounded for output.
+    q("q15_top_supplier",
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val revenue = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val top = revenue.agg(max("total_revenue").as("max_revenue"))
+      revenue.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
     }
   )
 }

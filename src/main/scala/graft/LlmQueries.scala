@@ -17,8 +17,6 @@ object LlmQueries {
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
-  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame) =
-    QueryDef(name, fn, None)
 
   /** Shared DuckDB shingle CTEs over a (doc_id, text) source: the exact
     * replay of ShinglesExpr — distinct 3-gram word shingles, whole text

@@ -34,6 +34,21 @@ object Merge {
     source.join(target.select(keys.map(target.col): _*), keys, "left_anti")
   }
 
+  /** Full upsert relational core (Delta MERGE with
+    * `when_matched_update_all + when_not_matched_insert_all`): target
+    * rows whose keys match the source are REPLACED by the source row,
+    * unmatched target rows survive, unmatched source rows insert —
+    * i.e. `target ▷ source ∪ source`. The anti join carries the full
+    * target row (it must survive), so unlike [[insertCandidates]] only
+    * the SOURCE side prunes to keys. [[VersionedTable.merge]] runs this
+    * on the affected-file slice only (copy-on-write).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val srcKeys = source.select(keys.map(source.col): _*).distinct()
+    target.join(srcKeys, keys, "left_anti")
+      .unionByName(source.select(target.columns.map(source.col): _*))
+  }
+
   /** Insert-only merge into a Parquet path: append the anti-join rows.
     * Matched rows are untouched (never rewritten). If the target path
     * doesn't exist yet, the whole source is written (the reference's

@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, col, lit, when, not}
 import org.apache.spark.sql.types.StructType
 
 /** A versioned Parquet table with a Delta-style transaction log —
@@ -221,6 +221,129 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
       read(Some(v)).limit(0).withColumn("_commit_version", lit(0))
     } else batches.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  // ---- row-level mutations (copy-on-write) ---------------------------
+  //
+  // Delta's DML model rebuilt on the file-list log: a DELETE/UPDATE/MERGE
+  // identifies the data files that contain at least one affected row
+  // (file pruning via the `_metadata.file_path` scan column — predicate
+  // pushdown applies, so at scale the pruning pass reads only the
+  // predicate's columns), rewrites ONLY those files, and commits
+  // untouched-files ++ rewritten-files as a new version. Unaffected files
+  // — the overwhelming majority under selective mutations on a 100 TB
+  // table — are never read twice nor rewritten, and time travel to
+  // pre-mutation versions keeps working. Like `overwrite`/`optimize`,
+  // these rewrite commits surface their rewritten rows as "added" in
+  // [[changesBetween]]; callers detect them via the commit action.
+
+  /** File names (not paths) of committed files holding ≥1 row matching
+    * `hit`, via one column-pruned scan of the snapshot. The result is
+    * O(affected files) driver-side — file metadata, not data. */
+  private def affectedFiles(c: Commit, hit: org.apache.spark.sql.Column): Seq[String] =
+    spark.read.option("mergeSchema", "true")
+      .parquet(c.files.map(f => s"$tablePath/$f"): _*)
+      .filter(hit)
+      .select(col("_metadata.file_path").as("_graft_file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSeq
+
+  private def readFiles(names: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(names.map(f => s"$tablePath/$f"): _*)
+
+  private def commitRewrite(action: String, c: Commit, affected: Seq[String],
+                            rewritten: DataFrame, newRows: Long): Int = {
+    val v = nextVersion
+    val files = stage(rewritten, v)
+    val untouched = c.files.filterNot(affected.toSet)
+    writeCommit(Commit(v, action, untouched ++ files, c.schemaDdl, newRows,
+      System.currentTimeMillis()))
+    v
+  }
+
+  /** DELETE WHERE: drops rows matching `condition` (null ⇒ kept, SQL
+    * DELETE semantics). Returns the new version, or None when no row
+    * matches (no-op commits nothing — same contract as
+    * [[insertOnlyMerge]]). */
+  def delete(condition: org.apache.spark.sql.Column): Option[Int] =
+    latestVersion().flatMap { v0 =>
+      val c = readCommit(v0)
+      if (c.files.isEmpty) None
+      else {
+        val hit = coalesce(condition, lit(false))
+        val affected = affectedFiles(c, hit)
+        if (affected.isEmpty) None
+        else {
+          val before = readFiles(affected)
+          val kept = before.filter(not(hit))
+          val removed = before.count() - kept.count()
+          Some(commitRewrite("delete", c, affected, kept, c.rows - removed))
+        }
+      }
+    }
+
+  /** UPDATE SET WHERE: rewrites rows matching `condition` with the
+    * assignment expressions (non-matching rows in affected files are
+    * copied through byte-identical in value). Returns the new version,
+    * or None when no row matches. */
+  def update(condition: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column]): Option[Int] =
+    latestVersion().flatMap { v0 =>
+      val c = readCommit(v0)
+      val cols = StructType.fromDDL(c.schemaDdl).map(_.name)
+      val unknown = assignments.keySet -- cols.toSet
+      if (unknown.nonEmpty)
+        sys.error(s"update assigns unknown columns $unknown")
+      if (c.files.isEmpty) None
+      else {
+        val hit = coalesce(condition, lit(false))
+        val affected = affectedFiles(c, hit)
+        if (affected.isEmpty) None
+        else {
+          val rewritten = readFiles(affected).select(cols.map { n =>
+            assignments.get(n) match {
+              case Some(e) => when(hit, e).otherwise(col(n)).as(n)
+              case None    => col(n)
+            }
+          }: _*)
+          Some(commitRewrite("update", c, affected, rewritten, c.rows))
+        }
+      }
+    }
+
+  /** Full MERGE (upsert): matched target rows are replaced by their
+    * source row, unmatched source rows insert — Delta
+    * `when_matched_update_all + when_not_matched_insert_all`. Only files
+    * containing a matched key rewrite; a pure-insert merge degenerates
+    * to an append. Returns the new version (None for an empty source).
+    */
+  def merge(source: DataFrame, keys: Seq[String]): Option[Int] =
+    latestVersion() match {
+      case None => Some(commitOverwrite(source))
+      case Some(v0) =>
+        checkSchema(source, allowNewColumns = false)
+        val c = readCommit(v0)
+        if (c.files.isEmpty) {
+          if (source.isEmpty) None else Some(commitAppend(source))
+        } else {
+          val srcKeys = source.select(keys.map(source.col): _*).distinct()
+          // `_metadata` is a scan-level column: project it BEFORE the
+          // join (post-join it no longer resolves).
+          val snapKeys = spark.read.option("mergeSchema", "true")
+            .parquet(c.files.map(f => s"$tablePath/$f"): _*)
+            .select(keys.map(col) :+ col("_metadata.file_path").as("_graft_file"): _*)
+          val affected = snapKeys.join(srcKeys, keys, "left_semi")
+            .select("_graft_file").distinct()
+            .collect().map(r => new Path(r.getString(0)).getName).toSeq
+          if (affected.isEmpty) {
+            if (source.isEmpty) None else Some(commitAppend(source))
+          } else {
+            val before = readFiles(affected)
+            val rewritten = Merge.upsert(before, source, keys)
+            val newRows = c.rows - before.count() + rewritten.count()
+            Some(commitRewrite("merge", c, affected, rewritten, newRows))
+          }
+        }
+    }
 
   /** Compact the current snapshot to ~targetRowsPerFile (content
     * unchanged — a pure layout version; older versions still readable).

@@ -153,8 +153,17 @@ object Dedup {
     val candidates = bucketPairs(banded, maxBucket)
 
     // Exact verify on the candidate set only: candidates are ~linear and
-    // tiny — broadcast them so shingle arrays never shuffle.
-    val withShingles = docs.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+    // tiny — broadcast them so shingle arrays never shuffle. The corpus
+    // is semi-joined to the candidate ids BEFORE shingling, so the
+    // verify pass re-shingles only docs that appear in some candidate
+    // pair (~the near-dup population) instead of the whole corpus on
+    // both join sides — at 100 TB the difference between two extra full
+    // corpus passes and two passes over the dup fraction.
+    val candIds = candidates
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val withShingles = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
     val sh1 = withShingles.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val sh2 = withShingles.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     broadcast(candidates).join(sh1, "id1").join(sh2, "id2")

@@ -122,6 +122,70 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.commitAppend(Seq((9L, "z")).toDF("id", "v")) == 2)
   }
 
+  test("delete is copy-on-write: only affected files rewrite, time travel keeps deleted rows") {
+    val t = freshTable()
+    // two separate commits → at least two files; the delete hits only v1's rows
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.commitAppend(Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+    val filesBefore = t.historyDF().where(col("version") === 1).select("n_files")
+      .as[Int].head()
+    val v = t.delete(col("id") >= 10L && col("v") === "x")
+    assert(v.contains(2))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
+    // rows metadata tracks the delete
+    assert(t.history().last._3 == 3L)
+    // time travel: pre-delete snapshots intact
+    assert(t.read(Some(0)).count() == 2)
+    assert(t.read(Some(1)).count() == 4)
+    assert(filesBefore >= 2)
+    // no matching row → no-op, no new version
+    assert(t.delete(col("id") === 999L).isEmpty)
+    assert(t.latestVersion().contains(2))
+    // null condition rows are KEPT (SQL DELETE semantics)
+    val t2 = freshTable()
+    t2.commitOverwrite(Seq((1L, Some("a")), (2L, None)).toDF("id", "v"))
+    t2.delete(col("v") === "a")
+    assert(t2.read().select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("update rewrites matching rows in place; non-matching rows copy through") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x"))
+    t.commitAppend(Seq((3L, "c", 30.0)).toDF("id", "v", "x"))
+    val v = t.update(col("id") === 2L, Map("x" -> (col("x") * 2), "v" -> lit("B")))
+    assert(v.contains(2))
+    assert(t.read().orderBy("id").select("id", "v", "x").as[(Long, String, Double)]
+      .collect().toSeq == Seq((1L, "a", 10.0), (2L, "B", 40.0), (3L, "c", 30.0)))
+    // row count metadata unchanged; old snapshot still has the old value
+    assert(t.history().last._3 == 3L)
+    assert(t.read(Some(1)).where(col("id") === 2L).select("x").as[Double].head() == 20.0)
+    // unknown assignment column fails loudly
+    intercept[RuntimeException] { t.update(col("id") === 1L, Map("nope" -> lit(1))) }
+    // no match → no-op
+    assert(t.update(col("id") === 99L, Map("x" -> lit(0.0))).isEmpty)
+  }
+
+  test("merge upserts: matched rows replaced, new keys inserted, pure-insert appends") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // matched (2) updates, unmatched (5) inserts
+    val v = t.merge(Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    assert(v.contains(1))
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B2"), (5L, "e")))
+    assert(t.history().last == ((1, "merge", 3L, t.history().last._4)))
+    // pure insert (no key overlap) → plain append action
+    t.merge(Seq((9L, "z")).toDF("id", "v"), Seq("id"))
+    assert(t.history().last._2 == "append")
+    assert(t.read().count() == 4)
+    // time travel across the merge chain
+    assert(t.read(Some(0)).orderBy("id").select("v").as[String]
+      .collect().toSeq == Seq("a", "b"))
+    // merge into empty path bootstraps
+    val t2 = freshTable()
+    assert(t2.merge(Seq((1L, "a")).toDF("id", "v"), Seq("id")).contains(0))
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
