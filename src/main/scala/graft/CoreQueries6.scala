@@ -33,7 +33,8 @@ object CoreQueries6 {
     // lookups broadcast. Equality on s_acctbal compares stored values
     // (no arithmetic), so cross-engine selection is exact.
     q("q2_min_cost_supplier",
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)),
         |costed AS (SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
         |    n.n_name
         |  FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
@@ -45,8 +46,15 @@ object CoreQueries6 {
         |WHERE c.s_acctbal = (SELECT min(c2.s_acctbal) FROM costed c2
         |                     WHERE c2.p_partkey = c.p_partkey)
         |ORDER BY c.p_partkey, c.s_name""".stripMargin) { (s, d) =>
-      val ps = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
-      val costed = part(s, d).filter(col("p_size") === 5).select("p_partkey")
+      // The part-slice semi join sits BELOW the distinct: the expensive
+      // pair-dedup shuffle then runs over only the qualifying parts'
+      // lines (~1/50th of lineitem) instead of the whole fact table —
+      // the selective-dimension-first rule Q2's planner applies.
+      val sizedParts = part(s, d).filter(col("p_size") === 5).select("p_partkey")
+      val ps = lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct()
+      val costed = sizedParts
         .join(ps, col("p_partkey") === col("l_partkey"))
         .join(broadcast(supplier(s, d)
             .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
@@ -54,6 +62,10 @@ object CoreQueries6 {
         .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
           col("s_nationkey") === col("n_nationkey"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name")
+        // costed feeds both the per-part min and the output join —
+        // materialize the (small) slice once instead of running the
+        // distinct+join pipeline twice.
+        .localCheckpoint()
       val mins = costed.groupBy(col("p_partkey").as("mk"))
         .agg(min("s_acctbal").as("min_bal"))
       costed.join(mins, col("p_partkey") === col("mk") &&

@@ -214,6 +214,85 @@ object LlmQueries2 {
         docBounds = Some((b.getDouble(0), b.getDouble(1))))
     },
 
+    // Bigram language-model scoring (CCNet-style perplexity filter): an
+    // MLE bigram model trained on the corpus itself — p(w2|w1) =
+    // c(w1,w2)/c(w1,·) — scores each document by its mean log
+    // probability; low scorers are the gibberish/boilerplate candidates.
+    // Two corpus passes, no materialized intermediate: the model (bg)
+    // aggregates from pass 1, the unigram denominators aggregate from
+    // the MODEL (not a third corpus pass), and pass 2 re-extracts pairs
+    // and joins the model — at 100 TB the model table is vocab²-bounded
+    // (≪ corpus) so both joins shuffle only token-pair keys. ln() can
+    // differ by 1 ulp across engines → the per-doc mean rounds to 6.
+    q("q_bigram_lm_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |p AS (SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+        |  FROM t, unnest(range(1, len(tok))) AS u(i)),
+        |bg AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+        |ug AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY w1)
+        |SELECT p.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(bg.c2 * 1.0 / ug.c1)), 6) AS avg_logprob
+        |FROM p JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+        |JOIN ug ON p.w1 = ug.w1
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      def pairs = {
+        val tok = col("tok")
+        val z = zip_with(
+          slice(tok, lit(1), size(tok) - 1), slice(tok, lit(2), size(tok) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))
+        documents(s, d).select(col("doc_id"), split(col("text"), " ").as("tok"))
+          .select(col("doc_id"), explode(z).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      }
+      val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val ug = bg.groupBy(col("w1").as("u1")).agg(sum("c2").as("c1"))
+      pairs
+        .join(bg, Seq("w1", "w2"))
+        .join(ug, col("w1") === col("u1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c2") * lit(1.0) / col("c1"))), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf · ln(N/df). Scores round to 6 BEFORE ranking (same
+    // round-then-rank contract as q_sim_topk) with the term as
+    // tiebreak, so the cross-engine top-k is identical. The term-freq
+    // table feeds both the scorer and the document-frequency aggregate —
+    // materialized once (it is vocab-per-doc-sized, far smaller than
+    // the exploded corpus).
+    q("q_tfidf_topterms",
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) w
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, tfidf, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val df = tf.groupBy(col("term").as("t2")).agg(count(lit(1)).as("df"))
+      val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, col("term") === col("t2"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6)
+            .as("tfidf"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    },
+
     // Embedding introspection: dominant dimension per vector (first
     // index of the max — identical 1-based semantics in both engines).
     q("q_embed_argmax",

@@ -46,6 +46,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q11_top_value_parts",     // 1-row global-total broadcast
     "q22_inactive_customers",  // 1-row global-average broadcast
     "q_scalar_subquery",       // scalar subquery broadcast
+    "q_tfidf_topterms",        // 1-row corpus-size (N) broadcast for the idf
     "q_source_overlap",        // vocab self-join has an equi key; pairs filter is < (kept below)
   )
 
