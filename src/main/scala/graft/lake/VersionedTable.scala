@@ -195,30 +195,61 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
         if (candidates.isEmpty) None else Some(commitAppend(candidates))
     }
 
-  /** Change data feed: rows ADDED in versions (fromVersion, toVersion],
-    * with a `_commit_version` column — Delta CDF semantics for this
-    * lake's insert-only write model. Per version it reads ONLY the
-    * files new in that commit (set difference against the previous
-    * commit's list), so the cost is proportional to the change, not the
-    * table: the incremental-consumer contract that lets a downstream
-    * job follow a 100 TB table by reading megabytes per sync. Rewrite
-    * commits (`overwrite`/`optimize`) re-add the whole snapshot; they
-    * surface every row as added (callers can detect rewrites from the
-    * commit action via [[historyDF]] and resync instead).
+  /** Change data feed: row-level changes in versions
+    * (fromVersion, toVersion], with `_commit_version` and
+    * `_change_type` ('insert' | 'delete') columns — Delta CDF
+    * semantics. Per version it reads ONLY the files that changed hands
+    * in that commit (set differences against the previous commit's
+    * list), so the cost is proportional to the change, not the table:
+    * the incremental-consumer contract that lets a downstream job
+    * follow a 100 TB table by reading megabytes per sync.
+    *
+    * Append commits surface their new rows as inserts (no old files
+    * read at all). Rewrite commits (delete/update/merge/overwrite/
+    * optimize) surface the MULTISET DIFFERENCE between the replaced and
+    * replacement files: rows only in the old files are deletes, rows
+    * only in the new files are inserts, and rows copied through
+    * unchanged — including the entirety of an `optimize`, whose content
+    * is identical by contract — produce NO change rows. An update
+    * appears as its delete+insert pair (Delta's behavior without the
+    * CDC column store). Reading a range requires its versions to still
+    * be vacuum-retained — the replaced files stay referenced by the
+    * prior version's commit record, which is exactly what [[vacuum]]'s
+    * retention horizon keeps.
     */
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    def tagged(names: Seq[String], v: Int, change: String): DataFrame =
+      readFiles(names)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(change))
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val prev = if (v == 0) Set.empty[String] else readCommit(v - 1).files.toSet
-      val added = readCommit(v).files.filterNot(prev)
-      if (added.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(added.map(f => s"$tablePath/$f"): _*)
-        .withColumn("_commit_version", lit(v)))
+      val cur = readCommit(v).files
+      val added = cur.filterNot(prev)
+      val removed = (prev -- cur.toSet).toSeq.sorted
+      (added.nonEmpty, removed.nonEmpty) match {
+        case (false, false) => None
+        case (true, false)  => Some(tagged(added, v, "insert"))
+        case (false, true)  => Some(tagged(removed, v, "delete"))
+        case (true, true)   =>
+          // Rewrite: diff replaced vs replacement content so untouched
+          // rows (and whole no-op rewrites like optimize) cancel out.
+          val oldRows = readFiles(removed)
+          val newRows = readFiles(added).select(oldRows.columns.map(col): _*)
+          Some(newRows.exceptAll(oldRows)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_change_type", lit("insert"))
+            .unionByName(oldRows.exceptAll(newRows)
+              .withColumn("_commit_version", lit(v))
+              .withColumn("_change_type", lit("delete"))))
+      }
     }
     if (batches.isEmpty) {
       val v = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
-      read(Some(v)).limit(0).withColumn("_commit_version", lit(0))
+      read(Some(v)).limit(0)
+        .withColumn("_commit_version", lit(0))
+        .withColumn("_change_type", lit("insert"))
     } else batches.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

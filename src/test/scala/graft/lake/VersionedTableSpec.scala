@@ -186,6 +186,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t2.merge(Seq((1L, "a")).toDF("id", "v"), Seq("id")).contains(0))
   }
 
+  test("CDF is row-level: deletes/updates emit change pairs, optimize emits nothing") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0
+    t.delete(col("id") === 2L)                                             // v1
+    t.update(col("id") === 3L, Map("v" -> lit("C")))                       // v2
+    t.optimize(targetRowsPerFile = 10)                                     // v3
+    t.merge(Seq((1L, "A"), (9L, "z")).toDF("id", "v"), Seq("id"))          // v4
+    val cdf = t.changesBetween(0, 4)
+      .select(col("id"), col("v"), col("_commit_version"), col("_change_type"))
+      .as[(Long, String, Int, String)].collect().toSeq.sorted
+    assert(cdf == Seq(
+      (1L, "A", 4, "insert"), (1L, "a", 4, "delete"), // merge update pair
+      (2L, "b", 1, "delete"),                         // delete
+      (3L, "C", 2, "insert"), (3L, "c", 2, "delete"), // update pair
+      (9L, "z", 4, "insert")))                        // merge insert
+    // optimize (v3) contributed zero change rows; replaying the feed
+    // over the v0 snapshot reproduces the v4 snapshot
+    assert(t.changesBetween(2, 3).count() == 0)
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "A"), (3L, "C"), (9L, "z")))
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
