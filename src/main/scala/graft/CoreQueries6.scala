@@ -281,6 +281,31 @@ object CoreQueries6 {
         .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
+    },
+
+    // Approximate percentile under the same tolerance contract as
+    // q_approx_distinct: the sketch (Greenwald-Khanna at accuracy
+    // 10000) can never hash-match another engine, so Spark emits the
+    // EXACT interpolated median plus a boolean asserting the sketch
+    // landed within 1% of it, and the oracle emits the exact median
+    // plus TRUE — the row hash-matches iff the sketch held tolerance.
+    // (GK guarantees RANK error n/accuracy; on this price distribution
+    // that is ≤0.1% in value at every fixture scale.)
+    q("q_approx_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+        .select(col("l_returnflag"),
+          round(col("exact"), 6).as("exact_median"),
+          (abs(col("approx") - col("exact")) <= col("exact") * lit(0.01))
+            .as("within_tol"))
+        .orderBy("l_returnflag")
     }
   )
 }
