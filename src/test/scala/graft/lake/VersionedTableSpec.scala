@@ -186,6 +186,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t2.merge(Seq((1L, "a")).toDF("id", "v"), Seq("id")).contains(0))
   }
 
+  test("update rewrites across schema-evolved files (old files read nulls for new columns)") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitAppend(Seq((2L, "b", 9.0)).toDF("id", "v", "extra"),
+      allowNewColumns = true)
+    // the condition hits rows in BOTH files — the pre-evolution file's
+    // rows carry null for the evolved column through the rewrite
+    t.update(col("id") >= 1L, Map("v" -> upper(col("v"))))
+    assert(t.read().orderBy("id").select("id", "v", "extra")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "A", None), (2L, "B", Some(9.0))))
+  }
+
   test("CDF is row-level: deletes/updates emit change pairs, optimize emits nothing") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0
