@@ -243,9 +243,16 @@ object Dedup {
       posexplode(bandedSignature(col("embedding"), planes, bands))
         .as(Seq("band", "bucket")))
     val candidates = bucketPairs(banded, maxBucket)
-    val a = embs.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+    // Verify-side scans semi-join to the broadcast candidate ids BEFORE
+    // computing norms (same shape as minhashPairs' verify): exact
+    // re-scoring touches only vectors that appear in some candidate
+    // pair — the near-dup population — not the whole corpus twice.
+    val candIds = candidates
+      .select(explode(array(col("id1"), col("id2"))).as("vec_id")).distinct()
+    val cand = embs.join(broadcast(candIds), Seq("vec_id"), "left_semi")
+    val a = cand.select(col("vec_id").as("id1"), col("embedding").as("e1"),
       sumSq(col("embedding")).as("s1"))
-    val b = embs.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+    val b = cand.select(col("vec_id").as("id2"), col("embedding").as("e2"),
       sumSq(col("embedding")).as("s2"))
     broadcast(candidates).join(a, "id1").join(b, "id2")
       .withColumn("cosine", dot(col("e1"), col("e2")) / sqrt(col("s1") * col("s2")))
