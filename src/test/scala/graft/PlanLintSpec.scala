@@ -48,6 +48,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q_scalar_subquery",       // scalar subquery broadcast
     "q_tfidf_topterms",        // 1-row corpus-size (N) broadcast for the idf
     "q_source_overlap",        // vocab self-join has an equi key; pairs filter is < (kept below)
+    "q_domain_mix",            // 1-row corpus-total broadcast
+    "q_pmi_cooccur",           // 1-row corpus-size broadcast (pair join itself is equi on doc_id)
+    "q_embed_quantize",        // 1-row query-vector broadcast
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
