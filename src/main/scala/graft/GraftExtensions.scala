@@ -35,6 +35,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "sum_sq_f takes 1 argument")
         SumSqF(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_int"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.Md5IntExpr].getName, "md5_int"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "md5_int takes (expr[, byteOffset]) — byteOffset a literal int")
+        val off = children.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"md5_int byteOffset must be a literal int, got $other")
+        }.getOrElse(0)
+        org.apache.spark.sql.graft.Md5IntExpr(children.head, off)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.ShinglesExpr].getName, "shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "shingles takes (text, n) — n a literal int")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles n must be a literal int, got $other")
+        }
+        org.apache.spark.sql.graft.ShinglesExpr(children.head, n)
+      }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinBanding)
   }

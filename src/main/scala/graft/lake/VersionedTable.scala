@@ -395,6 +395,27 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
     * horizon stops working — Delta vacuum semantics. Returns the number
     * of files deleted.
     */
+  /** Restore the table to an earlier version's contents as a NEW commit
+    * (Delta RESTORE semantics): metadata-only — the commit re-references
+    * the old version's files, so no data is copied or rewritten and the
+    * full history (including the rolled-back versions) is preserved.
+    * Restoring a version whose files were vacuumed fails loudly instead
+    * of committing dangling references.
+    */
+  def restore(version: Int): Int = {
+    require(versions().contains(version),
+      s"restore: version $version does not exist at $tablePath")
+    val c = readCommit(version)
+    val missing = c.files.filterNot(f => fs.exists(new Path(s"$tablePath/$f")))
+    if (missing.nonEmpty) sys.error(
+      s"restore($version) references ${missing.length} vacuumed file(s) " +
+        s"(e.g. ${missing.head}); the version is no longer reconstructible")
+    val v = nextVersion
+    writeCommit(Commit(v, "restore", c.files, c.schemaDdl, c.rows,
+      System.currentTimeMillis()))
+    v
+  }
+
   def vacuum(retainVersions: Int = 2): Int = {
     val vs = versions()
     val keep = vs.takeRight(retainVersions)

@@ -221,6 +221,23 @@ class VersionedTableSpec extends AnyFunSuite {
       .collect().toSeq == Seq((1L, "A"), (3L, "C"), (9L, "z")))
   }
 
+  test("restore rolls content back as a new metadata-only commit; vacuumed versions refuse") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    t.commitOverwrite(Seq((9L, "z")).toDF("id", "v"))            // v1
+    val v2 = t.restore(0)
+    assert(v2 == 2)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // history keeps the rolled-back version; no data was copied (v2
+    // references v0's files)
+    assert(t.history().map(_._2) == Seq("overwrite", "overwrite", "restore"))
+    assert(t.read(Some(1)).select("id").as[Long].collect().toSeq == Seq(9L))
+    // vacuum keeps only the latest 2 versions' files → v1's file is gone
+    t.vacuum(retainVersions = 1)
+    val err = intercept[RuntimeException](t.restore(1))
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
