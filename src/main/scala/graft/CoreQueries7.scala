@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seventh core tranche: distributed sketch ALGEBRA — the property that
+  * makes approximate aggregation scale is not the estimate but the MERGE:
+  * bounded per-partition/per-group state that composes associatively, so
+  * a 1000-executor job ships k-sized sketches instead of raw keys.
+  * Two variants: KMV (merge = re-min of unioned hash sets — deterministic
+  * integer math the oracle replays exactly) and HLL (Spark's datasketches
+  * registers — merge checked under the tolerance-boolean contract).
+  */
+object CoreQueries7 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  private val K = 256
+  private val Scale = (K - 1) * 4294967296.0 // (k-1)·2^32 over the md5-int range
+
+  val all: Seq[QueryDef] = Seq(
+
+    // KMV sketch merge: per-group k-minimum-values sketches over the
+    // replayable md5-int hash, then a GLOBAL estimate computed from the
+    // group sketches ALONE (k·groups rows — never the raw keys). The
+    // union of k-min sets re-minned is exactly the k-min of the union,
+    // so the merged estimate is the estimate of the merged stream: the
+    // associativity that lets sketches flow up a 1000-executor tree.
+    // The global top-k is sort+limit (TakeOrderedAndProject), not an
+    // unpartitioned window.
+    q("q_kmv_union",
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |  ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, hv,
+         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk FROM h),
+         |sk AS (SELECT l_returnflag, hv FROM r WHERE rk <= $K),
+         |per AS (SELECT l_returnflag AS scope,
+         |    CAST(floor($Scale / max(hv)) AS BIGINT) AS kmv_estimate,
+         |    count(*) AS k_used
+         |  FROM sk GROUP BY l_returnflag),
+         |merged AS (SELECT DISTINCT hv FROM sk ORDER BY hv LIMIT $K)
+         |SELECT scope, kmv_estimate, k_used FROM per
+         |UNION ALL
+         |SELECT 'ALL', CAST(floor($Scale / max(hv)) AS BIGINT), count(*)
+         |FROM merged ORDER BY scope""".stripMargin) { (s, d) =>
+      val h = lineitem(s, d)
+        .select(col("l_returnflag"),
+          graft.llm.Dedup.md5Int(col("l_orderkey").cast("string")).as("hv"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag").orderBy("hv")
+      // The per-group sketches: k·|groups| rows — everything downstream
+      // (including the merge) reads ONLY this bounded set. Materialized
+      // once: without it the union's two branches would each re-run the
+      // corpus scan; with it the raw keys are read exactly once.
+      val sk = h.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        .select("l_returnflag", "hv")
+        .localCheckpoint()
+      def estimate(df: DataFrame) =
+        df.agg(floor(lit(Scale) / max("hv")).cast("long").as("kmv_estimate"),
+          count(lit(1)).as("k_used"))
+      val per = sk.groupBy(col("l_returnflag").as("scope"))
+        .agg(floor(lit(Scale) / max("hv")).cast("long").as("kmv_estimate"),
+          count(lit(1)).as("k_used"))
+      val merged = estimate(sk.select("hv").distinct().orderBy("hv").limit(K))
+        .select(lit("ALL").as("scope"), col("kmv_estimate"), col("k_used"))
+      per.union(merged).orderBy("scope")
+    },
+
+    // HLL sketch merge via Spark's datasketches registers: per-group
+    // sketches unioned into a corpus estimate. HLL internals can't
+    // hash-match another engine, so this rides the tolerance-boolean
+    // contract (q_approx_distinct's): Spark emits the EXACT count and
+    // whether each estimate — including the merged one — lands within
+    // 5%; the oracle emits exact and TRUE.
+    q("q_hll_union",
+      """SELECT l_returnflag AS scope,
+        |  count(DISTINCT l_partkey) AS exact_cnt, TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem
+        |ORDER BY scope""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val sk = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          count_distinct(col("l_partkey")).as("exact_cnt"))
+      def tol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        (abs(est - exact) / exact <= 0.05).as("within_tol")
+      val per = sk.select(col("l_returnflag").as("scope"), col("exact_cnt"),
+        tol(hll_sketch_estimate(col("sk")), col("exact_cnt")))
+      val merged = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(li.agg(count_distinct(col("l_partkey")).as("exact_cnt"))))
+        .select(lit("ALL").as("scope"), col("exact_cnt"),
+          tol(col("est"), col("exact_cnt")))
+      per.union(merged).orderBy("scope")
+    }
+  )
+}

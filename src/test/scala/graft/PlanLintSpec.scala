@@ -51,6 +51,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_domain_mix",            // 1-row corpus-total broadcast
     "q_pmi_cooccur",           // 1-row corpus-size broadcast (pair join itself is equi on doc_id)
     "q_embed_quantize",        // 1-row query-vector broadcast
+    "q_hll_union",             // 1-row merged-sketch × 1-row global-exact broadcast
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
