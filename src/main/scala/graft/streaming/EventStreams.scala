@@ -209,4 +209,38 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  final case class KmvSketch(hashes: Seq[Long])
+  final case class KmvEstimate(group: String, estimate: Long, k_used: Int)
+
+  /** Streaming approximate distinct-count: a k-minimum-values sketch per
+    * group held in state — the streaming face of q_kmv_union's merge
+    * property. State is ≤k longs per group FOREVER (an exact streaming
+    * distinct would hold O(distinct keys)), each micro-batch update is
+    * the same associative re-min merge the batch sketch tree uses, and
+    * hashing is md5 (no RNG state) so recovery/replay produces the
+    * identical sketch. Emits the refreshed estimate per touched group
+    * each micro-batch (update mode): exact (= k_used) while the sketch
+    * is unsaturated, (k−1)·2³² / max(h) after.
+    */
+  def kmvDistinct(rows: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 256): Dataset[KmvEstimate] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(groupCol).cast("string").as("g"),
+        graft.llm.Dedup.md5Int(col(keyCol).cast("string")).as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvSketch, KmvEstimate](GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)], state: GroupState[KmvSketch]) =>
+          val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          val merged = (prev.iterator ++ it.map(_._2))
+            .toArray.distinct.sorted.take(k).toSeq
+          state.update(KmvSketch(merged))
+          val est =
+            if (merged.length < k) merged.length.toLong
+            else math.floor((k - 1) * 4294967296.0 / merged.last).toLong
+          KmvEstimate(g, est, merged.length)
+      }
+  }
 }
