@@ -319,6 +319,78 @@ object LlmQueries3 {
         .select(col("vec_id"), round(exactRaw, 6).as("cos_exact"),
           (abs(cosQ - exactRaw) <= 0.02).as("within_tol"))
         .orderBy("vec_id")
+    },
+
+    // Cross-corpus decontamination: which TRAIN documents contain any
+    // 8-gram that also appears in the held-out TEST split (the
+    // eval-leakage scan run before every training mix). The eval n-gram
+    // set is the broadcast side — real eval corpora are tiny next to the
+    // training corpus, so the 100 TB side streams map-side through the
+    // membership join and never shuffles. Split and hashes reuse the
+    // deterministic md5 family, so the oracle replays everything.
+    q("q_decontaminate",
+      """WITH b AS (SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |t AS (SELECT doc_id, bucket, string_split(text, ' ') AS tok FROM b),
+        |sh AS (SELECT doc_id, bucket, CASE WHEN len(tok) >= 8
+        |    THEN list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                        for i in range(1, len(tok) - 6)])
+        |    ELSE [array_to_string(tok, ' ')] END AS shingles FROM t),
+        |hx AS (SELECT doc_id, bucket,
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs FROM sh),
+        |ev AS (SELECT DISTINCT unnest(xs) AS h FROM hx WHERE bucket >= 90),
+        |tr AS (SELECT doc_id, unnest(xs) AS h FROM hx WHERE bucket < 90)
+        |SELECT doc_id, count(*) AS n_shared FROM tr
+        |WHERE h IN (SELECT h FROM ev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val grams = documents(s, d)
+        .withColumn("bucket",
+          pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(100)))
+        .select(col("doc_id"), col("bucket"),
+          explode(Dedup.shingles(col("text"), 8)).as("sgl"))
+        .select(col("doc_id"), col("bucket"), Dedup.md5Int(col("sgl")).as("h"))
+      val ev = grams.filter(col("bucket") >= 90).select("h").distinct()
+      grams.filter(col("bucket") < 90)
+        .join(broadcast(ev), Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-document fingerprint overlap: pairs sharing ≥2 rolling
+    // 8-token window hashes — the plagiarism/near-copy detector built on
+    // the fingerprinting family (q_fingerprint_rolling keeps each doc's
+    // min; this joins the full sets). The pair join is an EQUI join on
+    // the window hash — at scale a production winnowing pass would
+    // sparsify each doc's set (per-stride minima) first; the join shape
+    // is identical.
+    q("q_fingerprint_overlap",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |h AS (SELECT doc_id, tok,
+        |  [('0x' || substr(md5(x), 1, 8))::BIGINT % 1000000007 for x in tok] AS th
+        |  FROM t),
+        |w AS (SELECT doc_id, len(tok) AS n, th,
+        |  [list_reduce(th[i+1:i+8], (acc, x) -> (acc*131 + x) % 1000000007)
+        |   for i in range(0, greatest(len(tok) - 7, 0))] AS wh
+        |  FROM h),
+        |e AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN n >= 8 THEN wh
+        |    ELSE [list_reduce(th, (acc, x) -> (acc*131 + x) % 1000000007)] END) AS fp
+        |  FROM w)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY id1, id2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // The fingerprint set feeds both join sides — materialize once
+      // (q_source_overlap pattern).
+      val e = graft.llm.TextAnalysis.rollingWindowHashes(documents(s, d), 8)
+        .localCheckpoint()
+      e.as("a")
+        .join(e.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy("id1", "id2")
     }
   )
 }

@@ -122,4 +122,25 @@ object TextAnalysis {
         .otherwise(horner(tokHash)).as("fingerprint"),
       greatest(size(tok) - window + 1, lit(1)).as("n_windows"))
   }
+
+  /** The distinct rolling-window hash SET per document (same replayable
+    * integer family as [[rollingFingerprint]], which keeps only the
+    * min): the exploded form that feeds cross-document overlap joins.
+    * Short docs (< window tokens) contribute their whole-text hash so
+    * identical short docs still collide.
+    */
+  def rollingWindowHashes(docs: DataFrame, window: Int = 8): DataFrame = {
+    val M = 1000000007L
+    val tok = tokens(col("text"))
+    val tokHash = transform(tok,
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % M)
+    def horner(xs: Column): Column =
+      aggregate(xs, lit(0L), (acc, x) => (acc * 131L + x) % M)
+    val windows = transform(sequence(lit(0), size(tok) - window),
+      i => horner(slice(tokHash, i + 1, lit(window))))
+    docs.select(col("doc_id"),
+      explode(array_distinct(
+        when(size(tok) >= window, windows)
+          .otherwise(array(horner(tokHash))))).as("fp"))
+  }
 }
