@@ -108,20 +108,9 @@ object TextAnalysis {
     * bit-identically (q_fingerprint_rolling is oracle-checked, unlike
     * the earlier engine-specific xxhash64 variant).
     */
-  def rollingFingerprint(docs: DataFrame, window: Int = 8): DataFrame = {
-    val M = 1000000007L
-    val tok = tokens(col("text"))
-    val tokHash = transform(tok,
-      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % M)
-    def horner(xs: Column): Column =
-      aggregate(xs, lit(0L), (acc, x) => (acc * 131L + x) % M)
-    val windows = transform(sequence(lit(0), size(tok) - window),
-      i => horner(slice(tokHash, i + 1, lit(window))))
-    docs.select(col("doc_id"),
-      when(size(tok) >= window, array_min(windows))
-        .otherwise(horner(tokHash)).as("fingerprint"),
-      greatest(size(tok) - window + 1, lit(1)).as("n_windows"))
-  }
+  def rollingFingerprint(docs: DataFrame, window: Int = 8): DataFrame =
+    windowHashRows(docs, window).groupBy("doc_id")
+      .agg(min(col("fp")).as("fingerprint"), count(lit(1)).as("n_windows"))
 
   /** The distinct rolling-window hash SET per document (same replayable
     * integer family as [[rollingFingerprint]], which keeps only the
@@ -129,18 +118,37 @@ object TextAnalysis {
     * Short docs (< window tokens) contribute their whole-text hash so
     * identical short docs still collide.
     */
-  def rollingWindowHashes(docs: DataFrame, window: Int = 8): DataFrame = {
+  def rollingWindowHashes(docs: DataFrame, window: Int = 8): DataFrame =
+    windowHashRows(docs, window).distinct()
+
+  /** One row per w-token window: (doc_id, Horner hash). This output is
+    * fully materialized by its consumers, so the natural nested-HOF
+    * formulation (fold per window inside a transform) would put
+    * interpreted lambdas on the hot path — measured 10.7 s at sf0.1 vs
+    * ~1 s for this shape: explode to (doc_id, pos, native md5-int token
+    * hash), then the w-token Horner fold as `lag` window expressions
+    * over a doc-partitioned sort — every operator codegen'd, one
+    * shuffle on doc_id, identical integer values to the fold.
+    */
+  private def windowHashRows(docs: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val M = 1000000007L
     val tok = tokens(col("text"))
-    val tokHash = transform(tok,
-      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % M)
-    def horner(xs: Column): Column =
-      aggregate(xs, lit(0L), (acc, x) => (acc * 131L + x) % M)
-    val windows = transform(sequence(lit(0), size(tok) - window),
-      i => horner(slice(tokHash, i + 1, lit(window))))
-    docs.select(col("doc_id"),
-      explode(array_distinct(
-        when(size(tok) >= window, windows)
-          .otherwise(array(horner(tokHash))))).as("fp"))
+    def md5M(c: Column): Column = pmod(Dedup.md5Int(c), lit(M))
+    // Short docs: one whole-text hash each — a bounded slice where the
+    // interpreted fold touches < window elements per row.
+    val short = docs.filter(size(tok) < window)
+      .select(col("doc_id"),
+        aggregate(transform(tok, t => md5M(t)), lit(0L),
+          (acc, x) => (acc * 131L + x) % M).as("fp"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = (0 until window).map(j => lag(col("th"), window - 1 - j).over(w))
+    val horner = parts.reduce((acc, x) => (acc * lit(131L) + x) % M)
+    val long = docs.filter(size(tok) >= window)
+      .select(col("doc_id"), posexplode(tok).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), md5M(col("t")).as("th"))
+      .select(col("doc_id"), horner.as("fp"))
+      .filter(col("fp").isNotNull) // rows before the first complete window
+    long.union(short)
   }
 }
