@@ -49,6 +49,8 @@ object Bench {
     "q_langid", "q_quality_score", "q_token_bpe",
     "q_multimodal_features", "q_contamination", "q_pack_sequences",
     "q_source_overlap",
+    // round-7 sketch/sampling families
+    "q_cms_freq", "q_bloom_prefilter", "q_kmv_union", "q_decontaminate",
   )
 
   /** Round number for the full-timings filename, inferred from the

@@ -67,6 +67,25 @@ class LlmSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV merge of group sketches equals the sketch of the raw union stream") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // merged 'ALL' row from the registered query (built from the
+    // per-group sketches alone)...
+    val all = graft.CoreQueries7.all.find(_.name == "q_kmv_union").get
+      .fn(spark, sf).filter(col("scope") === "ALL")
+      .select("kmv_estimate").as[Long].head()
+    // ...must equal a single global KMV-256 computed directly on the
+    // raw keys — the associativity that makes the sketch tree-mergeable.
+    val direct = graft.Tables.lineitem(spark, sf)
+      .select(Dedup.md5Int(col("l_orderkey").cast("string")).as("hv"))
+      .distinct().orderBy("hv").limit(256)
+      .agg(floor(lit((256 - 1) * 4294967296.0) / max("hv")).cast("long"))
+      .as[Long].head()
+    assert(all == direct)
+  }
+
   test("quantized cosine stays within the 0.02 drift contract") {
     val rows = run("q_embed_quantize").collect()
     assert(rows.nonEmpty)
