@@ -96,6 +96,32 @@ object CoreQueries7 {
         .select(lit("ALL").as("scope"), col("exact_cnt"),
           tol(col("est"), col("exact_cnt")))
       per.union(merged).orderBy("scope")
+    },
+
+    // Versioned-lake DML through the CORRECTNESS board: DELETE + UPDATE
+    // run through the copy-on-write commit protocol (only files
+    // containing hits rewrite — file pruning via _metadata.file_path),
+    // then the final snapshot is compared relationally against the
+    // oracle's CASE/WHERE equivalent. The timed cost is the honest DML
+    // path: stage → log commit → prune → rewrite → snapshot read.
+    q("q_lake_dml",
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+        |       THEN 'PROMOTED' ELSE c_mktsegment END AS segment,
+        |  c_nationkey
+        |FROM customer WHERE c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-vt-dml").toString + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      t.commitOverwrite(customer(s, d))
+      t.delete(col("c_acctbal") < 0)
+      t.update(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000,
+        Map("c_mktsegment" -> lit("PROMOTED")))
+      t.read()
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_nationkey"))
+        .orderBy("c_custkey")
     }
   )
 }
