@@ -51,6 +51,8 @@ object Bench {
     "q_source_overlap",
     // round-7 sketch/sampling families
     "q_cms_freq", "q_bloom_prefilter", "q_kmv_union", "q_decontaminate",
+    // round-7 behavioral/graph analytics families
+    "q_funnel", "q_cohort_retention", "q_pagerank", "q_kmv_intersect",
   )
 
   /** Round number for the full-timings filename, inferred from the

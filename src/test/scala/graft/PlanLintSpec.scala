@@ -52,6 +52,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_pmi_cooccur",           // 1-row corpus-size broadcast (pair join itself is equi on doc_id)
     "q_embed_quantize",        // 1-row query-vector broadcast
     "q_hll_union",             // 1-row merged-sketch × 1-row global-exact broadcast
+    "q_funnel",                // 1-row first-stage-count broadcast for the conversion ratio
+    "q_kmv_intersect",         // bounded source-pair generator (inequality self-join of the ≤|sources|-row list)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
