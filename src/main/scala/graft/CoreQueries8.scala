@@ -300,6 +300,32 @@ object CoreQueries8 {
           floor(col("m") * col("union_est") / col("k_used")).cast("long").as("inter_est"),
           round(col("m") * lit(1.0) / col("k_used"), 6).as("jaccard"))
         .orderBy("s1", "s2")
+    },
+
+    // Stats-based data skipping through the versioned lake: lineitem is
+    // committed range-clustered on l_orderkey (the layout a real table
+    // gets from partitioning/z-ordering), then a selective range read
+    // goes through readWhere, which consults the per-file min/max
+    // sidecars and hands Spark ONLY the files whose ranges admit the
+    // predicate — on a 100 TB table that is the difference between a
+    // metadata lookup + a few files and a full scan. The oracle replays
+    // the same filter+aggregate relationally on the base table, proving
+    // pruning never changes results (DataSkippingSpec separately asserts
+    // that files really are dropped).
+    q("q_lake_skipping",
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-vt-skip").toString + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      t.commitOverwrite(lineitem(s, d).repartitionByRange(8, col("l_orderkey")))
+      t.readWhere(col("l_orderkey").between(1000L, 2000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 }

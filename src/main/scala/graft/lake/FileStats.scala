@@ -1,0 +1,250 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics (min / max / null count / row count) and the
+  * conservative pruning evaluator over them — Delta-style data skipping
+  * for [[VersionedTable]].
+  *
+  * This is the metadata layer that makes a selective query on a 100 TB
+  * table read megabytes instead of terabytes: stats are collected once
+  * per commit over ONLY the commit's new files (one column-bounded
+  * aggregation pass), and a predicate consults the stats to drop whole
+  * files before Spark ever lists them in a scan. Row-group-level pushdown
+  * then continues inside the files that survive.
+  *
+  * Encoding choices that keep the comparisons engine-exact:
+  *  - timestamps are collected as `unix_micros`, dates as days-since-epoch
+  *    — the SAME integer encodings Catalyst literals carry, so pruning
+  *    compares integers to integers with no timezone/format parsing;
+  *  - numeric stats serialize via `toString` and compare as BigDecimal
+  *    (lossless for every integral/decimal type; doubles round-trip);
+  *  - NaN/Infinity min/max poison an ordering, so a column observing them
+  *    simply drops its stats for that file (conservative: file is kept);
+  *  - strings store the full value (a production table would truncate to
+  *    a prefix and pad the max — same evaluator, shorter metadata).
+  *
+  * The evaluator is deliberately three-valued collapsed to two: `false`
+  * means PROVABLY no row in the file satisfies the predicate; `true`
+  * means "maybe" — including every expression shape it doesn't
+  * understand. Unsupported nodes therefore cost only missed pruning,
+  * never correctness.
+  */
+object FileStats {
+
+  final case class ColStats(
+      kind: String,              // "num" | "str"
+      min: Option[String],       // None ⇔ every row in the file is null
+      max: Option[String],
+      nulls: Long,
+      rows: Long)
+
+  /** Stats-eligible type → kind tag. Temporal types are "num" because
+    * collection integer-encodes them (see above). */
+  private[lake] def statKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType | DateType | TimestampType => Some("num")
+    case StringType => Some("str")
+    case _ => None
+  }
+
+  private def statExpr(name: String, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(col(name))
+    case DateType      => datediff(col(name), to_date(lit("1970-01-01")))
+    case _             => col(name)
+  }
+
+  /** Serialize a collected min/max cell. Outer None = value unusable for
+    * ordering (drop the column's stats for this file); inner None = SQL
+    * null (all-null column). */
+  private def ser(v: Any): Option[Option[String]] = v match {
+    case null => Some(None)
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite  => None
+    case other => Some(Some(other.toString))
+  }
+
+  /** One aggregation pass over `paths` grouped by physical file:
+    * file name → column → stats. Cost is O(rows in `paths`) with
+    * column-bounded state — called per commit on the commit's NEW files
+    * only, never on the whole table.
+    */
+  def collect(spark: SparkSession, paths: Seq[String])
+      : Map[String, Map[String, ColStats]] = {
+    val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val usable = df.schema.fields.toSeq
+      .flatMap(f => statKind(f.dataType).map(k => (f.name, f.dataType, k)))
+    val aggs = count(lit(1)).as("_rows") +: usable.flatMap { case (n, dt, _) =>
+      val e = statExpr(n, dt)
+      Seq(min(e), max(e), count(col(n)))
+    }
+    val rows = df.groupBy(col("_metadata.file_path").as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { r =>
+      val file = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+      val nRows = r.getLong(1)
+      val cols = usable.zipWithIndex.flatMap { case ((n, _, kind), i) =>
+        val base = 2 + i * 3
+        (ser(r.get(base)), ser(r.get(base + 1))) match {
+          case (Some(mn), Some(mx)) =>
+            Some(n -> ColStats(kind, mn, mx, nRows - r.getLong(base + 2), nRows))
+          case _ => None // NaN/Inf observed: no stats, file always kept
+        }
+      }.toMap
+      file -> cols
+    }.toMap
+  }
+
+  // ---- pruning evaluator ----------------------------------------------
+  //
+  // Operates on the ANALYZED predicate (VersionedTable resolves the
+  // user's Column against the snapshot schema first): attributes are
+  // AttributeReferences and literal sides are foldable expressions whose
+  // value/type we take from `eval()` — which also absorbs the implicit
+  // casts analysis inserts around literals (e.g. an Int literal compared
+  // to a Long column).
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference  => Some(a.name)
+    case a: UnresolvedAttribute => Some(a.name)
+    case _ => None
+  }
+
+  /** Value + type of a constant side, via fold-evaluation. Analyzed (not
+    * optimized) plans still carry RuntimeReplaceable wrappers like
+    * to_date/to_timestamp, which are foldable but only evaluable through
+    * their replacement — swap those in first. Anything that still fails
+    * to evaluate declines to prune. */
+  private def constVal(e: Expression): Option[(Any, DataType)] = {
+    val ev = e.transformDown { case r: RuntimeReplaceable => r.replacement }
+    if (!ev.foldable) None
+    else try Some((ev.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType))
+    catch { case _: Exception => None }
+  }
+
+  private def toBig(v: Any): java.math.BigDecimal = v match {
+    case i: java.lang.Integer => new java.math.BigDecimal(i)
+    case l: java.lang.Long    => new java.math.BigDecimal(l)
+    case s: java.lang.Short   => new java.math.BigDecimal(s.intValue())
+    case b: java.lang.Byte    => new java.math.BigDecimal(b.intValue())
+    case f: java.lang.Float   =>
+      if (f.isNaN || f.isInfinite) null else new java.math.BigDecimal(f.toString)
+    case d: java.lang.Double  =>
+      if (d.isNaN || d.isInfinite) null else new java.math.BigDecimal(d.toString)
+    case d: Decimal           => d.toJavaBigDecimal
+    case d: java.math.BigDecimal => d
+    case _ => null
+  }
+
+  /** Is the literal's type comparable against the column's stats kind?
+    * (Predicates are pruned UNRESOLVED — no coercion has run — so a
+    * type-mismatched comparison just declines to prune.) */
+  private def kindOf(dt: DataType): Option[String] = statKind(dt)
+
+  /** `false` ⇒ provably no row of a file with stats `st` satisfies `e`;
+    * `true` ⇒ possible/unknown. A column absent from `st` (unsupported
+    * type, NaN poisoning, schema evolution) always answers "maybe".
+    */
+  def mayMatch(e: Expression, st: Map[String, ColStats]): Boolean = e match {
+    case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+    case Or(l, r)  => mayMatch(l, st) || mayMatch(r, st)
+
+    case IsNull(a) => attrName(a) match {
+      case Some(n) => st.get(n).forall(_.nulls > 0)
+      case None    => true
+    }
+    case IsNotNull(a) => attrName(a) match {
+      case Some(n) => st.get(n).forall(s => s.nulls < s.rows)
+      case None    => true
+    }
+
+    case In(a, list) if attrName(a).isDefined && list.forall(_.foldable) =>
+      list.exists { l =>
+        constVal(l).forall { case (v, dt) =>
+          v != null && rangePossible(st, attrName(a).get, v, dt, "eq")
+        }
+      }
+
+    case StartsWith(a, p) if attrName(a).isDefined && p.foldable =>
+      constVal(p) match {
+        case Some((pv, StringType)) if pv != null =>
+          st.get(attrName(a).get) match {
+            case Some(s) if s.kind == "str" =>
+              (s.min, s.max) match {
+                case (Some(mn), Some(mx)) =>
+                  val prefix = pv.toString
+                  (mn <= prefix || mn.startsWith(prefix)) && prefix <= mx
+                case _ => false // all-null column: no string starts with anything
+              }
+            case _ => true
+          }
+        case _ => true
+      }
+
+    case c: BinaryComparison =>
+      (attrName(c.left), constVal(c.right), attrName(c.right), constVal(c.left)) match {
+        case (Some(n), Some((v, dt)), _, _) => cmpPossible(c, n, v, dt, flipped = false, st)
+        case (_, _, Some(n), Some((v, dt))) => cmpPossible(c, n, v, dt, flipped = true, st)
+        case _ => true
+      }
+
+    case _ => true
+  }
+
+  private def cmpPossible(c: BinaryComparison, name: String, v: Any, dt: DataType,
+                          flipped: Boolean, st: Map[String, ColStats]): Boolean = {
+    val op = c match {
+      case _: EqualTo            => "eq"
+      case _: EqualNullSafe      => "eqns"
+      case _: LessThan           => if (flipped) "gt" else "lt"
+      case _: LessThanOrEqual    => if (flipped) "gte" else "lte"
+      case _: GreaterThan        => if (flipped) "lt" else "gt"
+      case _: GreaterThanOrEqual => if (flipped) "lte" else "gte"
+      case _ => return true
+    }
+    if (v == null) {
+      // `col <op> NULL` is never true — except null-safe equality, which
+      // matches exactly the null rows.
+      if (op == "eqns") st.get(name).forall(_.nulls > 0) else false
+    } else rangePossible(st, name, v, dt, op)
+  }
+
+  /** Range check of a non-null literal against a column's [min, max]. */
+  private def rangePossible(st: Map[String, ColStats], name: String,
+                            v: Any, dt: DataType, op: String): Boolean =
+    st.get(name) match {
+      case None => true
+      case Some(s) =>
+        if (!kindOf(dt).contains(s.kind)) return true // un-coerced type mismatch
+        (s.min, s.max) match {
+          case (Some(mnS), Some(mxS)) =>
+            if (s.kind == "num") {
+              val b = toBig(v)
+              if (b == null) return true
+              val mn = new java.math.BigDecimal(mnS)
+              val mx = new java.math.BigDecimal(mxS)
+              op match {
+                case "eq" | "eqns" => mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0
+                case "lt"          => mn.compareTo(b) < 0
+                case "lte"         => mn.compareTo(b) <= 0
+                case "gt"          => mx.compareTo(b) > 0
+                case "gte"         => mx.compareTo(b) >= 0
+              }
+            } else {
+              val sv = v.toString
+              op match {
+                case "eq" | "eqns" => mnS <= sv && sv <= mxS
+                case "lt"          => mnS < sv
+                case "lte"         => mnS <= sv
+                case "gt"          => mxS > sv
+                case "gte"         => mxS >= sv
+              }
+            }
+          case _ => false // all rows null: no ordered comparison can hold
+        }
+    }
+}

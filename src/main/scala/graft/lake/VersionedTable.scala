@@ -118,7 +118,124 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
       name
     }
     fs.delete(stageDir, true)
+    writeStats(named.toSeq, v)
     named.toSeq
+  }
+
+  // ---- per-file column statistics (data skipping) ---------------------
+  //
+  // Every commit writes a `v{N}-stats.jsonl` sidecar holding min/max/null
+  // counts for the commit's NEW files (one aggregation pass over just that
+  // data — O(commit), never O(table)). File names are globally unique and
+  // file content is immutable, so a stats line stays valid for as long as
+  // any later snapshot carries the file forward; readers assemble a
+  // snapshot's stats by name lookup across the sidecars. [[readWhere]]
+  // uses them to drop provably-irrelevant files BEFORE Spark lists the
+  // scan — the metadata layer that turns a selective predicate on a
+  // 100 TB table into a megabyte-scale read (row-group pushdown still
+  // applies inside surviving files).
+
+  private def statsFile(v: Int) = new Path(logDir, f"v$v%08d-stats.jsonl")
+
+  private def jesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def writeStats(names: Seq[String], v: Int): Unit = try {
+    if (names.isEmpty) return
+    val stats = FileStats.collect(spark, names.map(n => s"$tablePath/$n"))
+    val lines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        def opt(o: Option[String]) = o.map(x => "\"" + jesc(x) + "\"").getOrElse("null")
+        s"""{"file":"${jesc(f)}","col":"${jesc(c)}","kind":"${s.kind}",""" +
+          s""""min":${opt(s.min)},"max":${opt(s.max)},"nulls":${s.nulls},"rows":${s.rows}}"""
+      }
+    }
+    if (lines.isEmpty) return
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out = fs.create(statsFile(v), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+  } catch { case e: Throwable =>
+    // Stats are an optimization: a failed collection must never fail the
+    // commit — files without stats are simply never pruned.
+    System.err.println(s"[lake] stats collection failed for v$v " +
+      s"(skipping disabled for its files): ${e.getMessage}")
+  }
+
+  private val statLineRe =
+    ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","kind":"(num|str)",""" +
+      """"min":(null|"(?:[^"\\]|\\.)*"),"max":(null|"(?:[^"\\]|\\.)*"),""" +
+      """"nulls":(\d+),"rows":(\d+)\}""").r
+
+  private def junesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def parseStatValue(raw: String): Option[String] =
+    if (raw == "null") None
+    else Some(junesc(raw.substring(1, raw.length - 1)))
+
+  /** All stats lines across every sidecar, keyed file → column → stats.
+    * O(total files ever committed) driver-side metadata — the same order
+    * as the commit records themselves. */
+  private def readAllStats(): Map[String, Map[String, FileStats.ColStats]] = {
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) return Map.empty
+    val sidecars = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.matches("v\\d{8}-stats\\.jsonl")).sortBy(_.getName)
+    sidecars.toSeq.flatMap { p =>
+      val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+      val lines = try src.getLines().toList finally src.close()
+      lines.flatMap {
+        case statLineRe(f, c, kind, mn, mx, nulls, rows) =>
+          Some((junesc(f), junesc(c), FileStats.ColStats(kind,
+            parseStatValue(mn), parseStatValue(mx), nulls.toLong, rows.toLong)))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, seq) =>
+      f -> seq.map(t => t._2 -> t._3).toMap
+    }
+  }
+
+  /** The user's Column resolved against the snapshot schema: analyzing a
+    * dummy Filter turns the ColumnNode tree into catalyst expressions
+    * (AttributeReferences + coercion casts), which is what
+    * [[FileStats.mayMatch]] evaluates. */
+  private def resolvedPredicate(predicate: org.apache.spark.sql.Column,
+                                schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    dummy.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
+  }
+
+  /** Files of the snapshot that MAY hold rows matching `predicate`
+    * according to the per-file stats (conservative: files without stats
+    * or with un-analyzable predicate shapes are always kept). */
+  private[lake] def candidateFiles(predicate: org.apache.spark.sql.Column,
+                                   version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val c = readCommit(v)
+    val stats = readAllStats()
+    val e = resolvedPredicate(predicate, StructType.fromDDL(c.schemaDdl))
+    c.files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, st)))
+  }
+
+  /** Snapshot read restricted by `predicate`, with stats-based file
+    * pruning (Delta data skipping): files whose min/max/null stats prove
+    * they hold no matching row are never handed to the scan. The
+    * predicate is ALSO applied normally, so pruning is pure optimization
+    * — `readWhere(p)` ≡ `read().filter(p)` on any table.
+    */
+  def readWhere(predicate: org.apache.spark.sql.Column,
+                version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val keep = candidateFiles(predicate, Some(v))
+    if (keep.isEmpty) {
+      val schema = StructType.fromDDL(readCommit(v).schemaDdl)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(predicate)
+    } else readFiles(keep).filter(predicate)
   }
 
   private def nextVersion: Int = latestVersion().map(_ + 1).getOrElse(0)

@@ -1,0 +1,111 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Data skipping ([[FileStats]] + VersionedTable.readWhere): stats-based
+  * file pruning must (1) actually prune when the layout allows it and
+  * (2) NEVER change results — `readWhere(p)` ≡ `read().filter(p)` on any
+  * table, any predicate.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable() = VersionedTable(spark,
+    Files.createTempDirectory("graft-skip").toString + "/t")
+
+  /** 400 rows range-clustered on k into 4 files: k-ranges are disjoint
+    * per file, so point/range predicates on k prune. */
+  private def clusteredTable() = {
+    val t = freshTable()
+    val df = spark.range(0, 400).toDF("k")
+      .withColumn("grp", (col("k") / 100).cast("int"))
+      .withColumn("name", concat(lit("row-"), format_string("%04d", col("k"))))
+      .withColumn("val", col("k").cast("double") * 1.5)
+      .withColumn("d", to_date(lit("2024-01-01")))
+      .withColumn("ts", timestamp_seconds(
+        unix_timestamp(lit("2024-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss") + col("k") * 60))
+      .repartitionByRange(4, col("k"))
+    t.commitOverwrite(df)
+    t
+  }
+
+  test("point and range predicates prune to the files whose min/max admit them") {
+    val t = clusteredTable()
+    val total = t.candidateFiles(lit(true)).length
+    assert(total == 4)
+    assert(t.candidateFiles(col("k") === 5L).length == 1)
+    assert(t.candidateFiles(col("k") < 100L).length == 1)
+    assert(t.candidateFiles(col("k") >= 300L).length == 1)
+    assert(t.candidateFiles(col("k").between(50L, 150L)).length == 2)
+    assert(t.candidateFiles(col("k") === 5L || col("k") === 399L).length == 2)
+    assert(t.candidateFiles(col("k") === -1L).isEmpty)
+    // results identical to the unpruned read+filter
+    val a = t.readWhere(col("k").between(50L, 150L)).select("k").as[Long].collect().sorted
+    val b = t.read().filter(col("k").between(50L, 150L)).select("k").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq && a.length == 101)
+  }
+
+  test("string, date, timestamp, and null predicates prune via their stats encodings") {
+    val t = clusteredTable()
+    // strings cluster with k (row-0000..row-0399 in k order)
+    assert(t.candidateFiles(col("name") === "row-0005").length == 1)
+    assert(t.candidateFiles(col("name").startsWith("row-03")).length == 1)
+    assert(t.candidateFiles(col("name") === "zzz").isEmpty)
+    // every row has d = 2024-01-01: other dates prune everything
+    assert(t.candidateFiles(col("d") === to_date(lit("2024-01-01"))).length == 4)
+    assert(t.candidateFiles(col("d") === to_date(lit("2024-06-01"))).isEmpty)
+    // timestamps cluster with k (one minute per row)
+    assert(t.candidateFiles(col("ts") < to_timestamp(lit("2024-01-01 01:40:00"))).length == 1)
+    // no column is null: IsNull prunes all files, IsNotNull keeps all
+    assert(t.candidateFiles(col("name").isNull).isEmpty)
+    assert(t.readWhere(col("name").isNull).count() == 0)
+    assert(t.candidateFiles(col("name").isNotNull).length == 4)
+    // IN-list keeps exactly the files containing a listed point
+    assert(t.candidateFiles(col("k").isin(5L, 399L)).length == 2)
+  }
+
+  test("unsupported predicate shapes never prune (conservative), results stay correct") {
+    val t = clusteredTable()
+    assert(t.candidateFiles(length(col("name")) === 8).length == 4)
+    assert(t.candidateFiles(not(col("k") === 5L)).length == 4)
+    assert(t.readWhere(length(col("name")) === 8).count() == 400)
+    // column-vs-column comparison: no literal, no pruning
+    assert(t.candidateFiles(col("k") === col("grp")).length == 4)
+  }
+
+  test("appends and DML rewrites keep stats consistent across versions") {
+    val t = clusteredTable()
+    t.commitAppend(Seq((1000L, 10, "row-1000", 1.5, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("k", "grp", "name", "val", "d", "ts"))
+    assert(t.candidateFiles(col("k") === 1000L).length == 1)
+    assert(t.readWhere(col("k") === 1000L).count() == 1)
+    // copy-on-write update rewrites one file; its replacement gets stats
+    t.update(col("k") === 5L, Map("val" -> lit(-1.0)))
+    assert(t.candidateFiles(col("val") < 0.0).length == 1)
+    val hit = t.readWhere(col("val") < 0.0).select("k").as[Long].collect().toSeq
+    assert(hit == Seq(5L))
+    // pruned read equals full filter on the evolved table
+    assert(t.readWhere(col("k") < 100L).count() ==
+      t.read().filter(col("k") < 100L).count())
+  }
+
+  test("all-null columns prune ordered comparisons but match IsNull") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, Option.empty[String]), (2L, None))
+      .toDF("id", "s"))
+    assert(t.candidateFiles(col("s") === "x").isEmpty)
+    assert(t.candidateFiles(col("s") < "x").isEmpty)
+    assert(t.candidateFiles(col("s").isNull).nonEmpty)
+    assert(t.readWhere(col("s").isNull).count() == 2)
+    assert(t.candidateFiles(col("s").isNotNull).isEmpty)
+    // null-safe equality against null keeps exactly the null-bearing files
+    assert(t.candidateFiles(col("s") <=> lit(null)).nonEmpty)
+  }
+}
