@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ninth core tranche: time-series repair, map-typed columns, positional
+  * generators, graph triangle counting, and weighted order statistics.
+  *
+  * Scale notes shared by the tranche: the only non-equi plans are two
+  * deliberately bounded products (a |priorities|×|days| calendar scaffold
+  * and a 1-row average broadcast), both PlanLint-allowlisted; everything
+  * else is keyed shuffles or window functions partitioned by a grouping
+  * column. Per-group window state is O(1) per row (running sums / last
+  * non-null), never a buffered partition.
+  */
+object CoreQueries9 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Gap-filled per-priority daily revenue with forward fill: calendar
+    // scaffold (priorities × all days) left-joined to observed daily
+    // revenue, missing days repaired by the last non-null observation
+    // (`last(..., ignoreNulls)` over an unbounded-preceding frame — the
+    // canonical LOCF shape). The scaffold is |groups|×|days| rows: both
+    // dimensions are metadata-sized (5 priorities, ~2.4k days) no matter
+    // how large `orders` grows, so the cross product is bounded and the
+    // expensive side remains one keyed aggregation of the fact table.
+    // n_obs (count of non-null observations so far) doubles as the
+    // "how stale is this fill" audit column.
+    q("q_gap_fill",
+      """WITH bounds AS (SELECT date_trunc('day',min(o_orderdate)) AS d0,
+        |    date_trunc('day',max(o_orderdate)) AS d1 FROM orders),
+        |days AS (SELECT unnest(generate_series(d0,d1,INTERVAL 1 DAY)) AS day FROM bounds),
+        |prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        |daily AS (SELECT o_orderpriority AS p2, date_trunc('day',o_orderdate) AS day,
+        |    round(sum(o_totalprice),2) AS rev FROM orders GROUP BY 1,2)
+        |SELECT p.prio AS prio, strftime(d.day,'%Y-%m-%d') AS day,
+        |  coalesce(daily.rev, 0) AS revenue,
+        |  last_value(daily.rev IGNORE NULLS) OVER (PARTITION BY p.prio ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ffill,
+        |  count(daily.rev) OVER (PARTITION BY p.prio ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_obs
+        |FROM prios p CROSS JOIN days d
+        |LEFT JOIN daily ON daily.p2 = p.prio AND daily.day = d.day
+        |ORDER BY prio, day""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val daily = o
+        .groupBy(col("o_orderpriority").as("prio"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val bounds = o.agg(date_trunc("day", min("o_orderdate")).as("d0"),
+        date_trunc("day", max("o_orderdate")).as("d1"))
+      val days = bounds
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val prios = o.select(col("o_orderpriority").as("prio")).distinct()
+      val w = Window.partitionBy("prio").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      prios.crossJoin(days)
+        .join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("rev"), lit(0.0)).as("revenue"),
+          last(col("rev"), ignoreNulls = true).over(w).as("revenue_ffill"),
+          count(col("rev")).over(w).as("n_obs"))
+        .orderBy("prio", "day")
+    },
+
+    // Map-typed column round trip: per-nation segment→count maps built
+    // with map_from_entries over a sorted entry list (sort_array pins
+    // iteration order so explode is deterministic), pruned with
+    // map_filter's (k,v) lambda, then exploded back to rows for the
+    // relational compare. The map is bounded by segment cardinality (5),
+    // so each group's state is O(|segments|) — a map column here is a
+    // modeling convenience, not a shuffle-width risk. The oracle replays
+    // the same algebra relationally (filter = map_filter, join back =
+    // explode).
+    q("q_map_funcs",
+      """WITH seg AS (SELECT c_nationkey::INT AS nation_key, c_mktsegment AS segment,
+        |    count(*) AS cnt FROM customer GROUP BY 1,2),
+        |tot AS (SELECT nation_key AS nk, count(*) AS n_segments FROM seg GROUP BY 1)
+        |SELECT t.nk AS nation_key, t.n_segments AS n_segments,
+        |  s.segment AS segment, s.cnt AS cnt
+        |FROM tot t JOIN seg s ON s.nation_key = t.nk
+        |WHERE s.cnt >= 3 ORDER BY t.nk, s.segment""".stripMargin) { (s, d) =>
+      val seg = customer(s, d)
+        .groupBy(col("c_nationkey").cast("int").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"))
+      seg.groupBy("nation_key")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("segment"), col("cnt"))))).as("m"))
+        .select(col("nation_key"), size(map_keys(col("m"))).as("n_segments"),
+          explode(map_filter(col("m"), (_, v) => v >= 3)).as(Seq("segment", "cnt")))
+        .orderBy("nation_key", "segment")
+    },
+
+    // Positional generator: posexplode over a bounded token slice —
+    // ordinal position travels with the exploded row (the lateral-view
+    // shape tokenizers and span-labelers need). The slice bounds the
+    // fan-out per row; generation happens inside the scan projection, so
+    // no shuffle is introduced at all.
+    q("q_posexplode",
+      """WITH t AS (SELECT doc_id, string_split(text,' ')[1:5] AS toks
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT * FROM (SELECT doc_id,
+        |  unnest([{'pos': i-1, 'token': toks[i]} for i in range(1, len(toks)+1)],
+        |         recursive := true)
+        |FROM t) ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    },
+
+    // Per-node triangle counts over the nation-trade graph (same edge
+    // derivation as q_pagerank), with the two standard scale levers:
+    // (1) sparsify — keep only edges above the mean weight, computed as
+    // a 1-row broadcast so no second corpus pass; (2) degree-orient —
+    // direct each undirected edge from its (degree, id)-smaller endpoint
+    // so every triangle is enumerated exactly once and the O(Σ d(v)²)
+    // wedge join is driven by low-degree sources (the classic
+    // compact-forward bound; on a power-law graph this is the difference
+    // between m^1.5 and the hub blowup). All three triangle joins are
+    // equi-joins on node ids — hash-partitionable at any graph size.
+    q("q_triangle_count",
+      """WITH ec AS MATERIALIZED (SELECT least(s.s_nationkey::INT, c.c_nationkey::INT) AS a,
+        |    greatest(s.s_nationkey::INT, c.c_nationkey::INT) AS b, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1,2),
+        |e0 AS MATERIALIZED (SELECT a, b FROM ec WHERE cnt > (SELECT avg(cnt) FROM ec)),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |o AS MATERIALIZED (SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS src,
+        |             CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS dst
+        |      FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+        |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT node, count(*)::BIGINT AS n_triangles FROM
+        | (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val ec = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select(col("c_custkey"), col("c_nationkey").as("cn")),
+          col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("sn")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("sn") =!= col("cn"))
+        .groupBy(least(col("sn"), col("cn")).cast("int").as("a"),
+          greatest(col("sn"), col("cn")).cast("int").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        // nation²-bounded edge list referenced by every downstream branch
+        // (mean filter, degrees, three triangle-join sides): materialize
+        // once or the 4-table corpus join re-executes per reference —
+        // same single-corpus-pass discipline as q_pagerank's edges (and
+        // the oracle's MATERIALIZED CTEs).
+        .localCheckpoint()
+      // mean edge weight as a 1-row broadcast (PlanLint-allowlisted):
+      // sparsification without a second pass over the fact joins
+      val e0 = ec.crossJoin(broadcast(ec.agg(avg("cnt").as("avgc"))))
+        .filter(col("cnt") > col("avgc")).select("a", "b")
+      val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val oriented = e0
+        .join(deg.select(col("node").as("na"), col("d").as("da")), col("a") === col("na"))
+        .join(deg.select(col("node").as("nb"), col("d").as("db")), col("b") === col("nb"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+            .otherwise(col("b")).as("src"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+            .otherwise(col("a")).as("dst"))
+        // feeds all three triangle-join sides — materialize the ≤|V|²
+        // row edge list once instead of re-planning its join chain 3×
+        .localCheckpoint()
+      val e1 = oriented.select(col("src").as("x"), col("dst").as("y"))
+      val e2 = oriented.select(col("src").as("y2"), col("dst").as("z"))
+      val e3 = oriented.select(col("src").as("x3"), col("dst").as("z3"))
+      val tri = e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .select("x", "y", "z")
+      tri.select(col("x").as("node"))
+        .union(tri.select(col("y").as("node")))
+        .union(tri.select(col("z").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    },
+
+    // Weighted median (lower) of price weighted by quantity, per return
+    // flag: running cumulative weight over a deterministic total order
+    // (price, then unique keys), pick the first row whose cumulative
+    // weight reaches half the group total. Weights are cast to long so
+    // the boundary comparison is exact integer math on both engines —
+    // no float accumulation-order slack at the median pick. One sort
+    // per group partition; state per row is a running sum.
+    q("q_weighted_median",
+      """WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    l_quantity::BIGINT AS wt, l_orderkey, l_linenumber FROM lineitem),
+        |c AS (SELECT flag, price, wt,
+        |    sum(wt) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(wt) OVER (PARTITION BY flag) AS totw FROM w),
+        |m AS (SELECT flag, price, totw,
+        |    row_number() OVER (PARTITION BY flag ORDER BY price) AS rk
+        |  FROM c WHERE cumw*2 >= totw)
+        |SELECT flag, price AS weighted_median, totw::BIGINT AS total_weight
+        |FROM m WHERE rk = 1 ORDER BY flag""".stripMargin) { (s, d) =>
+      val w0 = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("wt"),
+        col("l_orderkey"), col("l_linenumber"))
+      val wOrd = Window.partitionBy("flag")
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("flag")
+      w0.select(col("flag"), col("price"),
+          sum("wt").over(wOrd).as("cumw"), sum("wt").over(wAll).as("totw"))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .withColumn("rk", row_number().over(Window.partitionBy("flag").orderBy("price")))
+        .filter(col("rk") === 1)
+        .select(col("flag"), col("price").as("weighted_median"),
+          col("totw").as("total_weight"))
+        .orderBy("flag")
+    }
+  )
+}

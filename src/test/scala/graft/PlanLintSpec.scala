@@ -54,6 +54,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_hll_union",             // 1-row merged-sketch × 1-row global-exact broadcast
     "q_funnel",                // 1-row first-stage-count broadcast for the conversion ratio
     "q_kmv_intersect",         // bounded source-pair generator (inequality self-join of the ≤|sources|-row list)
+    "q_gap_fill",              // bounded |priorities|×|days| calendar scaffold
+    "q_triangle_count",        // 1-row mean-edge-weight broadcast for sparsification
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
