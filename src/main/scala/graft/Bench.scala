@@ -53,6 +53,8 @@ object Bench {
     "q_cms_freq", "q_bloom_prefilter", "q_kmv_union", "q_decontaminate",
     // round-7 behavioral/graph analytics families
     "q_funnel", "q_cohort_retention", "q_pagerank", "q_kmv_intersect",
+    // round-8 time-series/graph/order-statistics families
+    "q_gap_fill", "q_triangle_count", "q_weighted_median",
   )
 
   /** Round number for the full-timings filename, inferred from the

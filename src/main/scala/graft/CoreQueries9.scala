@@ -20,6 +20,43 @@ object CoreQueries9 {
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
 
+  /** Shared oracle CTE prefix: the nation-trade edge list (supplier
+    * nation ↔ customer nation, undirected, deduped by least/greatest),
+    * sparsified to above-mean weight via a single-pass scalar subquery.
+    * MATERIALIZED because DuckDB inlines CTEs per reference — without it
+    * the 4-table corpus join re-executes once per downstream mention.
+    */
+  private val edgeCtes =
+    """ec AS MATERIALIZED (SELECT least(s.s_nationkey::INT, c.c_nationkey::INT) AS a,
+      |    greatest(s.s_nationkey::INT, c.c_nationkey::INT) AS b, count(*) AS cnt
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1,2),
+      |e0 AS MATERIALIZED (SELECT a, b FROM ec WHERE cnt > (SELECT avg(cnt) FROM ec))""".stripMargin
+
+  /** Spark twin of [[edgeCtes]]: weighted undirected nation-trade edges,
+    * sparsified to above-mean weight (1-row broadcast — PlanLint-
+    * allowlisted), materialized once so the corpus join runs a single
+    * pass no matter how many branches read it downstream.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val ec = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey").as("cn")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("sn") =!= col("cn"))
+      .groupBy(least(col("sn"), col("cn")).cast("int").as("a"),
+        greatest(col("sn"), col("cn")).cast("int").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    ec.crossJoin(broadcast(ec.agg(avg("cnt").as("avgc"))))
+      .filter(col("cnt") > col("avgc")).select("a", "b")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Gap-filled per-priority daily revenue with forward fill: calendar
@@ -128,13 +165,7 @@ object CoreQueries9 {
     // between m^1.5 and the hub blowup). All three triangle joins are
     // equi-joins on node ids — hash-partitionable at any graph size.
     q("q_triangle_count",
-      """WITH ec AS MATERIALIZED (SELECT least(s.s_nationkey::INT, c.c_nationkey::INT) AS a,
-        |    greatest(s.s_nationkey::INT, c.c_nationkey::INT) AS b, count(*) AS cnt
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1,2),
-        |e0 AS MATERIALIZED (SELECT a, b FROM ec WHERE cnt > (SELECT avg(cnt) FROM ec)),
+      s"""WITH $edgeCtes,
         |deg AS (SELECT node, count(*) AS d FROM
         |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
         |o AS MATERIALIZED (SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS src,
@@ -146,27 +177,7 @@ object CoreQueries9 {
         |SELECT node, count(*)::BIGINT AS n_triangles FROM
         | (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-      val ec = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d).select(col("c_custkey"), col("c_nationkey").as("cn")),
-          col("o_custkey") === col("c_custkey"))
-        .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("sn")),
-          col("l_suppkey") === col("s_suppkey"))
-        .filter(col("sn") =!= col("cn"))
-        .groupBy(least(col("sn"), col("cn")).cast("int").as("a"),
-          greatest(col("sn"), col("cn")).cast("int").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-        // nation²-bounded edge list referenced by every downstream branch
-        // (mean filter, degrees, three triangle-join sides): materialize
-        // once or the 4-table corpus join re-executes per reference —
-        // same single-corpus-pass discipline as q_pagerank's edges (and
-        // the oracle's MATERIALIZED CTEs).
-        .localCheckpoint()
-      // mean edge weight as a 1-row broadcast (PlanLint-allowlisted):
-      // sparsification without a second pass over the fact joins
-      val e0 = ec.crossJoin(broadcast(ec.agg(avg("cnt").as("avgc"))))
-        .filter(col("cnt") > col("avgc")).select("a", "b")
+      val e0 = tradeEdges(s, d)
       val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val oriented = e0
@@ -228,6 +239,99 @@ object CoreQueries9 {
         .select(col("flag"), col("price").as("weighted_median"),
           col("totw").as("total_weight"))
         .orderBy("flag")
+    },
+
+    // Closed-form OLS per group via the native regression aggregates
+    // (codegen'd moment sums — one pass, map-side partials, no second
+    // scan for the means). Ratios of centered sums are rounded to 6 like
+    // every cross-engine float aggregate in the registry.
+    q("q_regr_ols",
+      """SELECT l_returnflag AS flag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          count(lit(1)).as("n"))
+        .orderBy("flag")
+    },
+
+    // Shannon entropy of each nation's segment distribution — the
+    // label-balance score a curation pipeline runs over source/category
+    // mixes. Two keyed aggregations; the per-group total rides a window
+    // over the |nations|×|segments| aggregate, so the raw table is
+    // scanned once.
+    q("q_entropy",
+      """WITH seg AS (SELECT c_nationkey::INT AS nk, c_mktsegment AS segment,
+        |    count(*) AS cnt FROM customer GROUP BY 1,2),
+        |tot AS (SELECT nk, sum(cnt) AS total FROM seg GROUP BY 1)
+        |SELECT s.nk AS nation_key,
+        |  round(-sum((s.cnt*1.0/t.total) * log2(s.cnt*1.0/t.total)), 6) AS entropy,
+        |  count(*) AS n_segments
+        |FROM seg s JOIN tot t ON s.nk = t.nk
+        |GROUP BY s.nk ORDER BY nation_key""".stripMargin) { (s, d) =>
+      val seg = customer(s, d)
+        .groupBy(col("c_nationkey").cast("int").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"))
+      val withTot = seg.withColumn("total",
+        sum("cnt").over(Window.partitionBy("nation_key")))
+      val p = col("cnt") * lit(1.0) / col("total")
+      withTot.groupBy("nation_key")
+        .agg(round(-sum(p * log2(p)), 6).as("entropy"),
+          count(lit(1)).as("n_segments"))
+        .orderBy("nation_key")
+    },
+
+    // Single-source BFS shortest hops over the sparsified trade graph:
+    // 4 unrolled relax rounds (graph diameter ≪ 4 after sparsification),
+    // each a frontier⋈edges equi-join + min-aggregation — the iterative
+    // join+agg shape shared with q_pagerank, on the SAME materialized
+    // edge list, so the corpus contributes one pass total. Unreached
+    // nodes surface as -1 (never silently dropped). Integer hop math —
+    // the oracle replays exactly, no float slack.
+    q("q_shortest_path", {
+      val iters = (1 to 4).map { k =>
+        s"""d$k AS (SELECT node, min(hops) AS hops FROM (
+           |  SELECT node, hops FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.b AS node, d${k - 1}.hops + 1 AS hops
+           |  FROM d${k - 1} JOIN eu e ON e.a = d${k - 1}.node
+           |) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |eu AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |d0 AS (SELECT 0 AS node, 0 AS hops),
+         |$iters
+         |SELECT n.n_nationkey::INT AS node, coalesce(d4.hops, -1)::BIGINT AS hops
+         |FROM nation n LEFT JOIN d4 ON d4.node = n.n_nationkey
+         |ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val e0 = tradeEdges(s, d)
+      val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var dist = Seq((0, 0)).toDF(s)("node", "hops")
+      for (_ <- 1 to 4) {
+        val relaxed = eu.join(dist, eu("a") === dist("node"))
+          .select(eu("b").as("node"), (dist("hops") + 1).as("hops"))
+        dist = dist.union(relaxed)
+          .groupBy("node").agg(min("hops").as("hops"))
+      }
+      nation(s, d).select(col("n_nationkey").cast("int").as("node"))
+        .join(dist.withColumnRenamed("node", "dn"),
+          col("node") === col("dn"), "left")
+        .select(col("node"), coalesce(col("hops"), lit(-1)).cast("long").as("hops"))
+        .orderBy("node")
     }
   )
+
+  /** Tiny literal frame without importing spark.implicits at call sites. */
+  implicit private class SeqToDf(rows: Seq[(Int, Int)]) {
+    def toDF(s: SparkSession)(c1: String, c2: String): DataFrame =
+      s.createDataFrame(rows).toDF(c1, c2)
+  }
 }

@@ -56,6 +56,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_kmv_intersect",         // bounded source-pair generator (inequality self-join of the ≤|sources|-row list)
     "q_gap_fill",              // bounded |priorities|×|days| calendar scaffold
     "q_triangle_count",        // 1-row mean-edge-weight broadcast for sparsification
+    "q_shortest_path",         // same 1-row mean-edge-weight broadcast (shared tradeEdges)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
