@@ -326,6 +326,128 @@ object CoreQueries9 {
           col("node") === col("dn"), "left")
         .select(col("node"), coalesce(col("hops"), lit(-1)).cast("long").as("hops"))
         .orderBy("node")
+    },
+
+    // Harmonic centrality via multi-source BFS: the same 4 relax rounds
+    // as q_shortest_path but keyed (src, node) — every node is a source,
+    // so the frontier state is |V|² at worst, which is the deliberate
+    // scope: harmonic centrality over the FULL graph is only sane on a
+    // model-sized (dimension) graph, and the (src,node) keying is
+    // exactly how it shuffle-partitions when |V| grows. Σ 1/hops floats
+    // ride the registry's round-6 contract.
+    q("q_harmonic_centrality", {
+      val iters = (1 to 4).map { k =>
+        s"""d$k AS (SELECT src, node, min(hops) AS hops FROM (
+           |  SELECT src, node, hops FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT d${k - 1}.src, e.b AS node, d${k - 1}.hops + 1 AS hops
+           |  FROM d${k - 1} JOIN eu e ON e.a = d${k - 1}.node
+           |) GROUP BY src, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |eu AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |nodes AS (SELECT DISTINCT a AS node FROM eu),
+         |d0 AS (SELECT node AS src, node, 0 AS hops FROM nodes),
+         |$iters
+         |SELECT src AS node,
+         |  round(sum(CASE WHEN hops > 0 THEN 1.0/hops ELSE 0 END), 6) AS harmonic,
+         |  count(*) - 1 AS n_reached
+         |FROM d4 GROUP BY src ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val e0 = tradeEdges(s, d)
+      val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val nodes = eu.select(col("a").as("node")).distinct()
+      var dist = nodes.select(col("node").as("src"), col("node"), lit(0).as("hops"))
+      for (_ <- 1 to 4) {
+        val relaxed = eu.join(dist, eu("a") === dist("node"))
+          .select(dist("src"), eu("b").as("node"), (dist("hops") + 1).as("hops"))
+        dist = dist.union(relaxed)
+          .groupBy("src", "node").agg(min("hops").as("hops"))
+      }
+      dist.groupBy(col("src").as("node"))
+        .agg(round(sum(when(col("hops") > 0, lit(1.0) / col("hops")).otherwise(0.0)), 6)
+          .as("harmonic"),
+          (count(lit(1)) - 1).as("n_reached"))
+        .orderBy("node")
+    },
+
+    // Link prediction by neighbor-set Jaccard: candidate pairs share a
+    // neighbor (equi-join on the common endpoint — the wedge join again,
+    // O(Σ d(v)²) driven by the adjacency list, never all-pairs), scored
+    // |N(u)∩N(v)| / |N(u)∪N(v)|, existing edges removed by anti-join.
+    // Integer set math + one final rounded division.
+    q("q_link_jaccard",
+      s"""WITH $edgeCtes,
+         |eu AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT a AS node, count(*) AS d FROM eu GROUP BY 1),
+         |shared AS (SELECT e1.b AS u, e2.b AS v, count(*) AS m
+         |  FROM eu e1 JOIN eu e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT u, v, m,
+         |    round(m * 1.0 / (du.d + dv.d - m), 6) AS jaccard
+         |  FROM shared JOIN deg du ON du.node = shared.u
+         |  JOIN deg dv ON dv.node = shared.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = shared.u AND e0.b = shared.v))
+         |SELECT u, v, m AS n_common, jaccard FROM jac
+         |WHERE jaccard >= 0.25 ORDER BY u, v""".stripMargin) { (s, d) =>
+      val e0 = tradeEdges(s, d)
+      val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val deg = eu.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      val e1 = eu.select(col("a").as("w"), col("b").as("u"))
+      val e2 = eu.select(col("a").as("w2"), col("b").as("v"))
+      val shared = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("m"))
+      shared
+        .join(e0, col("u") === col("a") && col("v") === col("b"), "left_anti")
+        .join(deg.select(col("node").as("nu"), col("d").as("du")), col("u") === col("nu"))
+        .join(deg.select(col("node").as("nv"), col("d").as("dv")), col("v") === col("nv"))
+        .withColumn("jaccard",
+          round(col("m") * lit(1.0) / (col("du") + col("dv") - col("m")), 6))
+        .filter(col("jaccard") >= 0.25)
+        .select(col("u"), col("v"), col("m").as("n_common"), col("jaccard"))
+        .orderBy("u", "v")
+    },
+
+    // k-core decomposition by 4 unrolled peel rounds (degree < k nodes
+    // and their edges removed each round): the iterative-refinement
+    // sibling of BFS's frontier expansion. Each round is two bounded
+    // aggregations + two semi-join-shaped filters on the edge list; the
+    // per-round edge frame is checkpointed because it feeds THREE
+    // downstream references (degree count twice via the union, plus the
+    // filter join) — without it the lineage re-expands 3^rounds.
+    q("q_kcore", {
+      val K = 6
+      val iters = (1 to 4).map { r =>
+        s"""deg$r AS (SELECT node, count(*) AS d FROM
+           |  (SELECT a AS node FROM g${r - 1} UNION ALL SELECT b FROM g${r - 1}) GROUP BY node),
+           |keep$r AS (SELECT node FROM deg$r WHERE d >= $K),
+           |g$r AS (SELECT g${r - 1}.a, g${r - 1}.b FROM g${r - 1}
+           |  JOIN keep$r ka ON ka.node = g${r - 1}.a
+           |  JOIN keep$r kb ON kb.node = g${r - 1}.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |g0 AS (SELECT a, b FROM e0),
+         |$iters,
+         |degf AS (SELECT node, count(*) AS d FROM
+         |  (SELECT a AS node FROM g4 UNION ALL SELECT b FROM g4) GROUP BY node)
+         |SELECT node, d::BIGINT AS core_degree FROM degf ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val K = 6
+      var g = tradeEdges(s, d)
+      for (_ <- 1 to 4) {
+        val deg = g.select(col("a").as("node")).union(g.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= K).select("node")
+        g = g.join(keep.withColumnRenamed("node", "ka"), col("a") === col("ka"))
+          .join(keep.withColumnRenamed("node", "kb"), col("b") === col("kb"))
+          .select("a", "b")
+          .localCheckpoint()
+      }
+      g.select(col("a").as("node")).union(g.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+        .orderBy("node")
     }
   )
 

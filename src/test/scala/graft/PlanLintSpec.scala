@@ -57,6 +57,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q_gap_fill",              // bounded |priorities|×|days| calendar scaffold
     "q_triangle_count",        // 1-row mean-edge-weight broadcast for sparsification
     "q_shortest_path",         // same 1-row mean-edge-weight broadcast (shared tradeEdges)
+    "q_harmonic_centrality",   // same 1-row mean-edge-weight broadcast (shared tradeEdges)
+    "q_link_jaccard",          // same 1-row mean-edge-weight broadcast (shared tradeEdges)
+    "q_kcore",                 // same 1-row mean-edge-weight broadcast (shared tradeEdges)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
