@@ -205,39 +205,75 @@ object CoreQueries9 {
     },
 
     // Weighted median (lower) of price weighted by quantity, per return
-    // flag: running cumulative weight over a deterministic total order
-    // (price, then unique keys), pick the first row whose cumulative
-    // weight reaches half the group total. Weights are cast to long so
-    // the boundary comparison is exact integer math on both engines —
-    // no float accumulation-order slack at the median pick. One sort
-    // per group partition; state per row is a running sum.
+    // flag, as a DISTRIBUTED order statistic — the two-pass bucketed
+    // prefix sum (q_pack_sequences' pattern applied to quantiles):
+    //   pass 1: per-(group, price-bucket) weight partials — a fully
+    //     parallel aggregation; the ordered cumsum then runs over the
+    //     BUCKET LIST (dozens of rows per group), not the raw rows, and
+    //     locates the bucket containing the median plus the carry-in
+    //     weight before it;
+    //   pass 2: the fine ordered cumsum runs only INSIDE the boundary
+    //     bucket (a semi-join-shaped equi-join prunes the rest), offset
+    //     by the carry.
+    // A naive single window per group funnels every row through
+    // |groups| tasks (measured 1.36 s at sf0.1); here the row-scale
+    // work is all keyed aggregation, and the only sequential scans are
+    // bucket-count and single-bucket sized. Weights are cast to long so
+    // every boundary comparison is exact integer math on both engines;
+    // bucket ids come from floor(price/1000) — identical IEEE doubles
+    // in, identical bucket out.
     q("q_weighted_median",
       """WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
         |    l_quantity::BIGINT AS wt, l_orderkey, l_linenumber FROM lineitem),
-        |c AS (SELECT flag, price, wt,
-        |    sum(wt) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-        |    sum(wt) OVER (PARTITION BY flag) AS totw FROM w),
-        |m AS (SELECT flag, price, totw,
-        |    row_number() OVER (PARTITION BY flag ORDER BY price) AS rk
-        |  FROM c WHERE cumw*2 >= totw)
-        |SELECT flag, price AS weighted_median, totw::BIGINT AS total_weight
-        |FROM m WHERE rk = 1 ORDER BY flag""".stripMargin) { (s, d) =>
+        |tot AS (SELECT flag, sum(wt)::BIGINT AS totw FROM w GROUP BY flag),
+        |part AS (SELECT flag, CAST(floor(price/1000) AS BIGINT) AS bkt,
+        |    sum(wt)::BIGINT AS bw FROM w GROUP BY 1,2),
+        |cum AS (SELECT flag, bkt, bw, sum(bw) OVER (PARTITION BY flag ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumb FROM part),
+        |bound AS (SELECT flag, bkt, (cumb - bw)::BIGINT AS carry FROM (
+        |  SELECT c.flag, c.bkt, c.bw, c.cumb,
+        |    row_number() OVER (PARTITION BY c.flag ORDER BY c.bkt) AS rk
+        |  FROM cum c JOIN tot t ON t.flag = c.flag WHERE c.cumb*2 >= t.totw)
+        |  WHERE rk = 1),
+        |fine AS (SELECT w.flag AS flag, w.price AS price, b.carry AS carry,
+        |    t.totw AS totw,
+        |    sum(w.wt) OVER (PARTITION BY w.flag ORDER BY w.price, w.l_orderkey, w.l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumf
+        |  FROM w JOIN bound b ON b.flag = w.flag
+        |    AND CAST(floor(w.price/1000) AS BIGINT) = b.bkt
+        |  JOIN tot t ON t.flag = w.flag)
+        |SELECT flag, min(price) AS weighted_median, max(totw) AS total_weight
+        |FROM fine WHERE (carry + cumf)*2 >= totw
+        |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
       val w0 = lineitem(s, d).select(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("price"),
         col("l_quantity").cast("long").as("wt"),
         col("l_orderkey"), col("l_linenumber"))
-      val wOrd = Window.partitionBy("flag")
+        .withColumn("bkt", floor(col("price") / 1000).cast("long"))
+      val tot = w0.groupBy(col("flag").as("tflag")).agg(sum("wt").as("totw"))
+      // pass 1: parallel bucket partials; ordered cumsum over the bucket
+      // list only
+      val part = w0.groupBy("flag", "bkt").agg(sum("wt").as("bw"))
+      val wBkt = Window.partitionBy("flag").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = part.withColumn("cumb", sum("bw").over(wBkt))
+      val bound = cum
+        .join(broadcast(tot), col("flag") === col("tflag"))
+        .filter(col("cumb") * 2 >= col("totw"))
+        .withColumn("rk", row_number().over(Window.partitionBy("flag").orderBy("bkt")))
+        .filter(col("rk") === 1)
+        .select(col("flag").as("bflag"), col("bkt").as("bbkt"),
+          (col("cumb") - col("bw")).as("carry"))
+      // pass 2: fine cumsum inside the boundary bucket only
+      val wFine = Window.partitionBy("flag")
         .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("flag")
-      w0.select(col("flag"), col("price"),
-          sum("wt").over(wOrd).as("cumw"), sum("wt").over(wAll).as("totw"))
-        .filter(col("cumw") * 2 >= col("totw"))
-        .withColumn("rk", row_number().over(Window.partitionBy("flag").orderBy("price")))
-        .filter(col("rk") === 1)
-        .select(col("flag"), col("price").as("weighted_median"),
-          col("totw").as("total_weight"))
+      w0.join(broadcast(bound), col("flag") === col("bflag") && col("bkt") === col("bbkt"))
+        .withColumn("cumf", sum("wt").over(wFine))
+        .join(broadcast(tot), col("flag") === col("tflag"))
+        .filter((col("carry") + col("cumf")) * 2 >= col("totw"))
+        .groupBy("flag")
+        .agg(min("price").as("weighted_median"), max("totw").as("total_weight"))
         .orderBy("flag")
     },
 
