@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tenth core tranche: event-analytics shapes that stress-test the
+  * engine's distributed-prefix-sum and co-occurrence machinery —
+  * sweep-line max concurrency, market-basket association (lift), and
+  * CUSUM-style changepoint scoring.
+  *
+  * Scale property shared by the tranche: no unpartitioned window ever
+  * sees raw-row cardinality. The sweep line runs the bucketed two-pass
+  * prefix sum (q_pack_sequences' pattern); basket pairs expand per
+  * order-sized adjacency (never all-pairs over the catalog); CUSUM is
+  * per-user windows keyed by a high-cardinality column.
+  */
+object CoreQueries10 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Max concurrent active events per type (each event active for 10
+    // minutes): the classic sweep line — +1/-1 boundaries, running sum,
+    // max — made distributed. Concurrency is evaluated per distinct
+    // boundary instant (net delta per (type, t)), so tied starts/ends
+    // collapse into one deterministic row; the running sum then runs as
+    // the bucketed two-pass prefix sum: hour-bucket partials in a fully
+    // parallel aggregation, ordered cumsum over the BUCKET list per
+    // type, carry + fine cumsum inside each bucket independently. The
+    // boundary-instant frame is checkpointed because both the max and
+    // the argmax join-back read it.
+    q("q_max_concurrency",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) + 600000000 AS t, -1 FROM events),
+        |net AS (SELECT event_type, t, CAST(floor(t / 3600000000) AS BIGINT) AS bkt,
+        |    sum(delta)::BIGINT AS net FROM b GROUP BY 1,2,3),
+        |part AS (SELECT event_type, bkt, sum(net)::BIGINT AS bnet FROM net GROUP BY 1,2),
+        |cumb AS (SELECT event_type, bkt,
+        |    (sum(bnet) OVER (PARTITION BY event_type ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bnet)::BIGINT AS carry
+        |  FROM part),
+        |conc AS (SELECT n.event_type AS event_type, n.t AS t,
+        |    (c.carry + sum(n.net) OVER (PARTITION BY n.event_type, n.bkt ORDER BY n.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS active
+        |  FROM net n JOIN cumb c ON c.event_type = n.event_type AND c.bkt = n.bkt),
+        |mx AS (SELECT event_type, max(active) AS max_concurrent FROM conc GROUP BY 1)
+        |SELECT m.event_type AS event_type, m.max_concurrent AS max_concurrent,
+        |  strftime(make_timestamp(min(c.t)), '%Y-%m-%d %H:%M:%S') AS first_peak
+        |FROM mx m JOIN conc c ON c.event_type = m.event_type
+        |  AND c.active = m.max_concurrent
+        |GROUP BY 1,2 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = events(s, d).select(col("event_type"), unix_micros(col("ts")).as("t0"))
+      val b = ev.select(col("event_type"), col("t0").as("t"), lit(1L).as("delta"))
+        .union(ev.select(col("event_type"), (col("t0") + 600000000L).as("t"),
+          lit(-1L).as("delta")))
+      val net = b.groupBy("event_type", "t").agg(sum("delta").as("net"))
+        .withColumn("bkt", floor(col("t") / 3600000000L).cast("long"))
+      val part = net.groupBy("event_type", "bkt").agg(sum("net").as("bnet"))
+      val wB = Window.partitionBy("event_type").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumb = part
+        .withColumn("carry", sum("bnet").over(wB) - col("bnet"))
+        .select(col("event_type").as("cet"), col("bkt").as("cbkt"), col("carry"))
+      val wF = Window.partitionBy("event_type", "bkt").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conc = net
+        .join(cumb, col("event_type") === col("cet") && col("bkt") === col("cbkt"))
+        .withColumn("active", col("carry") + sum("net").over(wF))
+        .select("event_type", "t", "active")
+        .localCheckpoint() // read twice: max + argmax join-back
+      val mx = conc.groupBy(col("event_type").as("met"))
+        .agg(max("active").as("max_concurrent"))
+      mx.join(conc, col("event_type") === col("met")
+          && col("active") === col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(date_format(timestamp_micros(min(col("t"))), "yyyy-MM-dd HH:mm:ss")
+          .as("first_peak"))
+        .orderBy("event_type")
+    },
+
+    // Market-basket association at brand granularity: support /
+    // confidence / lift for co-purchased brand pairs. The pair generator
+    // is the within-order self-join (adjacency-driven, O(Σ basket²) —
+    // never catalog²); per-brand counts and the order total broadcast
+    // (the total is a 1-row product — PlanLint-allowlisted). All counts
+    // integer; the three ratios are single rounded divisions.
+    q("q_basket_lift",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+        |bc AS (SELECT brand, count(*) AS n_brand FROM ob GROUP BY 1),
+        |pairs AS (SELECT a.brand AS b1, b.brand AS b2, count(*) AS n_both
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand GROUP BY 1,2)
+        |SELECT b1, b2, n_both,
+        |  round(n_both * 1.0 / n.n_orders, 6) AS support,
+        |  round(n_both * 1.0 / c1.n_brand, 6) AS confidence,
+        |  round(n_both * 1.0 * n.n_orders / (c1.n_brand * c2.n_brand), 6) AS lift
+        |FROM pairs JOIN bc c1 ON c1.brand = pairs.b1
+        |JOIN bc c2 ON c2.brand = pairs.b2
+        |CROSS JOIN n WHERE n_both >= 3 ORDER BY b1, b2""".stripMargin) { (s, d) =>
+      val ob = lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(part(s, d).select(col("p_partkey"), col("p_brand").as("brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select("okey", "brand").distinct()
+        .localCheckpoint() // feeds total, per-brand counts, and both pair sides
+      val n = ob.agg(count_distinct(col("okey")).as("n_orders"))
+      val bc = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
+      val a = ob.select(col("okey").as("ka"), col("brand").as("b1"))
+      val bb = ob.select(col("okey").as("kb"), col("brand").as("b2"))
+      a.join(bb, col("ka") === col("kb") && col("b1") < col("b2"))
+        .groupBy("b1", "b2").agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+        .join(bc.select(col("brand").as("br1"), col("n_brand").as("n1")),
+          col("b1") === col("br1"))
+        .join(bc.select(col("brand").as("br2"), col("n_brand").as("n2")),
+          col("b2") === col("br2"))
+        .crossJoin(broadcast(n))
+        .select(col("b1"), col("b2"), col("n_both"),
+          round(col("n_both") * lit(1.0) / col("n_orders"), 6).as("support"),
+          round(col("n_both") * lit(1.0) / col("n1"), 6).as("confidence"),
+          round(col("n_both") * lit(1.0) * col("n_orders") / (col("n1") * col("n2")), 6)
+            .as("lift"))
+        .orderBy("b1", "b2")
+    },
+
+    // CUSUM-style changepoint scoring: per user, the max |cumulative
+    // deviation from the user mean| over the time-ordered value stream —
+    // the mean-shift statistic. The window partitions by user_id (high
+    // cardinality — even shuffle distribution at corpus scale); the
+    // cumsum is order-identical on both engines so only the parallel
+    // mean's accumulation order needs the round-6 contract. Global
+    // top-20 is sort+limit (TakeOrderedAndProject), not a window.
+    q("q_cusum",
+      """WITH x AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_id, value
+        |  FROM events),
+        |m AS (SELECT user_id AS mid, avg(value) AS mu, count(*) AS n
+        |  FROM x GROUP BY 1 HAVING count(*) >= 20),
+        |c AS (SELECT x.user_id AS user_id, m.n AS n,
+        |    sum(x.value - m.mu) OVER (PARTITION BY x.user_id ORDER BY x.t, x.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dev
+        |  FROM x JOIN m ON m.mid = x.user_id),
+        |sc AS (SELECT user_id, round(max(abs(dev)), 6) AS cusum_score,
+        |    max(n) AS n_events FROM c GROUP BY 1)
+        |SELECT user_id, cusum_score, n_events FROM sc
+        |ORDER BY cusum_score DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val x = events(s, d).select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value"))
+      val m = x.groupBy(col("user_id").as("mid"))
+        .agg(avg("value").as("mu"), count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+      val wC = Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      x.join(m, col("user_id") === col("mid"))
+        .withColumn("dev", sum(col("value") - col("mu")).over(wC))
+        .groupBy("user_id")
+        .agg(round(max(abs(col("dev"))), 6).as("cusum_score"),
+          max("n").as("n_events"))
+        .orderBy(col("cusum_score").desc, col("user_id"))
+        .limit(20)
+    }
+  )
+}

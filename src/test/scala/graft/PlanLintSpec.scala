@@ -60,6 +60,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_harmonic_centrality",   // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_link_jaccard",          // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_kcore",                 // same 1-row mean-edge-weight broadcast (shared tradeEdges)
+    "q_basket_lift",           // 1-row order-total broadcast for support/lift denominators
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
