@@ -55,6 +55,7 @@ object Bench {
     "q_funnel", "q_cohort_retention", "q_pagerank", "q_kmv_intersect",
     // round-8 time-series/graph/order-statistics families
     "q_gap_fill", "q_triangle_count", "q_weighted_median",
+    "q_max_concurrency", "q_basket_lift", "q_dup_shingle_fraction",
   )
 
   /** Round number for the full-timings filename, inferred from the

@@ -391,6 +391,42 @@ object LlmQueries3 {
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
         .orderBy("id1", "id2")
+    },
+
+    // Duplicate-shingle mass per document — the Gopher/Falcon-style
+    // "fraction of n-grams appearing in other documents" quality signal
+    // that gates a doc BEFORE pairwise dedup ever runs. Two keyed
+    // aggregations over the exploded shingle set (corpus-wide counts,
+    // then per-doc rollup via an equi-join on the hash) — the same
+    // shuffle shape at any corpus size; no pair expansion anywhere.
+    // Same native shingle generator + md5-int hash as the minhash
+    // family, so DuckDB replays it bit-identically.
+    q("q_dup_shingle_fraction",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tok) >= 5
+        |    THEN list_distinct([array_to_string(tok[i:i+4], ' ')
+        |                        for i in range(1, len(tok)-3)])
+        |    ELSE [array_to_string(tok, ' ')] END AS shingles FROM t),
+        |dh AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        |cnt AS (SELECT h, count(*) AS nd FROM dh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS dup_fraction
+        |FROM dh JOIN cnt USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dh = documents(s, d)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("sgl"))
+        .select(col("doc_id"), Dedup.md5Int(col("sgl")).as("h"))
+      val cnt = dh.groupBy("h").agg(count(lit(1)).as("nd"))
+      dh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_fraction",
+          round(col("n_dup") * lit(1.0) / col("n_shingles"), 6))
+        .orderBy("doc_id")
     }
   )
 }
