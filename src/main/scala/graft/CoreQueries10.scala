@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,90 @@ object CoreQueries10 {
           max("n").as("n_events"))
         .orderBy(col("cusum_score").desc, col("user_id"))
         .limit(20)
+    },
+
+    // Year-over-year growth: monthly revenue with a 12-row lag over the
+    // month-aggregated frame. The window is unpartitioned BY DESIGN and
+    // allowlisted: it runs over the calendar-bounded aggregate (~dozens
+    // of rows however large `orders` is), never raw rows — the raw-row
+    // work is one keyed aggregation.
+    q("q_yoy_growth",
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    round(sum(o_totalprice),2) AS revenue FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  round(revenue - lag(revenue, 12) OVER (ORDER BY month), 2) AS yoy_delta,
+        |  round((revenue / lag(revenue, 12) OVER (ORDER BY month) - 1) * 100, 4) AS yoy_pct
+        |FROM m ORDER BY month""".stripMargin) { (s, d) =>
+      val m = orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("month")
+      m.select(col("month"), col("revenue"),
+          round(col("revenue") - lag("revenue", 12).over(w), 2).as("yoy_delta"),
+          round((col("revenue") / lag("revenue", 12).over(w) - 1) * 100, 4).as("yoy_pct"))
+        .orderBy("month")
+    },
+
+    // Table profiling — per-column row/null/distinct counts and
+    // formatted min/max — computed in ONE aggregation pass (4 metrics ×
+    // 5 columns in a single agg row, exploded to long format), not one
+    // scan per column: the difference between 1 and |columns| corpus
+    // passes when profiling a wide table. Numeric min/max are printf-
+    // formatted identically on both engines so the long format stays a
+    // single string column.
+    q("q_profile_table",
+      """SELECT 'c_acctbal' AS col_name, count(*) AS n_rows,
+        |  (count(*) - count(c_acctbal))::BIGINT AS n_null,
+        |  count(DISTINCT c_acctbal) AS n_distinct,
+        |  printf('%.2f', min(c_acctbal)) AS min_val,
+        |  printf('%.2f', max(c_acctbal)) AS max_val FROM customer
+        |UNION ALL
+        |SELECT 'c_custkey', count(*), (count(*) - count(c_custkey))::BIGINT,
+        |  count(DISTINCT c_custkey), printf('%d', min(c_custkey)),
+        |  printf('%d', max(c_custkey)) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(*), (count(*) - count(c_mktsegment))::BIGINT,
+        |  count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', count(*), (count(*) - count(c_name))::BIGINT,
+        |  count(DISTINCT c_name), min(c_name), max(c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(*), (count(*) - count(c_nationkey))::BIGINT,
+        |  count(DISTINCT c_nationkey), printf('%d', min(c_nationkey)),
+        |  printf('%d', max(c_nationkey)) FROM customer
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val c = customer(s, d)
+      val one = c.agg(
+        count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("nn_bal"), count_distinct(col("c_acctbal")).as("nd_bal"),
+        min("c_acctbal").as("mn_bal"), max("c_acctbal").as("mx_bal"),
+        count(col("c_custkey")).as("nn_key"), count_distinct(col("c_custkey")).as("nd_key"),
+        min("c_custkey").as("mn_key"), max("c_custkey").as("mx_key"),
+        count(col("c_mktsegment")).as("nn_seg"),
+        count_distinct(col("c_mktsegment")).as("nd_seg"),
+        min("c_mktsegment").as("mn_seg"), max("c_mktsegment").as("mx_seg"),
+        count(col("c_name")).as("nn_nam"), count_distinct(col("c_name")).as("nd_nam"),
+        min("c_name").as("mn_nam"), max("c_name").as("mx_nam"),
+        count(col("c_nationkey")).as("nn_nat"),
+        count_distinct(col("c_nationkey")).as("nd_nat"),
+        min("c_nationkey").as("mn_nat"), max("c_nationkey").as("mx_nat"))
+      def row(name: String, nn: String, nd: String, mn: Column, mx: Column) =
+        struct(lit(name).as("col_name"), col("n").as("n_rows"),
+          (col("n") - col(nn)).as("n_null"), col(nd).as("n_distinct"),
+          mn.as("min_val"), mx.as("max_val"))
+      one.select(explode(array(
+          row("c_acctbal", "nn_bal", "nd_bal",
+            format_string("%.2f", col("mn_bal")), format_string("%.2f", col("mx_bal"))),
+          row("c_custkey", "nn_key", "nd_key",
+            format_string("%d", col("mn_key")), format_string("%d", col("mx_key"))),
+          row("c_mktsegment", "nn_seg", "nd_seg", col("mn_seg"), col("mx_seg")),
+          row("c_name", "nn_nam", "nd_nam", col("mn_nam"), col("mx_nam")),
+          row("c_nationkey", "nn_nat", "nd_nat",
+            format_string("%d", col("mn_nat")), format_string("%d", col("mx_nat")))
+        )).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
     }
   )
 }

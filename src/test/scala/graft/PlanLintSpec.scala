@@ -16,7 +16,8 @@ class PlanLintSpec extends AnyFunSuite {
   /** Documented exceptions — each has an explicit scale note at its
     * definition site and a dimension-bounded input (hundreds of rows).
     */
-  private val allow = Set("q_lead_ntile", "q_null_ordering")
+  private val allow = Set("q_lead_ntile", "q_null_ordering",
+    "q_yoy_growth") // 12-row lag over the calendar-bounded monthly aggregate
 
   test("no registered query plans an unpartitioned Window outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
