@@ -247,6 +247,35 @@ object CoreQueries10 {
         )).as("p"))
         .select(col("p.*"))
         .orderBy("col_name")
+    },
+
+    // Cumulative distinct users per event type by day — the "running
+    // uniques" dashboard query, computed WITHOUT a running distinct
+    // state: each (type, user) contributes its FIRST day (a keyed
+    // aggregation over high-cardinality keys), daily new-user counts
+    // aggregate that, and the cumulative sum runs over the calendar-
+    // bounded daily frame per type. Raw rows are touched exactly once;
+    // the window sees |types|×|days| rows at any corpus size.
+    q("q_cumulative_uniques",
+      """WITH fs AS (SELECT event_type, user_id,
+        |    strftime(min(ts::TIMESTAMP), '%Y-%m-%d') AS first_day
+        |  FROM events GROUP BY 1,2),
+        |daily AS (SELECT event_type, first_day AS day, count(*) AS new_users
+        |  FROM fs GROUP BY 1,2)
+        |SELECT event_type, day, new_users,
+        |  sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+        |FROM daily ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val fs = events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"))
+      val daily = fs.groupBy(col("event_type"), col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("new_users"),
+          sum("new_users").over(w).as("cum_users"))
+        .orderBy("event_type", "day")
     }
   )
 }
