@@ -276,6 +276,63 @@ object CoreQueries10 {
       daily.select(col("event_type"), col("day"), col("new_users"),
           sum("new_users").over(w).as("cum_users"))
         .orderBy("event_type", "day")
+    },
+
+    // Merge overlapping activity intervals per user into maximal
+    // spans — the islands pattern generalized to EXPLICIT interval ends:
+    // a new span starts when this interval's start clears the running
+    // max of all prior ends (an O(1)-state window expression, NOT a
+    // buffered partition), the span id is the running sum of those
+    // breaks, and span bounds aggregate per id. All epoch-microsecond
+    // integer math; windows partition on user_id (high cardinality).
+    q("q_interval_merge",
+      """WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+        |    epoch_us(ts::TIMESTAMP)+600000000 AS e FROM events),
+        |o AS (SELECT user_id, s, e,
+        |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |g AS (SELECT user_id, s, e, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM o),
+        |m AS (SELECT user_id, grp, min(s) AS s0, max(e) AS e1 FROM g GROUP BY 1,2)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals, sum(e1-s0)::BIGINT AS covered_us
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val iv = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 600000000L).as("e"))
+      val wPrev = Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("brk",
+          when(col("s") > coalesce(max("e").over(wPrev), lit(-1L)), 1L).otherwise(0L))
+        .withColumn("grp", sum("brk").over(wRun))
+        .groupBy("user_id", "grp")
+        .agg(min("s").as("s0"), max("e").as("e1"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"), sum(col("e1") - col("s0")).as("covered_us"))
+        .orderBy("user_id")
+    },
+
+    // Geometric and harmonic means per group — the log-domain and
+    // reciprocal-domain aggregations ratio metrics need (multiplicative
+    // growth, rates). Both are one-pass codegen'd aggregates; libm
+    // ulp-level divergence between engines is absorbed by the rounding
+    // contract (geo 4 dp on a ~10^4 value, harmonic 6 dp).
+    q("q_mean_variants",
+      """SELECT l_returnflag AS flag,
+        |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
+        |  round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_extendedprice > 0 AND l_quantity > 0
+        |GROUP BY 1 ORDER BY flag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_extendedprice") > 0 && col("l_quantity") > 0)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(round(exp(avg(log(col("l_extendedprice")))), 4).as("geo_mean_price"),
+          round(count(lit(1)) / sum(lit(1.0) / col("l_quantity")), 6).as("harm_mean_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("flag")
     }
   )
 }
