@@ -56,6 +56,9 @@ object Bench {
     // round-8 time-series/graph/order-statistics families
     "q_gap_fill", "q_triangle_count", "q_weighted_median",
     "q_max_concurrency", "q_basket_lift", "q_dup_shingle_fraction",
+    // slowest registry families — tracked so a lake/pipeline regression
+    // shows up in the driver record, not just the full-timings file
+    "q_curation_pipeline", "q_lake_skipping", "q_lake_dml",
   )
 
   /** Round number for the full-timings filename, inferred from the
@@ -79,6 +82,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -568,8 +568,9 @@ object LlmQueries {
 
     // ---- multimodal ----------------------------------------------------
     // Typed multimodal row: text + embedding joined into one record.
-    // The binary decode path (images/audio) is the mapPartitions stub in
-    // graft.llm.Multimodal — plumbing real, decoder stubbed.
+    // The binary decode path (images/audio) lives in graft.llm.Multimodal,
+    // backed by real PNG/JPEG/WAV decoders (graft.llm.MediaCodecs) with a
+    // deterministic byte-fold fallback only for unrecognized payloads.
     q("q_multimodal_join",
       """SELECT d.doc_id, d.lang, d.n_chars, e.label,
         | len(e.embedding) AS emb_dim
@@ -583,9 +584,11 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
-    // Binary payload → batched partition-local feature extraction
-    // (decode stubbed; plumbing real — see graft.llm.Multimodal). The
-    // stub accumulates per-position byte sums in double and quantizes to
+    // Binary payload → batched partition-local feature extraction via
+    // graft.llm.Multimodal. Real PNG/JPEG/WAV decoders exist in
+    // MediaCodecs (MediaCodecsSpec exercises them); this query feeds
+    // text/plain payloads, so the deterministic byte-fold fallback runs:
+    // it accumulates per-position byte sums in double and quantizes to
     // float once, so the oracle reproduces the exact floats with a
     // ::REAL::DOUBLE round-trip on its own position sums.
     q("q_multimodal_features",
@@ -603,12 +606,12 @@ object LlmQueries {
       Multimodal.featureSummary(documents(s, d)).orderBy("doc_id")
     },
 
-    // resize → frame-sample composition over binary payloads (stub
-    // codecs; real batching/schema/partitioning) — each doc yields a
-    // bounded nested array of fixed-size frames. The stub transforms are
-    // deterministic byte sampling, so the oracle rebuilds the resized
-    // payload with the same floor(i·len/128) index math and replays the
-    // stride-2 window count.
+    // resize → frame-sample composition over binary payloads — each doc
+    // yields a bounded nested array of fixed-size frames. On text/plain
+    // payloads the transform is deterministic byte sampling (the real
+    // image codecs in MediaCodecs handle PNG/JPEG), so the oracle
+    // rebuilds the resized payload with the same floor(i·len/128) index
+    // math and replays the stride-2 window count.
     q("q_multimodal_frames",
       """WITH r AS (
         |  SELECT doc_id,
