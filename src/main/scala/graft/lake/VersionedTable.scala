@@ -11,32 +11,46 @@ import org.apache.spark.sql.types.StructType
   * plain Parquet since no Delta jars ship in this environment.
   *
   * Protocol (mirrors the observable parts of the Delta log):
-  *  - data files live flat in the table dir, named `v{N}-...` so no two
-  *    commits ever collide;
-  *  - `_graft_log/v{N}.json` is the commit record: the COMPLETE file list
-  *    of snapshot N (plus action, schema DDL, row count). Readers resolve
-  *    a snapshot from exactly one log file — no log replay;
+  *  - data files live flat in the table dir, named `v{N}-{nonce}-...` so
+  *    no two commits ever collide — not even two writers racing for the
+  *    SAME version number (the loser's staged files become vacuum-able
+  *    orphans, never clobbering the winner's data);
+  *  - `_graft_log/v{N}.json` is the commit record: the INCREMENTAL
+  *    `add`/`remove` file deltas vs snapshot N-1 (plus action, schema
+  *    DDL, row count) — O(commit), never O(table), exactly Delta's
+  *    add/remove-action model;
+  *  - every `checkpointInterval` commits, `_graft_log/checkpoint-v{N}
+  *    .json` snapshots the COMPLETE file list of version N (Delta's
+  *    parquet checkpoint). Readers resolve snapshot V from the nearest
+  *    checkpoint ≤ V plus at most `checkpointInterval` tail records, so
+  *    a 10⁵-commit table reads a bounded handful of log files instead of
+  *    replaying its history;
   *  - a commit stages its JSON under a dot-temp name and renames into
   *    place only if version N doesn't exist yet — optimistic concurrency:
   *    the second of two racing writers fails with a conflict, it never
   *    silently clobbers (same guarantee level as Delta on a
-  *    non-transactional object store);
+  *    non-transactional object store). Checkpoints are derived and
+  *    idempotent — a failed checkpoint write degrades resolution cost,
+  *    never correctness;
   *  - appends are schema-checked against the current snapshot
   *    (exact match, or supersets when `allowNewColumns` — Delta's
   *    mergeSchema);
   *  - `optimize` rewrites the data compacted WITHOUT changing content
   *    (a new version; time travel to pre-optimize versions still works);
   *  - `vacuum` deletes data files unreferenced by the retained versions
-  *    (older snapshots stop being readable — Delta semantics).
+  *    (older snapshots stop being readable — Delta semantics). It never
+  *    touches `_graft_log`, so checkpoint + tail resolution of retained
+  *    versions survives any vacuum.
   *
-  * Scale notes: the full-file-list commit record is O(files) per commit,
-  * which is fine up to ~10⁵ files; at Delta scale the log becomes
-  * incremental actions + checkpoints — the read/commit API here wouldn't
-  * change. Snapshot reads hand Spark an explicit file list, so partition
-  * pruning/pushdown work unchanged, and `optimize` + `zorderLayout`
-  * compose (cluster, then commit).
+  * Scale notes: snapshot reads hand Spark an explicit file list, so
+  * partition pruning/pushdown work unchanged, and `optimize` +
+  * `zorderLayout` compose (cluster, then commit). `versions()` still
+  * lists the log directory (names only — cheap); a deployment at 10⁶+
+  * commits would add Delta's `_last_checkpoint` pointer file to skip
+  * even that listing.
   */
-final class VersionedTable(spark: SparkSession, val tablePath: String) {
+final class VersionedTable(spark: SparkSession, val tablePath: String,
+                           val checkpointInterval: Int = 10) {
   private val logDir = s"$tablePath/_graft_log"
   private def fs: FileSystem =
     new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,27 +70,154 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
 
   def latestVersion(): Option[Int] = versions().lastOption
 
+  /** Logical snapshot view of a version: `files` is the COMPLETE file
+    * list (resolved from checkpoint + tail deltas on read). Writers hand
+    * in full lists too — [[writeCommit]] derives the incremental record.
+    */
   private[lake] case class Commit(version: Int, action: String, files: Seq[String],
                             schemaDdl: String, rows: Long, ts: Long)
 
-  private def readCommit(v: Int): Commit = {
-    val p = versionFile(v)
+  /** The physical log record: file deltas vs version - 1. */
+  private case class DeltaRec(version: Int, action: String, add: Seq[String],
+                              remove: Seq[String], schemaDdl: String,
+                              rows: Long, ts: Long)
+
+  // One flat JSON object written by us (file names contain no quotes or
+  // commas); spark.read.json would also work but costs a job per lookup.
+  private def readBody(p: Path): String = {
     val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // One flat JSON object written by us (strings contain no quotes);
-    // spark.read.json would also work but costs a job per lookup.
-    def str(k: String) =
-      s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(body)
-        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(sys.error(s"bad commit $p: missing $k"))
-    def num(k: String) =
-      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body)
-        .map(_.group(1).toLong).getOrElse(sys.error(s"bad commit $p: missing $k"))
-    val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
-      .map(_.group(1)).getOrElse(sys.error(s"bad commit $p: missing files"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+  private def strField(body: String, p: Path, k: String): String =
+    s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(body)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(sys.error(s"bad log record $p: missing $k"))
+  private def numField(body: String, p: Path, k: String): Long =
+    s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(sys.error(s"bad log record $p: missing $k"))
+  private def listField(body: String, p: Path, k: String): Seq[String] =
+    (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse(sys.error(s"bad log record $p: missing $k"))
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    Commit(num("version").toInt, str("action"), files, str("schema"),
-      num("rows"), num("ts"))
+  private def listJson(xs: Seq[String]): String =
+    xs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Committed records are immutable, so a tiny per-instance memo makes
+    * the commit protocol's repeated metadata lookups (prev files, schema,
+    * row count within one commitAppend) a single file read. */
+  @volatile private var lastDelta: Option[DeltaRec] = None
+
+  private def readDelta(v: Int): DeltaRec = {
+    lastDelta.filter(_.version == v).getOrElse {
+      val p = versionFile(v)
+      val body = readBody(p)
+      val d = DeltaRec(numField(body, p, "version").toInt, strField(body, p, "action"),
+        listField(body, p, "add"), listField(body, p, "remove"),
+        strField(body, p, "schema"), numField(body, p, "rows"),
+        numField(body, p, "ts"))
+      lastDelta = Some(d)
+      d
+    }
+  }
+
+  // ---- checkpoints -----------------------------------------------------
+
+  private def checkpointFile(v: Int) = new Path(logDir, f"checkpoint-v$v%08d.json")
+
+  private[lake] def checkpointVersions(): Seq[Int] = {
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("checkpoint-v\\d{8}\\.json") =>
+        n.substring(12, 20).toInt }
+      .sorted.toSeq
+  }
+
+  private def readCheckpointFiles(v: Int): Seq[String] = {
+    val p = checkpointFile(v)
+    listField(readBody(p), p, "files")
+  }
+
+  /** Checkpoints are derived state: write-once via tmp+rename (never
+    * torn), and a failure is logged, not thrown — readers just pay more
+    * tail records until the next one lands. */
+  private def writeCheckpoint(c: Commit): Unit = try {
+    val dst = checkpointFile(c.version)
+    if (fs.exists(dst)) return
+    val body =
+      s"""{"version":${c.version},"files":${listJson(c.files)},""" +
+        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}}"""
+    val tmp = new Path(logDir, s".tmp-ckpt-v${c.version}-${System.nanoTime()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  } catch { case e: Throwable =>
+    System.err.println(s"[lake] checkpoint write failed at v${c.version} " +
+      s"(resolution falls back to more tail records): ${e.getMessage}")
+  }
+
+  // ---- snapshot resolution ---------------------------------------------
+
+  /** Last resolved (version, files) — commits and ascending history walks
+    * extend it by one delta instead of re-reading from the checkpoint.
+    * Committed log records are immutable, so a cached snapshot can never
+    * go stale, even with concurrent writers on other handles. */
+  @volatile private var lastSnap: Option[(Int, Seq[String])] = None
+
+  private def applyDeltas(baseFiles: Seq[String], from: Int, to: Int): Seq[String] = {
+    var files = baseFiles
+    (from to to).foreach { i =>
+      val d = readDelta(i)
+      val rm = d.remove.toSet
+      files = files.filterNot(rm) ++ d.add
+    }
+    files
+  }
+
+  /** Complete file list of snapshot `v`: nearest base (cache or
+    * checkpoint) + tail deltas — bounded by `checkpointInterval` records
+    * from a cold handle. The cache-first fast path (sequential commits,
+    * history walks) applies deltas straight off the cached snapshot and
+    * never lists the log directory; the checkpoint listing happens only
+    * on cold or long-jump resolution, where it's amortized over ≥ an
+    * interval's worth of avoided record reads. */
+  private def resolveFiles(v: Int): Seq[String] = {
+    lastSnap match {
+      case Some((cv, cf)) if cv == v => return cf
+      case Some((cv, cf)) if cv < v && v - cv <= checkpointInterval =>
+        val files = applyDeltas(cf, cv + 1, v)
+        lastSnap = Some((v, files))
+        return files
+      case _ => ()
+    }
+    val ckpt = checkpointVersions().filter(_ <= v).lastOption
+    val cached = lastSnap.filter { case (cv, _) => cv <= v }
+    val files = (cached, ckpt) match {
+      case (Some((cv, cf)), Some(ck)) if cv >= ck =>
+        if (cv == v) cf else applyDeltas(cf, cv + 1, v)
+      case (_, Some(ck)) =>
+        val base = readCheckpointFiles(ck)
+        if (ck == v) base else applyDeltas(base, ck + 1, v)
+      case (Some((cv, cf)), None) =>
+        if (cv == v) cf else applyDeltas(cf, cv + 1, v)
+      case (None, None) =>
+        applyDeltas(Seq.empty, 0, v)
+    }
+    lastSnap = Some((v, files))
+    files
+  }
+
+  /** (checkpoint used, tail records applied) for resolving `v` from cold
+    * state — the spec pins that this stays ≤ checkpointInterval. */
+  private[lake] def resolutionCost(v: Int): (Option[Int], Int) = {
+    val ckpt = checkpointVersions().filter(_ <= v).lastOption
+    (ckpt, v - ckpt.getOrElse(-1))
+  }
+
+  private def readCommit(v: Int): Commit = {
+    val d = readDelta(v)
+    Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts)
   }
 
   private[lake] def writeCommit(c: Commit): Unit = {
@@ -85,10 +226,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
     val dst = versionFile(c.version)
     if (fs.exists(dst))
       sys.error(s"concurrent commit conflict: version ${c.version} already exists")
-    val filesJson = c.files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val prev = if (c.version == 0) Seq.empty[String] else resolveFiles(c.version - 1)
+    val prevSet = prev.toSet
+    val curSet = c.files.toSet
+    val add = c.files.filterNot(prevSet)
+    val remove = prev.filterNot(curSet)
     val body =
-      s"""{"version":${c.version},"action":"${c.action}","files":$filesJson,""" +
+      s"""{"version":${c.version},"action":"${c.action}",""" +
+        s""""add":${listJson(add)},"remove":${listJson(remove)},""" +
         s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
@@ -97,28 +242,34 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
       fs.delete(tmp, false)
       sys.error(s"concurrent commit conflict: version ${c.version} already exists")
     }
+    lastSnap = Some((c.version, c.files))
+    if (c.version > 0 && c.version % checkpointInterval == 0) writeCheckpoint(c)
   }
 
   // ---- data staging --------------------------------------------------
 
-  /** Write `df`'s data files into the table dir under a `v{N}-` prefix;
-    * returns the file names. Files land BEFORE the commit record — a
-    * crash in between leaves orphans that vacuum collects, never a
-    * corrupt snapshot (the Delta write protocol).
+  /** Write `df`'s data files into the table dir under a `v{N}-{nonce}-`
+    * prefix; returns the file names. Files land BEFORE the commit record
+    * — a crash in between leaves orphans that vacuum collects, never a
+    * corrupt snapshot (the Delta write protocol). The per-stage nonce
+    * keeps names unique even when two writers race for the SAME version:
+    * the commit rename arbitrates, and the loser's files are orphans,
+    * never an overwrite of the winner's data.
     */
   private def stage(df: DataFrame, v: Int): Seq[String] = {
-    val stageDir = new Path(tablePath, s"_stage-v$v-${System.nanoTime()}")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stageDir = new Path(tablePath, s"_stage-v$v-$nonce")
     df.write.parquet(stageDir.toString)
     val parts = fs.listStatus(stageDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"v$v%08d-part-$i%05d.parquet"
+      val name = f"v$v%08d-$nonce-part-$i%05d.parquet"
       if (!fs.rename(p, new Path(tablePath, name)))
         sys.error(s"failed to move staged file $p")
       name
     }
     fs.delete(stageDir, true)
-    writeStats(named.toSeq, v)
+    writeStats(named.toSeq, v, nonce)
     named.toSeq
   }
 
@@ -135,11 +286,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
   // 100 TB table into a megabyte-scale read (row-group pushdown still
   // applies inside surviving files).
 
-  private def statsFile(v: Int) = new Path(logDir, f"v$v%08d-stats.jsonl")
+  // Nonce-suffixed so two writers racing for one version never collide
+  // on the sidecar either; stats lines are keyed by (globally unique)
+  // file name, so a loser's sidecar describes only orphan files and is
+  // simply never consulted.
+  private def statsFile(v: Int, nonce: String) =
+    new Path(logDir, f"v$v%08d-$nonce-stats.jsonl")
 
   private def jesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def writeStats(names: Seq[String], v: Int): Unit = try {
+  private def writeStats(names: Seq[String], v: Int, nonce: String): Unit = try {
     if (names.isEmpty) return
     val stats = FileStats.collect(spark, names.map(n => s"$tablePath/$n"))
     val lines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -152,7 +308,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
     if (lines.isEmpty) return
     val dir = new Path(logDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val out = fs.create(statsFile(v), false)
+    val out = fs.create(statsFile(v, nonce), false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
   } catch { case e: Throwable =>
     // Stats are an optimization: a failed collection must never fail the
@@ -179,7 +335,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
     val dir = new Path(logDir)
     if (!fs.exists(dir)) return Map.empty
     val sidecars = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.matches("v\\d{8}-stats\\.jsonl")).sortBy(_.getName)
+      .filter(_.getName.matches("v\\d{8}-[0-9a-f-]+-stats\\.jsonl")).sortBy(_.getName)
     sidecars.toSeq.flatMap { p =>
       val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
       val lines = try src.getLines().toList finally src.close()
@@ -316,8 +472,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
     * (fromVersion, toVersion], with `_commit_version` and
     * `_change_type` ('insert' | 'delete') columns — Delta CDF
     * semantics. Per version it reads ONLY the files that changed hands
-    * in that commit (set differences against the previous commit's
-    * list), so the cost is proportional to the change, not the table:
+    * in that commit (the add/remove lists of its incremental log
+    * record), so the cost is proportional to the change, not the table:
     * the incremental-consumer contract that lets a downstream job
     * follow a 100 TB table by reading megabytes per sync.
     *
@@ -341,10 +497,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(change))
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val prev = if (v == 0) Set.empty[String] else readCommit(v - 1).files.toSet
-      val cur = readCommit(v).files
-      val added = cur.filterNot(prev)
-      val removed = (prev -- cur.toSet).toSeq.sorted
+      // The incremental log IS the change record: no snapshot diffing.
+      val d = readDelta(v)
+      val added = d.add
+      val removed = d.remove.sorted
       (added.nonEmpty, removed.nonEmpty) match {
         case (false, false) => None
         case (true, false)  => Some(tagged(added, v, "insert"))
@@ -569,4 +725,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String) {
 object VersionedTable {
   def apply(spark: SparkSession, path: String): VersionedTable =
     new VersionedTable(spark, path)
+
+  def apply(spark: SparkSession, path: String, checkpointInterval: Int): VersionedTable =
+    new VersionedTable(spark, path, checkpointInterval)
 }

@@ -238,6 +238,79 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err.getMessage.contains("vacuumed"))
   }
 
+  test("checkpoint compaction: a 100-commit table resolves from checkpoint + bounded tail") {
+    val t = VersionedTable(spark,
+      Files.createTempDirectory("graft-vt").toString + "/t", checkpointInterval = 10)
+    t.commitOverwrite(Seq((0L, 0L)).toDF("id", "x"))
+    (1 until 100).foreach(i => t.commitAppend(Seq((i.toLong, i.toLong)).toDF("id", "x")))
+    assert(t.versions().size == 100)
+    // checkpoints landed on the interval grid
+    assert(t.checkpointVersions() == (10 to 90 by 10).toSeq)
+    // cold-handle resolution of the head reads ONE checkpoint + ≤interval tail records
+    val (ckpt, tail) = t.resolutionCost(99)
+    assert(ckpt.contains(90) && tail <= 10, s"resolution used ckpt=$ckpt tail=$tail")
+    // a fresh handle (no cache) reads the full snapshot correctly
+    val reopened = VersionedTable(spark, t.tablePath, checkpointInterval = 10)
+    assert(reopened.read().count() == 100)
+    assert(reopened.read().agg(sum($"x")).as[Long].head() == (0L until 100L).sum)
+    // time travel BEFORE the first checkpoint replays only pre-checkpoint deltas
+    assert(reopened.resolutionCost(7) == ((None, 8)))
+    assert(reopened.read(Some(7)).count() == 8)
+    // time travel BETWEEN checkpoints resolves from the nearest one below
+    assert(reopened.resolutionCost(55)._1.contains(50))
+    assert(reopened.read(Some(55)).count() == 56)
+    // vacuum never touches the log: checkpoint + tail resolution of the
+    // retained versions survives, and the horizon still applies to data.
+    // (The append-only chain keeps every file referenced, so compact
+    // first — v100 rewrites all 100 files and orphans the originals.)
+    assert(reopened.optimize(targetRowsPerFile = 1000) == 100)
+    assert(reopened.checkpointVersions() == (10 to 100 by 10).toSeq)
+    val deleted = reopened.vacuum(retainVersions = 1)
+    assert(deleted >= 90)
+    assert(reopened.read().count() == 100)
+    intercept[Exception] { reopened.read(Some(0)).collect() }
+  }
+
+  test("two racing writers: exactly one wins the version, loser retries cleanly, no lost rows") {
+    val path = Files.createTempDirectory("graft-vt").toString + "/t"
+    VersionedTable(spark, path).commitOverwrite(Seq((0L, "base")).toDF("id", "v"))
+    // Two independent handles (as two jobs would have) race commitAppend
+    // for version 1. The start latch maximizes the overlap window: both
+    // stage data files before either attempts the log rename.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+    def racer(name: String, rows: Seq[(Long, String)]): Thread = {
+      val th = new Thread(() => {
+        val handle = VersionedTable(spark, path)
+        latch.await()
+        results.put(name,
+          try Right(handle.commitAppend(rows.toDF("id", "v")))
+          catch { case e: Throwable => Left(e) })
+      })
+      th.start(); th
+    }
+    val a = racer("a", Seq((1L, "from-a")))
+    val b = racer("b", Seq((2L, "from-b")))
+    latch.countDown(); a.join(120000); b.join(120000)
+    val outcomes = Seq("a", "b").map(results.get)
+    // exactly one winner at version 1, one clean conflict error
+    assert(outcomes.count(_.isRight) == 1, s"outcomes: $outcomes")
+    assert(outcomes.collect { case Right(v) => v } == Seq(1))
+    val loserErr = outcomes.collectFirst { case Left(e) => e }.get
+    assert(loserErr.getMessage.contains("concurrent commit conflict"))
+    // the loser retries and lands at version 2; nothing was lost or clobbered
+    val (loserName, _) = Seq("a", "b").map(n => n -> results.get(n))
+      .collectFirst { case (n, Left(_)) => (n, ()) }.get
+    val loserRows = if (loserName == "a") Seq((1L, "from-a")) else Seq((2L, "from-b"))
+    assert(VersionedTable(spark, path).commitAppend(loserRows.toDF("id", "v")) == 2)
+    val finalRows = VersionedTable(spark, path).read()
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(finalRows == Seq((0L, "base"), (1L, "from-a"), (2L, "from-b")))
+    // history shows the clean chain; the loser's orphaned staging files
+    // (if any) are vacuum-able, not part of any snapshot
+    assert(VersionedTable(spark, path).versions() == Seq(0, 1, 2))
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
