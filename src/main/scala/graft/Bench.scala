@@ -59,6 +59,8 @@ object Bench {
     // slowest registry families — tracked so a lake/pipeline regression
     // shows up in the driver record, not just the full-timings file
     "q_curation_pipeline", "q_lake_skipping", "q_lake_dml",
+    // round-9 attribution + graph-community families
+    "q_attrib_linear", "q_label_prop",
   )
 
   /** Round number for the full-timings filename, inferred from the

@@ -151,7 +151,7 @@ object LlmQueries {
   /** CTE chain computing the verified minhash pair set as `pairs(id1,
     * id2, jaccard)` — shared by the minhash query oracle and the
     * survivors oracle (which clusters these pairs). */
-  private def minhashPairsCtes(src: String): String = {
+  private[graft] def minhashPairsCtes(src: String): String = {
     val P = Dedup.HashP
     val params = (0 until 32).map { i =>
       val (a, b) = Dedup.permConstants(i); s"[$a,$b]"

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Similarity}
@@ -427,6 +428,73 @@ object LlmQueries3 {
         .withColumn("dup_fraction",
           round(col("n_dup") * lit(1.0) / col("n_shingles"), 6))
         .orderBy("doc_id")
+    },
+
+    // Community detection by synchronous label propagation over the
+    // THRESHOLDED minhash similarity graph (the near-dup pairs of
+    // q_dedup_minhash) — communities are real there, unlike the fully
+    // connected trade graph. Votes include the node's own label
+    // (self-vote), which kills the classic 2-cycle oscillation of
+    // synchronous LPA; ties break (count DESC, label ASC) so both
+    // engines pick identical winners. Four rounds cover the tiny
+    // diameter of near-dup clusters, and a FIFTH round is computed
+    // solely to measure stability: `n_unstable` counts members whose
+    // label still moved in round 5 — non-convergence is VISIBLE in the
+    // oracle-checked output instead of silently truncated (expect 0).
+    // Scale shape: the edge list is the banded-LSH pair set (bounded,
+    // never all-pairs), checkpointed once; every round is a keyed
+    // join + keyed agg + conv-keyed row_number — no unpartitioned state.
+    q("q_label_prop", {
+      val rounds = (1 to 5).map { k =>
+        s"""v$k AS (SELECT e.src AS id, l.label FROM edges e
+           |  JOIN l${k - 1} l ON l.id = e.dst
+           |  UNION ALL SELECT id, label FROM l${k - 1}),
+           |c$k AS (SELECT id, label, count(*) AS cnt FROM v$k GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (SELECT id, label FROM (
+           |  SELECT id, label,
+           |    row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+           |  FROM c$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${LlmQueries.minhashPairsCtes("documents")},
+         |mpairs AS MATERIALIZED (SELECT id1, id2 FROM pairs),
+         |edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM mpairs
+         |  UNION ALL SELECT id2, id1 FROM mpairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+         |$rounds
+         |SELECT l4.label AS community, count(*)::BIGINT AS n_members,
+         |  min(l4.id) AS min_member, max(l4.id) AS max_member,
+         |  sum(CASE WHEN l4.label <> l5.label THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_unstable
+         |FROM l4 JOIN l5 ON l5.id = l4.id
+         |GROUP BY 1 ORDER BY community""".stripMargin
+    }) { (s, d) =>
+      val pairs = Dedup.minhashPairs(documents(s, d), threshold = 0.7)
+        .select("id1", "id2").localCheckpoint()
+      val edges = pairs.toDF("src", "dst")
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var prev: DataFrame = labels
+      val w = Window.partitionBy("id").orderBy(col("cnt").desc, col("label").asc)
+      (1 to 5).foreach { _ =>
+        prev = labels
+        val votes = edges
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .select(col("src").as("id"), col("label"))
+          .unionByName(labels)
+        labels = votes.groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("id", "label")
+          .localCheckpoint() // per-round lineage cut (k-core discipline)
+      }
+      prev.join(labels.select(col("id"), col("label").as("label5")), "id")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min("id").as("min_member"), max("id").as("max_member"),
+          sum(when(col("label") =!= col("label5"), 1L).otherwise(0L))
+            .as("n_unstable"))
+        .orderBy("community")
     }
   )
 }
