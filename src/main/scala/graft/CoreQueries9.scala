@@ -329,10 +329,15 @@ object CoreQueries9 {
     // join+agg shape shared with q_pagerank, on the SAME materialized
     // edge list, so the corpus contributes one pass total. Unreached
     // nodes surface as -1 (never silently dropped). Integer hop math —
-    // the oracle replays exactly, no float slack.
+    // the oracle replays exactly, no float slack. A FIFTH round is
+    // computed solely to measure convergence: `settled` is whether the
+    // node's hop count survived round 5 unchanged, so truncation-caused
+    // wrong distances (diameter > 4 at some future scale) flip an
+    // oracle-checked column instead of passing silently.
     q("q_shortest_path", {
-      val iters = (1 to 4).map { k =>
-        s"""d$k AS (SELECT node, min(hops) AS hops FROM (
+      val iters = (1 to 5).map { k =>
+        val m = if (k == 4) " MATERIALIZED" else ""
+        s"""d$k AS$m (SELECT node, min(hops) AS hops FROM (
            |  SELECT node, hops FROM d${k - 1}
            |  UNION ALL
            |  SELECT e.b AS node, d${k - 1}.hops + 1 AS hops
@@ -343,24 +348,33 @@ object CoreQueries9 {
          |eu AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
          |d0 AS (SELECT 0 AS node, 0 AS hops),
          |$iters
-         |SELECT n.n_nationkey::INT AS node, coalesce(d4.hops, -1)::BIGINT AS hops
+         |SELECT n.n_nationkey::INT AS node, coalesce(d4.hops, -1)::BIGINT AS hops,
+         |  (coalesce(d4.hops, -1) = coalesce(d5.hops, -1)) AS settled
          |FROM nation n LEFT JOIN d4 ON d4.node = n.n_nationkey
+         |LEFT JOIN d5 ON d5.node = n.n_nationkey
          |ORDER BY node""".stripMargin
     }) { (s, d) =>
       val e0 = tradeEdges(s, d)
       val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint()
       var dist = Seq((0, 0)).toDF(s)("node", "hops")
-      for (_ <- 1 to 4) {
+      var dist4: DataFrame = dist
+      for (k <- 1 to 5) {
         val relaxed = eu.join(dist, eu("a") === dist("node"))
           .select(eu("b").as("node"), (dist("hops") + 1).as("hops"))
         dist = dist.union(relaxed)
           .groupBy("node").agg(min("hops").as("hops"))
+        if (k == 4) { dist = dist.localCheckpoint(); dist4 = dist } // read twice: d5 + output
       }
       nation(s, d).select(col("n_nationkey").cast("int").as("node"))
-        .join(dist.withColumnRenamed("node", "dn"),
+        .join(dist4.select(col("node").as("dn"), col("hops")),
           col("node") === col("dn"), "left")
-        .select(col("node"), coalesce(col("hops"), lit(-1)).cast("long").as("hops"))
+        .join(dist.select(col("node").as("dn5"), col("hops").as("hops5")),
+          col("node") === col("dn5"), "left")
+        .select(col("node"),
+          coalesce(col("hops"), lit(-1)).cast("long").as("hops"),
+          (coalesce(col("hops"), lit(-1)) === coalesce(col("hops5"), lit(-1)))
+            .as("settled"))
         .orderBy("node")
     },
 
@@ -370,10 +384,14 @@ object CoreQueries9 {
     // scope: harmonic centrality over the FULL graph is only sane on a
     // model-sized (dimension) graph, and the (src,node) keying is
     // exactly how it shuffle-partitions when |V| grows. Σ 1/hops floats
-    // ride the registry's round-6 contract.
+    // ride the registry's round-6 contract. Round 5 exists only to feed
+    // `n_unstable`: per source, how many (src,node) distances would
+    // still change with one more round (new keys count too) — expected
+    // 0, and a diameter overflow at any future scale flips the column.
     q("q_harmonic_centrality", {
-      val iters = (1 to 4).map { k =>
-        s"""d$k AS (SELECT src, node, min(hops) AS hops FROM (
+      val iters = (1 to 5).map { k =>
+        val m = if (k >= 4) " MATERIALIZED" else ""
+        s"""d$k AS$m (SELECT src, node, min(hops) AS hops FROM (
            |  SELECT src, node, hops FROM d${k - 1}
            |  UNION ALL
            |  SELECT d${k - 1}.src, e.b AS node, d${k - 1}.hops + 1 AS hops
@@ -384,27 +402,46 @@ object CoreQueries9 {
          |eu AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
          |nodes AS (SELECT DISTINCT a AS node FROM eu),
          |d0 AS (SELECT node AS src, node, 0 AS hops FROM nodes),
-         |$iters
-         |SELECT src AS node,
-         |  round(sum(CASE WHEN hops > 0 THEN 1.0/hops ELSE 0 END), 6) AS harmonic,
-         |  count(*) - 1 AS n_reached
-         |FROM d4 GROUP BY src ORDER BY node""".stripMargin
+         |$iters,
+         |stab AS (SELECT d5.src,
+         |    sum(CASE WHEN d4.hops IS NULL OR d4.hops <> d5.hops
+         |        THEN 1 ELSE 0 END)::BIGINT AS n_unstable
+         |  FROM d5 LEFT JOIN d4 ON d4.src = d5.src AND d4.node = d5.node
+         |  GROUP BY d5.src)
+         |SELECT d4.src AS node,
+         |  round(sum(CASE WHEN d4.hops > 0 THEN 1.0/d4.hops ELSE 0 END), 6) AS harmonic,
+         |  count(*) - 1 AS n_reached,
+         |  s.n_unstable AS n_unstable
+         |FROM d4 JOIN stab s ON s.src = d4.src
+         |GROUP BY d4.src, s.n_unstable ORDER BY node""".stripMargin
     }) { (s, d) =>
       val e0 = tradeEdges(s, d)
       val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint()
       val nodes = eu.select(col("a").as("node")).distinct()
       var dist = nodes.select(col("node").as("src"), col("node"), lit(0).as("hops"))
-      for (_ <- 1 to 4) {
+      var dist4: DataFrame = dist
+      for (k <- 1 to 5) {
         val relaxed = eu.join(dist, eu("a") === dist("node"))
           .select(dist("src"), eu("b").as("node"), (dist("hops") + 1).as("hops"))
         dist = dist.union(relaxed)
           .groupBy("src", "node").agg(min("hops").as("hops"))
+        if (k == 4) { dist = dist.localCheckpoint(); dist4 = dist }
       }
-      dist.groupBy(col("src").as("node"))
+      val stab = dist.select(col("src").as("s5"), col("node").as("n5"),
+          col("hops").as("hops5"))
+        .join(dist4.select(col("src").as("s4"), col("node").as("n4"),
+          col("hops").as("hops4")),
+          col("s5") === col("s4") && col("n5") === col("n4"), "left")
+        .groupBy(col("s5").as("ssrc"))
+        .agg(sum(when(col("hops4").isNull || col("hops4") =!= col("hops5"), 1L)
+          .otherwise(0L)).as("n_unstable"))
+      dist4.groupBy(col("src").as("node"))
         .agg(round(sum(when(col("hops") > 0, lit(1.0) / col("hops")).otherwise(0.0)), 6)
           .as("harmonic"),
           (count(lit(1)) - 1).as("n_reached"))
+        .join(stab, col("node") === col("ssrc"))
+        .select(col("node"), col("harmonic"), col("n_reached"), col("n_unstable"))
         .orderBy("node")
     },
 
@@ -452,14 +489,19 @@ object CoreQueries9 {
     // aggregations + two semi-join-shaped filters on the edge list; the
     // per-round edge frame is checkpointed because it feeds THREE
     // downstream references (degree count twice via the union, plus the
-    // filter join) — without it the lineage re-expands 3^rounds.
+    // filter join) — without it the lineage re-expands 3^rounds. A
+    // fifth peel round feeds `stable`: whether the node survives round
+    // 5 with its degree unchanged — a non-fixed-point truncation
+    // (slower peeling at some future scale) flips the oracle-checked
+    // column instead of passing silently.
     q("q_kcore", {
       val K = 6
-      val iters = (1 to 4).map { r =>
+      val iters = (1 to 5).map { r =>
+        val m = if (r >= 4) " MATERIALIZED" else ""
         s"""deg$r AS (SELECT node, count(*) AS d FROM
            |  (SELECT a AS node FROM g${r - 1} UNION ALL SELECT b FROM g${r - 1}) GROUP BY node),
            |keep$r AS (SELECT node FROM deg$r WHERE d >= $K),
-           |g$r AS (SELECT g${r - 1}.a, g${r - 1}.b FROM g${r - 1}
+           |g$r AS$m (SELECT g${r - 1}.a, g${r - 1}.b FROM g${r - 1}
            |  JOIN keep$r ka ON ka.node = g${r - 1}.a
            |  JOIN keep$r kb ON kb.node = g${r - 1}.b)""".stripMargin
       }.mkString(",\n")
@@ -467,12 +509,18 @@ object CoreQueries9 {
          |g0 AS (SELECT a, b FROM e0),
          |$iters,
          |degf AS (SELECT node, count(*) AS d FROM
-         |  (SELECT a AS node FROM g4 UNION ALL SELECT b FROM g4) GROUP BY node)
-         |SELECT node, d::BIGINT AS core_degree FROM degf ORDER BY node""".stripMargin
+         |  (SELECT a AS node FROM g4 UNION ALL SELECT b FROM g4) GROUP BY node),
+         |deg5f AS (SELECT node, count(*) AS d FROM
+         |  (SELECT a AS node FROM g5 UNION ALL SELECT b FROM g5) GROUP BY node)
+         |SELECT degf.node, degf.d::BIGINT AS core_degree,
+         |  (coalesce(deg5f.d, 0) = degf.d) AS stable
+         |FROM degf LEFT JOIN deg5f ON deg5f.node = degf.node
+         |ORDER BY degf.node""".stripMargin
     }) { (s, d) =>
       val K = 6
       var g = tradeEdges(s, d)
-      for (_ <- 1 to 4) {
+      var g4: DataFrame = g
+      for (k <- 1 to 5) {
         val deg = g.select(col("a").as("node")).union(g.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("d"))
         val keep = deg.filter(col("d") >= K).select("node")
@@ -480,9 +528,15 @@ object CoreQueries9 {
           .join(keep.withColumnRenamed("node", "kb"), col("b") === col("kb"))
           .select("a", "b")
           .localCheckpoint()
+        if (k == 4) g4 = g
       }
-      g.select(col("a").as("node")).union(g.select(col("b").as("node")))
+      val deg5 = g.select(col("a").as("node")).union(g.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d5"))
+      g4.select(col("a").as("node")).union(g4.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_degree"))
+        .join(deg5.withColumnRenamed("node", "n5"), col("node") === col("n5"), "left")
+        .select(col("node"), col("core_degree"),
+          (coalesce(col("d5"), lit(0L)) === col("core_degree")).as("stable"))
         .orderBy("node")
     }
   )
