@@ -120,7 +120,9 @@ object LlmQueries {
     val cos = "list_dot_product(a.embedding::DOUBLE[], q.qe::DOUBLE[]) / " +
       s"sqrt(${sumSqSql("a.embedding")} * ${sumSqSql("q.qe")})"
     s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
-       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |  FROM embeddings WHERE vec_id %
+       |    (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+       |     FROM embeddings) = 0),
        |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id

@@ -95,10 +95,19 @@ object Similarity {
     * the engine contract is the assignment/probe join shape, which is
     * what scales: assignment is a broadcast map-side pass (no shuffle of
     * the corpus), probing shuffles only candidate cells.
+    *
+    * `centroidEvery <= 0` (the default) derives the stride as ⌊√N⌋, so
+    * nlist ∝ √N — the standard IVF balance. A FIXED stride makes nlist
+    * grow as N/stride and the broadcast assignment pass do N²/stride
+    * work: measured 20× wall on a 10× corpus in the round-9 scale
+    * rehearsal (SCALE.md) before this was made adaptive.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidEvery: Long = 50, nProbe: Int = 2): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") % centroidEvery === 0)
+              centroidEvery: Long = 0, nProbe: Int = 2): DataFrame = {
+    val stride =
+      if (centroidEvery > 0) centroidEvery
+      else math.max(1L, math.sqrt(corpus.count().toDouble).toLong)
+    val centroids = corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
         sumSq(col("embedding")).as("cesq"))
     def cellSim(v: Column, vsq: Column) =
