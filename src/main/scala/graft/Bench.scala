@@ -61,6 +61,8 @@ object Bench {
     "q_curation_pipeline", "q_lake_skipping", "q_lake_dml",
     // round-9 attribution + graph-community families
     "q_attrib_linear", "q_label_prop",
+    // round-9 linkage + robust-stats families
+    "q_jaro_linkage", "q_mad_robust",
   )
 
   /** Round number for the full-timings filename, inferred from the

@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         org.apache.spark.sql.graft.ShinglesExpr(children.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "jaro_winkler takes 2 arguments")
+        org.apache.spark.sql.graft.JaroWinklerExpr(children(0), children(1))
+      }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinBanding)
   }

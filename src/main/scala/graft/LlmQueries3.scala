@@ -430,6 +430,64 @@ object LlmQueries3 {
         .orderBy("doc_id")
     },
 
+    // Top-n-gram repetition gate — the third Gopher repetition family
+    // alongside n-gram diversity (q_ngram_diversity) and duplicate-
+    // shingle mass (q_dup_shingle_fraction): the fraction of a doc's
+    // tokens covered by its single most frequent 2-gram / 3-gram, which
+    // catches boilerplate/templated text that diversity ratios miss.
+    // Shape: explode the (non-distinct) n-gram lists, count per
+    // (doc, gram), max per doc — two keyed aggregations whose key
+    // cardinality grows with the corpus, so the shuffle is never
+    // concentrated. The flag thresholds (Gopher's 0.20 / 0.18) compare
+    // single-division doubles computed from identical integers on both
+    // engines, so the cut is bit-deterministic.
+    q("q_top_ngram_fraction",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, len(tok)::BIGINT AS n_tokens,
+        |  [tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))] AS bg,
+        |  [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+        |    for i in range(1, len(tok)-1)] AS tg FROM t),
+        |c2 AS (SELECT doc_id, max(c) AS top2_cnt FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |c3 AS (SELECT doc_id, max(c) AS top3_cnt FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(tg) AS g FROM b) GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id AS doc_id, n_tokens, top2_cnt, top3_cnt,
+        |  round(top2_cnt * 2.0 / n_tokens, 6) AS top2_frac,
+        |  round(top3_cnt * 3.0 / n_tokens, 6) AS top3_frac,
+        |  (top2_cnt * 2.0 / n_tokens > 0.20 OR top3_cnt * 3.0 / n_tokens > 0.18)
+        |    AS flagged
+        |FROM b JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = col("tok")
+      val bigrams = zip_with(
+        slice(tok, lit(1), size(tok) - 1), slice(tok, lit(2), size(tok) - 1),
+        (x, y) => concat_ws(" ", x, y))
+      val trigrams = zip_with(
+        slice(bigrams, lit(1), size(tok) - 2), slice(tok, lit(3), size(tok) - 2),
+        (x, y) => concat_ws(" ", x, y))
+      val base = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"), size(tok).cast("long").as("n_tokens"),
+          bigrams.as("bg"), trigrams.as("tg"))
+      def topCnt(arr: String, out: String) = base
+        .select(col("doc_id"), explode(col(arr)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as(out))
+      base.select("doc_id", "n_tokens")
+        .join(topCnt("bg", "top2_cnt"), "doc_id")
+        .join(topCnt("tg", "top3_cnt"), "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("top2_cnt"), col("top3_cnt"),
+          round(col("top2_cnt") * lit(2.0) / col("n_tokens"), 6).as("top2_frac"),
+          round(col("top3_cnt") * lit(3.0) / col("n_tokens"), 6).as("top3_frac"),
+          (col("top2_cnt") * lit(2.0) / col("n_tokens") > 0.20 ||
+            col("top3_cnt") * lit(3.0) / col("n_tokens") > 0.18).as("flagged"))
+        .orderBy("doc_id")
+    },
+
     // Community detection by synchronous label propagation over the
     // THRESHOLDED minhash similarity graph (the near-dup pairs of
     // q_dedup_minhash) — communities are real there, unlike the fully

@@ -62,6 +62,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_link_jaccard",          // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_kcore",                 // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_basket_lift",           // 1-row order-total broadcast for support/lift denominators
+    "q_autocorr",              // bounded |lags|×|days| scaffold over the daily aggregate
+    "q_benford",               // 1-row digit-total broadcast
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
