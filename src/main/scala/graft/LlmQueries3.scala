@@ -500,8 +500,11 @@ object LlmQueries3 {
     // label still moved in round 5 — non-convergence is VISIBLE in the
     // oracle-checked output instead of silently truncated (expect 0).
     // Scale shape: the edge list is the banded-LSH pair set (bounded,
-    // never all-pairs), checkpointed once; every round is a keyed
-    // join + keyed agg + conv-keyed row_number — no unpartitioned state.
+    // never all-pairs), checkpointed once; execution is adaptive like
+    // connectedComponents — one-task simulation when the edge list fits
+    // a task (≤1M directed edges), else per-round keyed join + keyed
+    // agg + id-keyed row_number, lineage cut per round — no
+    // unpartitioned state on either path (llm/Communities.scala).
     q("q_label_prop", {
       val rounds = (1 to 5).map { k =>
         s"""v$k AS (SELECT e.src AS id, l.label FROM edges e
@@ -527,30 +530,12 @@ object LlmQueries3 {
          |GROUP BY 1 ORDER BY community""".stripMargin
     }) { (s, d) =>
       val pairs = Dedup.minhashPairs(documents(s, d), threshold = 0.7)
-        .select("id1", "id2").localCheckpoint()
-      val edges = pairs.toDF("src", "dst")
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-      var prev: DataFrame = labels
-      val w = Window.partitionBy("id").orderBy(col("cnt").desc, col("label").asc)
-      (1 to 5).foreach { _ =>
-        prev = labels
-        val votes = edges
-          .join(labels.select(col("id").as("dst"), col("label")), "dst")
-          .select(col("src").as("id"), col("label"))
-          .unionByName(labels)
-        labels = votes.groupBy("id", "label").agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("id", "label")
-          .localCheckpoint() // per-round lineage cut (k-core discipline)
-      }
-      prev.join(labels.select(col("id"), col("label").as("label5")), "id")
+        .select("id1", "id2")
+      graft.llm.Communities.labelPropagation(pairs, rounds = 4)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"),
           min("id").as("min_member"), max("id").as("max_member"),
-          sum(when(col("label") =!= col("label5"), 1L).otherwise(0L))
+          sum(when(col("label") =!= col("label_next"), 1L).otherwise(0L))
             .as("n_unstable"))
         .orderBy("community")
     }
