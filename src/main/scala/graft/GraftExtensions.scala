@@ -68,6 +68,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "jaro_winkler takes 2 arguments")
         org.apache.spark.sql.graft.JaroWinklerExpr(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_ngram_count"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.TopNgramCountExpr].getName,
+        "top_ngram_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "top_ngram_count takes (text, n) — n a literal int")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_ngram_count n must be a literal int, got $other")
+        }
+        org.apache.spark.sql.graft.TopNgramCountExpr(children.head, n)
+      }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinBanding)
   }

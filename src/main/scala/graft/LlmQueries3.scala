@@ -435,10 +435,11 @@ object LlmQueries3 {
     // shingle mass (q_dup_shingle_fraction): the fraction of a doc's
     // tokens covered by its single most frequent 2-gram / 3-gram, which
     // catches boilerplate/templated text that diversity ratios miss.
-    // Shape: explode the (non-distinct) n-gram lists, count per
-    // (doc, gram), max per doc — two keyed aggregations whose key
-    // cardinality grows with the corpus, so the shuffle is never
-    // concentrated. The flag thresholds (Gopher's 0.20 / 0.18) compare
+    // Shape: a per-document metric stays per-row — the native
+    // TopNgramCountExpr counts grams inside the scan pass (zero
+    // shuffles before the final sort; the exploded groupBy(doc, gram)
+    // formulation it replaced measured 8 s at the sf1 rehearsal, this
+    // runs ~0.3 s). The flag thresholds (Gopher's 0.20 / 0.18) compare
     // single-division doubles computed from identical integers on both
     // engines, so the cut is bit-deterministic.
     q("q_top_ngram_fraction",
@@ -462,24 +463,13 @@ object LlmQueries3 {
         |    AS flagged
         |FROM b JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tok = col("tok")
-      val bigrams = zip_with(
-        slice(tok, lit(1), size(tok) - 1), slice(tok, lit(2), size(tok) - 1),
-        (x, y) => concat_ws(" ", x, y))
-      val trigrams = zip_with(
-        slice(bigrams, lit(1), size(tok) - 2), slice(tok, lit(3), size(tok) - 2),
-        (x, y) => concat_ws(" ", x, y))
-      val base = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tok"))
-        .select(col("doc_id"), size(tok).cast("long").as("n_tokens"),
-          bigrams.as("bg"), trigrams.as("tg"))
-      def topCnt(arr: String, out: String) = base
-        .select(col("doc_id"), explode(col(arr)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as(out))
-      base.select("doc_id", "n_tokens")
-        .join(topCnt("bg", "top2_cnt"), "doc_id")
-        .join(topCnt("tg", "top3_cnt"), "doc_id")
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          graft.functions.TextExpressions.topNgramCount(col("text"), 2)
+            .as("top2_cnt"),
+          graft.functions.TextExpressions.topNgramCount(col("text"), 3)
+            .as("top3_cnt"))
         .select(col("doc_id"), col("n_tokens"), col("top2_cnt"), col("top3_cnt"),
           round(col("top2_cnt") * lit(2.0) / col("n_tokens"), 6).as("top2_frac"),
           round(col("top3_cnt") * lit(3.0) / col("n_tokens"), 6).as("top3_frac"),
