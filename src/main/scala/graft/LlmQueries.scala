@@ -143,6 +143,46 @@ object LlmQueries {
        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Full DuckDB replay of the PQ-ADC top-k: √N-strided sample
+    * codebooks per 16-dim subspace, L2² nearest-code assignment (tie →
+    * lower code), ADC = the four per-subspace LUT partials added in
+    * fixed order — the same operand order as the Spark side, so raw
+    * doubles are bit-comparable before the round. */
+  private val pqOracle: String = {
+    def l2sq(v: String) =
+      s"list_sum(list_transform($v::DOUBLE[], x -> x * x)) " +
+        s"- 2.0 * list_dot_product($v::DOUBLE[], c.csub::DOUBLE[]) + c.csq"
+    s"""WITH n AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride
+       |  FROM embeddings),
+       |cb AS MATERIALIZED (SELECT e.vec_id AS code, j,
+       |    e.embedding[j*16+1 : j*16+16] AS csub,
+       |    ${sumSqSql("e.embedding[j*16+1 : j*16+16]")} AS csq
+       |  FROM embeddings e, n, unnest(range(0, 4)) AS u(j)
+       |  WHERE e.vec_id % n.stride = 0),
+       |vs AS (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS vsub
+       |  FROM embeddings, unnest(range(0, 4)) AS u(j)),
+       |assigned AS (SELECT vec_id, j, code FROM (
+       |  SELECT v.vec_id, v.j, c.code,
+       |    row_number() OVER (PARTITION BY v.vec_id, v.j
+       |      ORDER BY ${l2sq("v.vsub")}, c.code) AS rn
+       |  FROM vs v JOIN cb c USING (j)) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, q.j, c.code, ${l2sq("q.qsub")} AS pd
+       |  FROM (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS qsub
+       |        FROM embeddings, unnest(range(0, 4)) AS u(j) WHERE vec_id < 10) q
+       |  JOIN cb c USING (j)),
+       |adc AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    round(sum(CASE WHEN a.j = 0 THEN pd END)
+       |        + sum(CASE WHEN a.j = 1 THEN pd END)
+       |        + sum(CASE WHEN a.j = 2 THEN pd END)
+       |        + sum(CASE WHEN a.j = 3 THEN pd END), 6) AS adc
+       |  FROM assigned a JOIN lut l ON l.j = a.j AND l.code = a.code
+       |  WHERE a.vec_id <> l.query_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS rn FROM adc) t
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Full DuckDB replay of the MinHash+LSH pipeline: 3-gram shingles →
     * md5-int hashes → 32 linear-permutation minhashes → 8 Horner band
     * buckets → in-bucket pairs (2..1000 cap) → exact Jaccard verify.
@@ -434,6 +474,20 @@ object LlmQueries {
     // additionally asserted in LlmSpec.
     q("q_sim_ivf", ivfOracle) { (s, d) =>
       Similarity.ivfTopK(
+          embeddings(s, d),
+          embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 10)
+        .orderBy("query_id", "rn")
+    },
+
+    // Product-quantization ANN (ADC): subspace codes + per-query lookup
+    // tables — the memory-scale ANN path (codes instead of raw vectors
+    // in the scan). Deterministic sample codebooks make the whole
+    // assign/LUT/ADC pipeline oracle-replayable; ordering invariants
+    // additionally asserted in LlmSpec.
+    q("q_sim_pq", pqOracle) { (s, d) =>
+      Similarity.pqTopK(
           embeddings(s, d),
           embeddings(s, d).filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),

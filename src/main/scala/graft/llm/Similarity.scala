@@ -167,4 +167,67 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
+
+  /** Product-quantization ANN top-k via ADC (asymmetric distance
+    * computation) — the third standard ANN family next to LSH buckets
+    * and IVF cells, and the memory-scale path: each corpus vector is
+    * represented by `m` subspace codes, so the scoring scan reads codes
+    * plus a per-query lookup table instead of raw vectors.
+    *
+    * Deterministic sample codebooks per subspace (every ⌊√N⌋-th
+    * vector's subvector — the ivfTopK stride policy), L2² assignment
+    * with ties to the lower code, ADC score = Σⱼ ‖q⁽ʲ⁾ − c⁽ʲ⁾(codeⱼ)‖²
+    * accumulated in FIXED subspace order (per-subspace conditional sums
+    * added left-to-right) so both engines sum identically.
+    *
+    * Scale shape: codebooks and LUTs are √N-bounded broadcasts; the
+    * assignment pass is map-side over the corpus; the ADC join keys on
+    * (subspace, code) against the broadcast LUT and aggregates keyed by
+    * (query, vector) — linear in the corpus with an m-row-per-vector
+    * constant, no pair blowup. Composing with ivfTopK's cell
+    * restriction (IVF-PQ) would cut the scan to probed cells; the flat
+    * scan here is the deliberate exact-ADC baseline.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, dim: Int = 64, centroidEvery: Long = 0): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val sub = dim / m
+    val stride =
+      if (centroidEvery > 0) centroidEvery
+      else math.max(1L, math.sqrt(corpus.count().toDouble).toLong)
+    def subSlices(v: Column) =
+      array((0 until m).map(j => slice(v, j * sub + 1, sub)): _*)
+    val codebook = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("code"),
+        posexplode(subSlices(col("embedding"))).as(Seq("j", "csub")))
+      .withColumn("csq", sumSq(col("csub")))
+    def l2sq(v: Column, vsq: Column) =
+      vsq - lit(2.0) * dot(v, col("csub")) + col("csq")
+
+    val wAssign = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("code"))
+    val assigned = corpus
+      .select(col("vec_id"), posexplode(subSlices(col("embedding"))).as(Seq("j", "vsub")))
+      .withColumn("vsq", sumSq(col("vsub")))
+      .join(broadcast(codebook), "j")
+      .withColumn("d2", l2sq(col("vsub"), col("vsq")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("code"))
+
+    val lut = queries
+      .select(col("query_id"), posexplode(subSlices(col("qe"))).as(Seq("j", "qsub")))
+      .withColumn("qsq", sumSq(col("qsub")))
+      .join(broadcast(codebook), "j")
+      .withColumn("pd", l2sq(col("qsub"), col("qsq")))
+      .select(col("query_id"), col("j"), col("code"), col("pd"))
+
+    val parts = (0 until m).map(j => sum(when(col("j") === j, col("pd"))).as(s"p$j"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    assigned.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("adc", round((0 until m).map(j => col(s"p$j")).reduce(_ + _), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "adc", "rn")
+  }
 }

@@ -82,6 +82,24 @@ class LlmSpec extends AnyFunSuite {
     ivf.foreach { case (q, n, c) => assert(math.abs(brute((q, n)) - c) < 1e-9) }
   }
 
+  test("PQ ANN: ADC scores are non-negative, ranked ascending, and never self-matches") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pq = Similarity.pqTopK(corpus, queries, k = 10)
+      .select("query_id", "neighbor_id", "adc", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"query $q: rn not contiguous from 1")
+      val byRn = rows.sortBy(_._4)
+      assert(byRn.map(_._3).sliding(2).forall(p => p.head <= p.last + 1e-9),
+        s"query $q: adc not ascending with rn")
+      assert(rows.forall { case (_, n, a, _) => n != q && a >= -1e-9 })
+    }
+  }
+
   test("embedding-cosine dedup: LSH pairs are a subset of exact pairs with matching cosines") {
     val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
     val exact = Dedup.embeddingCosinePairsExact(embs, 0.3)
