@@ -26,7 +26,7 @@ object CoreQueries9 {
     * MATERIALIZED because DuckDB inlines CTEs per reference — without it
     * the 4-table corpus join re-executes once per downstream mention.
     */
-  private val edgeCtes =
+  private[graft] val edgeCtes =
     """ec AS MATERIALIZED (SELECT least(s.s_nationkey::INT, c.c_nationkey::INT) AS a,
       |    greatest(s.s_nationkey::INT, c.c_nationkey::INT) AS b, count(*) AS cnt
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -40,7 +40,7 @@ object CoreQueries9 {
     * allowlisted), materialized once so the corpus join runs a single
     * pass no matter how many branches read it downstream.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val ec = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))

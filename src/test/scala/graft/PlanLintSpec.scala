@@ -17,7 +17,8 @@ class PlanLintSpec extends AnyFunSuite {
     * definition site and a dimension-bounded input (hundreds of rows).
     */
   private val allow = Set("q_lead_ntile", "q_null_ordering",
-    "q_yoy_growth") // 12-row lag over the calendar-bounded monthly aggregate
+    "q_yoy_growth", // 12-row lag over the calendar-bounded monthly aggregate
+    "q_skyline")    // suffix-min over the ≤|size domain| per-size aggregate
 
   test("no registered query plans an unpartitioned Window outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
@@ -64,6 +65,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q_basket_lift",           // 1-row order-total broadcast for support/lift denominators
     "q_autocorr",              // bounded |lags|×|days| scaffold over the daily aggregate
     "q_benford",               // 1-row digit-total broadcast
+    "q_assortativity",         // same 1-row mean-edge-weight broadcast (shared tradeEdges)
+    "q_clustering_coeff",      // same 1-row mean-edge-weight broadcast (shared tradeEdges)
+    "q_welch_ttest",           // |segments|-row aggregate inequality self-join (bounded pair table)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
