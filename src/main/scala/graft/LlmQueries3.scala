@@ -528,6 +528,58 @@ object LlmQueries3 {
           sum(when(col("label") =!= col("label_next"), 1L).otherwise(0L))
             .as("n_unstable"))
         .orderBy("community")
+    },
+
+    // BM25 document ranking for a fixed query-term set (Robertson k1=1.2,
+    // b=0.75) — the retrieval scorer behind every lexical-search /
+    // RAG-hybrid pipeline. Per-doc term frequencies and document length
+    // come from higher-order functions over the split token list — a
+    // pure PROJECTION, no explode and no (doc, term) shuffle; corpus
+    // stats (N, Σdl, per-term df) collapse to one 1-row broadcast. The
+    // only shuffles are that scalar aggregate and the global top-20
+    // (TakeOrdered). Per-term contributions are added in fixed order so
+    // both engines sum identically; the rank boundary orders by the
+    // ROUNDED score then doc_id, so the LIMIT cut is deterministic.
+    q("q_bm25", {
+      def tf(t: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
+      def idf(dfCol: String) = s"ln((st.n_docs - st.$dfCol + 0.5) / (st.$dfCol + 0.5) + 1)"
+      def contrib(tfCol: String, dfCol: String) =
+        s"${idf(dfCol)} * (d.$tfCol * 2.2) / (d.$tfCol + 0.3 + 0.9 * d.dl * st.n_docs / st.sum_dl)"
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |    ${tf("join")}::BIGINT AS tf0, ${tf("vector")}::BIGINT AS tf1,
+         |    ${tf("merge")}::BIGINT AS tf2 FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM d)
+         |SELECT doc_id, round(${contrib("tf0", "df0")}
+         |  + ${contrib("tf1", "df1")}
+         |  + ${contrib("tf2", "df2")}, 6) AS bm25
+         |FROM d CROSS JOIN st WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val terms = Seq("join", "vector", "merge")
+      val toks = split(col("text"), " ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
+      }
+      val docs = documents(s, d).select(
+        col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+      val st = docs.agg(
+        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+      def contrib(i: Int) = {
+        val tf = col(s"tf$i"); val df = col(s"df$i")
+        log((col("n_docs") - df + 0.5) / (df + 0.5) + 1) *
+          (tf * 2.2) / (tf + 0.3 + lit(0.9) * col("dl") * col("n_docs") / col("sum_dl"))
+      }
+      docs.crossJoin(broadcast(st))
+        .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+        .select(col("doc_id"),
+          round(contrib(0) + contrib(1) + contrib(2), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     }
   )
 }

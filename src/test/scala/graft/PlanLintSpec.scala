@@ -68,6 +68,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_assortativity",         // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_clustering_coeff",      // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_welch_ttest",           // |segments|-row aggregate inequality self-join (bounded pair table)
+    "q_bm25",                  // 1-row corpus-stats broadcast (N, Σdl, per-term df)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
