@@ -69,6 +69,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q_clustering_coeff",      // same 1-row mean-edge-weight broadcast (shared tradeEdges)
     "q_welch_ttest",           // |segments|-row aggregate inequality self-join (bounded pair table)
     "q_bm25",                  // 1-row corpus-stats broadcast (N, Σdl, per-term df)
+    "q_psi_drift",             // two 1-row period-total broadcasts
+    "q_hits",                  // 1-row mean-edge-weight + L1-total broadcasts
+    "q_chisq_conversion",      // 1-row grand-total broadcast (marginals are bounded equi-joins)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
