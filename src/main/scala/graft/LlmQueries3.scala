@@ -580,6 +580,45 @@ object LlmQueries3 {
         .select(col("doc_id"),
           round(contrib(0) + contrib(1) + contrib(2), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    },
+
+    // Temperature-scaled domain mixing weights (the multilingual/domain
+    // rebalancing rule: wᵢ ∝ pᵢ^α with α = 0.7, p = token share) — how
+    // a training pipeline decides how much to sample from each source.
+    // The corpus collapses to the |sources|-bounded token histogram in
+    // one pass (token counts are a length projection, no explode); the
+    // power/normalize steps run over that bounded table with two 1-row
+    // broadcasts. Shares are exact-integer ratios; round(6) absorbs libm
+    // pow ulp skew.
+    q("q_mix_temperature",
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT sum(n_tokens)::BIGINT AS tot FROM t),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    n_tokens * 1.0 / s.tot AS p,
+        |    pow(n_tokens * 1.0 / s.tot, 0.7) AS pw
+        |  FROM t CROSS JOIN s),
+        |z AS (SELECT sum(pw) AS zsum FROM w)
+        |SELECT source, n_docs, n_tokens, round(p, 6) AS token_share,
+        |  round(pw / z.zsum, 6) AS mix_weight,
+        |  round(pw / z.zsum / p, 6) AS upsample_factor
+        |FROM w CROSS JOIN z ORDER BY source""".stripMargin) { (s, d) =>
+      val t = documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tot = t.agg(sum("n_tokens").as("tot"))
+      val w = t.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_tokens") * lit(1.0) / col("tot"))
+        .withColumn("pw", pow(col("p"), 0.7))
+      val z = w.agg(sum("pw").as("zsum"))
+      w.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("p"), 6).as("token_share"),
+          round(col("pw") / col("zsum"), 6).as("mix_weight"),
+          round(col("pw") / col("zsum") / col("p"), 6).as("upsample_factor"))
+        .orderBy("source")
     }
   )
 }

@@ -72,6 +72,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_psi_drift",             // two 1-row period-total broadcasts
     "q_hits",                  // 1-row mean-edge-weight + L1-total broadcasts
     "q_chisq_conversion",      // 1-row grand-total broadcast (marginals are bounded equi-joins)
+    "q_mix_temperature",       // 1-row token-total + normalizer broadcasts
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
