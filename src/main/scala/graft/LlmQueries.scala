@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram
@@ -486,6 +486,42 @@ object LlmQueries {
     // in the scan). Deterministic sample codebooks make the whole
     // assign/LUT/ADC pipeline oracle-replayable; ordering invariants
     // additionally asserted in LlmSpec.
+    // Distributed k-means (2 Lloyd rounds, k=4, deterministic first-k
+    // init): assignment = the IVF argmin window over a k-row centroid
+    // broadcast; update = one (cluster, dim)-keyed aggregation whose
+    // means are FLOAT-QUANTIZED on both engines, collapsing the two
+    // engines' ~1e-15 avg() accumulation skew to identical 24-bit
+    // values — every subsequent distance is bit-identical again. See
+    // llm/Clustering.scala for the full determinism contract.
+    q("q_kmeans",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster, e AS ce, vsq AS cesq FROM v
+        |  WHERE vec_id < 4),
+        |r1 AS (SELECT v.vec_id, v.e, c0.cluster,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      v.vsq - 2.0 * list_dot_product(v.e, c0.ce) + c0.cesq,
+        |      c0.cluster) AS rn
+        |  FROM v CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, e, cluster FROM r1 WHERE rn = 1),
+        |m1 AS (SELECT cluster, j, CAST(CAST(avg(e[j]) AS FLOAT) AS DOUBLE) AS m
+        |  FROM a1, unnest(range(1, 65)) AS u(j) GROUP BY 1, 2),
+        |c1 AS (SELECT cluster, array_agg(m ORDER BY j) AS ce FROM m1 GROUP BY 1),
+        |c1s AS (SELECT cluster, ce,
+        |    list_sum(list_transform(ce, x -> x * x)) AS cesq FROM c1),
+        |r2 AS (SELECT v.vec_id, c1s.cluster,
+        |    v.vsq - 2.0 * list_dot_product(v.e, c1s.ce) + c1s.cesq AS dist2,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      v.vsq - 2.0 * list_dot_product(v.e, c1s.ce) + c1s.cesq,
+        |      c1s.cluster) AS rn
+        |  FROM v CROSS JOIN c1s)
+        |SELECT cluster, count(*) AS n_members, round(sum(dist2), 2) AS inertia,
+        |  round(avg(dist2), 6) AS mean_d2
+        |FROM r2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+      Clustering.kmeans(embeddings(s, d), k = 4, iters = 2)
+    },
+
     q("q_sim_pq", pqOracle) { (s, d) =>
       Similarity.pqTopK(
           embeddings(s, d),

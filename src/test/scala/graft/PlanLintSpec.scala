@@ -73,6 +73,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_hits",                  // 1-row mean-edge-weight + L1-total broadcasts
     "q_chisq_conversion",      // 1-row grand-total broadcast (marginals are bounded equi-joins)
     "q_mix_temperature",       // 1-row token-total + normalizer broadcasts
+    "q_kmeans",                // k-row centroid broadcast per Lloyd round
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {

@@ -100,6 +100,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means partitions the corpus and a Lloyd update does not increase inertia") {
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count()
+    def profile(iters: Int) = graft.llm.Clustering.kmeans(embs, k = 4, iters = iters)
+      .select("cluster", "n_members", "inertia")
+      .as[(Long, Long, Double)].collect()
+    val one = profile(1)
+    val two = profile(2)
+    assert(two.map(_._2).sum == n, "clusters must partition the corpus")
+    assert(one.map(_._2).sum == n)
+    assert(two.map(_._3).sum <= one.map(_._3).sum + 1e-6,
+      s"Lloyd update increased inertia: ${one.map(_._3).sum} -> ${two.map(_._3).sum}")
+  }
+
   test("embedding-cosine dedup: LSH pairs are a subset of exact pairs with matching cosines") {
     val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
     val exact = Dedup.embeddingCosinePairsExact(embs, 0.3)
