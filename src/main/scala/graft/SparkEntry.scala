@@ -17,7 +17,7 @@ object SparkEntry {
       CoreQueries4.all ++ CoreQueries5.all ++ CoreQueries6.all ++
       CoreQueries7.all ++ CoreQueries8.all ++ CoreQueries9.all ++
       CoreQueries10.all ++ CoreQueries11.all ++ CoreQueries12.all ++
-      CoreQueries13.all ++ CoreQueries14.all ++
+      CoreQueries13.all ++ CoreQueries14.all ++ CoreQueries15.all ++
       LlmQueries.all ++ LlmQueries2.all ++ LlmQueries3.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

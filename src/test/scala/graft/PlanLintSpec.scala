@@ -17,8 +17,10 @@ class PlanLintSpec extends AnyFunSuite {
     * definition site and a dimension-bounded input (hundreds of rows).
     */
   private val allow = Set("q_lead_ntile", "q_null_ordering",
-    "q_yoy_growth", // 12-row lag over the calendar-bounded monthly aggregate
-    "q_skyline")    // suffix-min over the ≤|size domain| per-size aggregate
+    "q_yoy_growth",    // 12-row lag over the calendar-bounded monthly aggregate
+    "q_skyline",       // suffix-min over the ≤|size domain| per-size aggregate
+    "q_bootstrap_ci",  // rank over the 50-row replicate-mean frame
+    "q_kaplan_meier")  // suffix/cumulative windows over the calendar-day-bounded risk table
 
   test("no registered query plans an unpartitioned Window outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
