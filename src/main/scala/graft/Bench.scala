@@ -65,6 +65,33 @@ object Bench {
     "q_jaro_linkage", "q_mad_robust",
   )
 
+  /** Machine-epoch calibration canary. Round 8's driver bench ran on a
+    * loaded machine and recorded per-query spikes up to 7.2× that a
+    * quiescent re-run on identical code reproduced none of — and nothing
+    * in the record flagged the bad epoch. The canary makes machine drift
+    * visible IN the record: a fixed pure-CPU xorshift loop (min-of-3, so
+    * a one-off scheduler blip doesn't false-positive, while sustained
+    * contention still shows) timed before sweep 1 and again after sweep
+    * 2, plus /proc/loadavg at both points. `canaryRefSec` is the
+    * committed quiet-machine reference; a pre/post reading >1.3× it gets
+    * a loud stderr warning and readers of BENCH_FULL_r{N} can discount
+    * the epoch without needing a re-run to prove contamination. */
+  private val canaryRefSec = 0.32 // quiet-machine min-of-3, this host (loadavg 0.10: 0.310-0.337s)
+  private def canarySec(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(once(), once(), once()).min
+  }
+  private def loadavg(): String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   /** Round number for the full-timings filename, inferred from the
     * driver's artifacts: a CORRECTNESS_r{N} without a matching BENCH_r{N}
     * means round N is in flight (verify ran first); otherwise the next
@@ -132,6 +159,9 @@ object Bench {
       (cc :+ f"heap=${heap.getUsed / 1e9}%.1fG").mkString(" ")
     }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val (canaryPre, loadPre) = (canarySec(), loadavg())
+    if (canaryPre > canaryRefSec * 1.3)
+      System.err.println(f"[bench] WARNING: pre-sweep canary $canaryPre%.3fs > 1.3x ref ${canaryRefSec}%.3fs (loadavg $loadPre) — machine is loaded; timings in this record are NOT comparable across rounds")
     def sweep(pass: Int): Map[String, Double] = names.flatMap { name =>
       releaseCaches()
       val t0 = System.nanoTime()
@@ -148,6 +178,9 @@ object Bench {
       }
     }.toMap
     val (s1, s2) = (sweep(1), sweep(2))
+    val (canaryPost, loadPost) = (canarySec(), loadavg())
+    if (canaryPost > canaryRefSec * 1.3)
+      System.err.println(f"[bench] WARNING: post-sweep canary $canaryPost%.3fs > 1.3x ref ${canaryRefSec}%.3fs (loadavg $loadPost) — machine is loaded; timings in this record are NOT comparable across rounds")
     val results = names.flatMap { n =>
       (s1.get(n), s2.get(n)) match {
         case (Some(a), Some(b)) => Some(n -> math.min(a, b))
@@ -157,6 +190,10 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val errJson = errors.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val protocol = "warm+release+min2-v3"
+    val clean = canaryPre <= canaryRefSec * 1.3 && canaryPost <= canaryRefSec * 1.3
+    val calJson =
+      s"""{"ref":${fmt(canaryRefSec)},"pre":${fmt(canaryPre)},"post":${fmt(canaryPost)},""" +
+        s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost","clean":$clean}"""
     // Full per-query record: every registered query, committed in-repo.
     val repo = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
     val round = currentRound(repo)
@@ -164,6 +201,7 @@ object Bench {
       val m = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"round":$round,"sf":"$sfDir","unit":"sec","protocol":"$protocol",""" +
+        s""""calibration":$calJson,""" +
         s""""timed":${results.length},"total":${fmt(results.map(_._2).sum)},""" +
         s""""errors":$errJson,"queries":$m}"""
     }
@@ -180,7 +218,8 @@ object Bench {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(qs.map(_._2).sum)},"unit":"sec",""" +
-        s""""protocol":"$protocol","timed":${headlineTimes.length},""" +
+        s""""protocol":"$protocol","calibration":$calJson,""" +
+        s""""timed":${headlineTimes.length},""" +
         s""""reported":${qs.length},"errors":$errJson,"queries":$m,"sf":"$sfDir"}"""
     }
     var keep = headlineTimes
