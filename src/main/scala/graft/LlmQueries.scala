@@ -519,7 +519,7 @@ object LlmQueries {
         |SELECT cluster, count(*) AS n_members, round(sum(dist2), 2) AS inertia,
         |  round(avg(dist2), 6) AS mean_d2
         |FROM r2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
-      Clustering.kmeans(embeddings(s, d), k = 4, iters = 2)
+      Clustering.kmeans(embeddings(s, d), k = 4, rounds = 2)
     },
 
     q("q_sim_pq", pqOracle) { (s, d) =>

@@ -456,12 +456,21 @@ object LlmQueries3 {
         |  SELECT doc_id, g, count(*) AS c FROM
         |    (SELECT doc_id, unnest(tg) AS g FROM b) GROUP BY 1, 2)
         |  GROUP BY 1)
-        |SELECT b.doc_id AS doc_id, n_tokens, top2_cnt, top3_cnt,
+        |, j AS (
+        |  -- LEFT JOIN + coalesce(_, 1): docs with < 2 (bigram) or < 3
+        |  -- (trigram) tokens have no gram rows here, but the Spark side's
+        |  -- TopNgramCountExpr counts the whole text as one gram (count 1)
+        |  -- — an inner join would silently drop such docs from the oracle.
+        |  SELECT b.doc_id AS doc_id, n_tokens,
+        |    coalesce(top2_cnt, 1)::BIGINT AS top2_cnt,
+        |    coalesce(top3_cnt, 1)::BIGINT AS top3_cnt
+        |  FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id))
+        |SELECT doc_id, n_tokens, top2_cnt, top3_cnt,
         |  round(top2_cnt * 2.0 / n_tokens, 6) AS top2_frac,
         |  round(top3_cnt * 3.0 / n_tokens, 6) AS top3_frac,
         |  (top2_cnt * 2.0 / n_tokens > 0.20 OR top3_cnt * 3.0 / n_tokens > 0.18)
         |    AS flagged
-        |FROM b JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+        |FROM j
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),

@@ -44,10 +44,11 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale notes: snapshot reads hand Spark an explicit file list, so
   * partition pruning/pushdown work unchanged, and `optimize` +
-  * `zorderLayout` compose (cluster, then commit). `versions()` still
-  * lists the log directory (names only — cheap); a deployment at 10⁶+
-  * commits would add Delta's `_last_checkpoint` pointer file to skip
-  * even that listing.
+  * `zorderLayout` compose (cluster, then commit). Cold resolution of the
+  * latest snapshot is O(1) in table lifetime via the `_last_checkpoint`
+  * pointer (2 small reads + ≤interval tail records, no log listing);
+  * `versions()`/time-travel far behind the pointer still list the log
+  * directory (names only).
   */
 final class VersionedTable(spark: SparkSession, val tablePath: String,
                            val checkpointInterval: Int = 10) {
@@ -68,7 +69,19 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .sorted.toSeq
   }
 
-  def latestVersion(): Option[Int] = versions().lastOption
+  /** Newest committed version. With a `_last_checkpoint` pointer this
+    * probes forward from the pointed version (≤ interval + writers-since
+    * existence checks — O(1) in table lifetime); only pointer-less tables
+    * pay the full log listing. Versions are gap-free by construction
+    * (writeCommit renames v, v+1, ... in sequence), so the first missing
+    * file ends the probe. */
+  def latestVersion(): Option[Int] = lastCheckpointVersion() match {
+    case Some(p) =>
+      var v = p
+      while (fs.exists(versionFile(v + 1))) v += 1
+      Some(v)
+    case None => versions().lastOption
+  }
 
   /** Logical snapshot view of a version: `files` is the COMPLETE file
     * list (resolved from checkpoint + tail deltas on read). Writers hand
@@ -77,10 +90,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] case class Commit(version: Int, action: String, files: Seq[String],
                             schemaDdl: String, rows: Long, ts: Long)
 
-  /** The physical log record: file deltas vs version - 1. */
+  /** The physical log record: file deltas vs version - 1. `full = true`
+    * marks a legacy record (pre-delta log format) whose `add` carries the
+    * COMPLETE snapshot file list — applied as replace, not append. */
   private case class DeltaRec(version: Int, action: String, add: Seq[String],
                               remove: Seq[String], schemaDdl: String,
-                              rows: Long, ts: Long)
+                              rows: Long, ts: Long, full: Boolean = false)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -112,10 +127,17 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     lastDelta.filter(_.version == v).getOrElse {
       val p = versionFile(v)
       val body = readBody(p)
+      // Legacy fallback: records written by the pre-delta log format carry
+      // a complete `files` list instead of add/remove — read them as a
+      // full-replace delta so old persisted tables stay readable.
+      val legacy = !body.contains("\"add\"")
+      val (add, remove) =
+        if (legacy) (listField(body, p, "files"), Seq.empty[String])
+        else (listField(body, p, "add"), listField(body, p, "remove"))
       val d = DeltaRec(numField(body, p, "version").toInt, strField(body, p, "action"),
-        listField(body, p, "add"), listField(body, p, "remove"),
+        add, remove,
         strField(body, p, "schema"), numField(body, p, "rows"),
-        numField(body, p, "ts"))
+        numField(body, p, "ts"), full = legacy)
       lastDelta = Some(d)
       d
     }
@@ -139,19 +161,62 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     listField(readBody(p), p, "files")
   }
 
+  // ---- _last_checkpoint pointer (Delta parity) -------------------------
+
+  /** O(1) pointer to the newest checkpoint, so cold snapshot resolution
+    * of the CURRENT version reads 2 small files + ≤interval tail records
+    * without ever listing `_graft_log` — the listing cost is what grows
+    * with table lifetime (10⁶ commits = 10⁶ directory entries). The
+    * pointer is derived state with the same contract as checkpoints:
+    * best-effort write, and any read problem (missing, torn, pointing at
+    * a checkpoint that never landed, or too far behind the requested
+    * version) falls back to the directory listing — correctness never
+    * depends on it. */
+  private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
+
+  private def lastCheckpointVersion(): Option[Int] = try {
+    if (!fs.exists(lastCheckpointPath)) None
+    else {
+      val v = numField(readBody(lastCheckpointPath), lastCheckpointPath, "version").toInt
+      // Stale/torn guard: trust the pointer only if its checkpoint exists.
+      if (fs.exists(checkpointFile(v))) Some(v) else None
+    }
+  } catch { case _: Throwable => None }
+
+  /** Newest checkpoint ≤ v — pointer fast path when it serves `v` within
+    * one interval (the hot case: reading the latest snapshot), directory
+    * listing otherwise (time travel far behind the pointer, or a lost /
+    * torn / lagging pointer). */
+  private def checkpointAtOrBefore(v: Int): Option[Int] =
+    lastCheckpointVersion().filter(p => p <= v && v - p <= checkpointInterval)
+      .orElse(checkpointVersions().filter(_ <= v).lastOption)
+
+  private def writeLastCheckpointPointer(v: Int): Unit = try {
+    if (lastCheckpointVersion().exists(_ >= v)) return // monotonic
+    val tmp = new Path(logDir, s".tmp-lastckpt-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
+    fs.delete(lastCheckpointPath, false)
+    if (!fs.rename(tmp, lastCheckpointPath)) fs.delete(tmp, false)
+  } catch { case e: Throwable =>
+    System.err.println(s"[lake] _last_checkpoint write failed " +
+      s"(resolution falls back to log listing): ${e.getMessage}")
+  }
+
   /** Checkpoints are derived state: write-once via tmp+rename (never
     * torn), and a failure is logged, not thrown — readers just pay more
     * tail records until the next one lands. */
   private def writeCheckpoint(c: Commit): Unit = try {
     val dst = checkpointFile(c.version)
-    if (fs.exists(dst)) return
+    if (fs.exists(dst)) { writeLastCheckpointPointer(c.version); return }
     val body =
       s"""{"version":${c.version},"files":${listJson(c.files)},""" +
         s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}}"""
     val tmp = new Path(logDir, s".tmp-ckpt-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+    if (fs.rename(tmp, dst)) writeLastCheckpointPointer(c.version)
+    else fs.delete(tmp, false)
   } catch { case e: Throwable =>
     System.err.println(s"[lake] checkpoint write failed at v${c.version} " +
       s"(resolution falls back to more tail records): ${e.getMessage}")
@@ -169,8 +234,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     var files = baseFiles
     (from to to).foreach { i =>
       val d = readDelta(i)
-      val rm = d.remove.toSet
-      files = files.filterNot(rm) ++ d.add
+      if (d.full) files = d.add
+      else {
+        val rm = d.remove.toSet
+        files = files.filterNot(rm) ++ d.add
+      }
     }
     files
   }
@@ -191,7 +259,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         return files
       case _ => ()
     }
-    val ckpt = checkpointVersions().filter(_ <= v).lastOption
+    val ckpt = checkpointAtOrBefore(v)
     val cached = lastSnap.filter { case (cv, _) => cv <= v }
     val files = (cached, ckpt) match {
       case (Some((cv, cf)), Some(ck)) if cv >= ck =>
@@ -211,9 +279,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   /** (checkpoint used, tail records applied) for resolving `v` from cold
     * state — the spec pins that this stays ≤ checkpointInterval. */
   private[lake] def resolutionCost(v: Int): (Option[Int], Int) = {
-    val ckpt = checkpointVersions().filter(_ <= v).lastOption
+    val ckpt = checkpointAtOrBefore(v)
     (ckpt, v - ckpt.getOrElse(-1))
   }
+
+  /** True when [[checkpointAtOrBefore]] for `v` was served by the
+    * `_last_checkpoint` pointer alone (no log-directory listing) — the
+    * spec pins that reading the LATEST snapshot from a cold handle stays
+    * on this O(1) path no matter how many commits the table has. */
+  private[lake] def pointerServes(v: Int): Boolean =
+    lastCheckpointVersion().exists(p => p <= v && v - p <= checkpointInterval)
 
   private def readCommit(v: Int): Commit = {
     val d = readDelta(v)
@@ -334,8 +409,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private def readAllStats(): Map[String, Map[String, FileStats.ColStats]] = {
     val dir = new Path(logDir)
     if (!fs.exists(dir)) return Map.empty
+    // Nonce-less pattern accepted too: sidecars written by the pre-nonce
+    // staging format must keep contributing stats after an upgrade.
     val sidecars = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.matches("v\\d{8}-[0-9a-f-]+-stats\\.jsonl")).sortBy(_.getName)
+      .filter(_.getName.matches("v\\d{8}(-[0-9a-f-]+)?-stats\\.jsonl")).sortBy(_.getName)
     sidecars.toSeq.flatMap { p =>
       val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
       val lines = try src.getLines().toList finally src.close()

@@ -54,16 +54,18 @@ object Clustering {
         s => s.getField("m").cast("float")).as("ce"))
       .withColumn("cesq", sumSq(col("ce")))
 
-  /** Runs `iters` Lloyd rounds from the first-k-ids init and returns the
-    * final per-cluster profile: member count and L2² inertia. */
-  def kmeans(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+  /** Runs `rounds` assignment rounds from the first-k-ids init — i.e.
+    * `rounds - 1` Lloyd centroid updates, then the final assignment that
+    * is profiled (so `rounds = 1` scores the init centroids untouched) —
+    * and returns the per-cluster profile: member count and L2² inertia. */
+  def kmeans(embeddings: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
     val corpus = embeddings
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("vsq", sumSq(col("e")))
     val init = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("e").as("ce"),
         col("vsq").as("cesq"))
-    val centroids = (1 until iters).foldLeft(init) { (c, _) =>
+    val centroids = (1 until rounds).foldLeft(init) { (c, _) =>
       update(assign(corpus, c))
     }
     assign(corpus, centroids)

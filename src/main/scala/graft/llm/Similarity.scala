@@ -103,10 +103,16 @@ object Similarity {
     * rehearsal (SCALE.md) before this was made adaptive.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidEvery: Long = 0, nProbe: Int = 2): DataFrame = {
+              centroidEvery: Long = 0, nProbe: Int = 2,
+              corpusSize: Long = 0): DataFrame = {
+    // corpusSize > 0 skips the count job — callers that already know N
+    // (or iterate over the same corpus) shouldn't pay a scan per call.
     val stride =
       if (centroidEvery > 0) centroidEvery
-      else math.max(1L, math.sqrt(corpus.count().toDouble).toLong)
+      else {
+        val n = if (corpusSize > 0) corpusSize else corpus.count()
+        math.max(1L, math.sqrt(n.toDouble).toLong)
+      }
     val centroids = corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
         sumSq(col("embedding")).as("cesq"))
@@ -189,12 +195,17 @@ object Similarity {
     * scan here is the deliberate exact-ADC baseline.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 4, dim: Int = 64, centroidEvery: Long = 0): DataFrame = {
+             m: Int = 4, dim: Int = 64, centroidEvery: Long = 0,
+             corpusSize: Long = 0): DataFrame = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val sub = dim / m
+    // corpusSize > 0 skips the count job (see ivfTopK).
     val stride =
       if (centroidEvery > 0) centroidEvery
-      else math.max(1L, math.sqrt(corpus.count().toDouble).toLong)
+      else {
+        val n = if (corpusSize > 0) corpusSize else corpus.count()
+        math.max(1L, math.sqrt(n.toDouble).toLong)
+      }
     def subSlices(v: Column) =
       array((0 until m).map(j => slice(v, j * sub + 1, sub)): _*)
     val codebook = corpus.filter(col("vec_id") % stride === 0)

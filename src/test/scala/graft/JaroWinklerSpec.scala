@@ -41,6 +41,24 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII compares by UTF-16 code unit — the documented DuckDB divergence boundary") {
+    // 'é' is ONE UTF-16 code unit here but TWO bytes in DuckDB's
+    // byte-wise comparison, so the engines agree only on ASCII:
+    //   ours:  café(4 units) vs cafe → m=3, jaro 2.5/3, prefix 3
+    //          → 0.88333…
+    //   DuckDB: café(5 bytes) vs cafe → m=3, jaro (3/5+3/4+1)/3,
+    //          prefix 3 → 0.84833…
+    // This pins OUR semantics (character-level, arguably the more
+    // useful linkage behavior); the oracle-checked q_jaro_linkage
+    // runs on ASCII fixture names where the two coincide.
+    import spark.implicits._
+    val have = Seq(("café", "cafe")).toDF("a", "b")
+      .select(StringSimilarity.jaroWinkler($"a", $"b"))
+      .collect().head.getDouble(0)
+    assert(math.abs(have - 0.8833333333333333) < 1e-12,
+      s"UTF-16 code-unit semantics changed: $have")
+  }
+
   test("null on either side is null, and the expression survives codegen in a filter") {
     import spark.implicits._
     val df = Seq((Option("abc"), Option("abd")), (None, Option("x")),

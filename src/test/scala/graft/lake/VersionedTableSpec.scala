@@ -271,6 +271,76 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[Exception] { reopened.read(Some(0)).collect() }
   }
 
+  test("_last_checkpoint pointer: cold latest reads are O(1) in table lifetime, loss/tear falls back") {
+    val t = VersionedTable(spark,
+      Files.createTempDirectory("graft-vt").toString + "/t", checkpointInterval = 10)
+    t.commitOverwrite(Seq((0L, 0L)).toDF("id", "x"))
+    (1 until 60).foreach(i => t.commitAppend(Seq((i.toLong, i.toLong)).toDF("id", "x")))
+    // The hot path — cold handle, latest snapshot — is served by the
+    // pointer alone: no log-directory listing, regardless of how many
+    // commits the table has accumulated.
+    val reopened = VersionedTable(spark, t.tablePath, checkpointInterval = 10)
+    assert(reopened.latestVersion().contains(59))
+    assert(reopened.pointerServes(59), "pointer must serve the latest snapshot")
+    assert(reopened.resolutionCost(59) == ((Some(50), 9)))
+    assert(reopened.read().count() == 60)
+    // Time travel far behind the pointer is NOT pointer-served — it
+    // falls back to the listing and still resolves from the right base.
+    assert(!reopened.pointerServes(25))
+    assert(reopened.resolutionCost(25)._1.contains(20))
+    assert(reopened.read(Some(25)).count() == 26)
+    // Pointer LOSS: delete the file — correctness unaffected, resolution
+    // degrades to the directory listing.
+    val ptr = java.nio.file.Paths.get(t.tablePath, "_graft_log", "_last_checkpoint")
+    java.nio.file.Files.delete(ptr)
+    val lost = VersionedTable(spark, t.tablePath, checkpointInterval = 10)
+    assert(!lost.pointerServes(59))
+    assert(lost.resolutionCost(59)._1.contains(50))
+    assert(lost.read().count() == 60)
+    // The next checkpoint boundary rewrites the pointer.
+    lost.commitAppend(Seq((60L, 60L)).toDF("id", "x"))
+    assert(lost.pointerServes(60))
+    // Pointer TEAR: garbage content is ignored (fallback), never fatal.
+    java.nio.file.Files.write(ptr, "{\"ver".getBytes("UTF-8"))
+    val torn = VersionedTable(spark, t.tablePath, checkpointInterval = 10)
+    assert(!torn.pointerServes(60))
+    assert(torn.read().count() == 61)
+  }
+
+  test("legacy full-file-list log records still resolve (pre-delta format fallback)") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))               // v1
+    // Rewrite v1's record in the LEGACY format: a complete `files` list,
+    // no add/remove. If readDelta applied it as an append-delta instead
+    // of a replace, v0's files would be listed twice and read() would
+    // double-count their rows — so this pins both the parse fallback AND
+    // the full-replace semantics.
+    def addList(v: Int): Seq[String] = {
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t.tablePath, "_graft_log", f"v$v%08d.json")), "UTF-8")
+      """"add"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).get.group(1)
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }
+    val v1Path = java.nio.file.Paths.get(t.tablePath, "_graft_log", "v00000001.json")
+    val v1Body = new String(java.nio.file.Files.readAllBytes(v1Path), "UTF-8")
+    val fullFiles = (addList(0) ++ addList(1)).map("\"" + _ + "\"").mkString("[", ",", "]")
+    def keep(k: String): String =
+      (s""""$k"\\s*:\\s*("(?:[^"\\\\]|\\\\.)*"|\\d+)""").r.findFirstMatchIn(v1Body).get.matched
+    val legacy = s"""{"version":1,"action":"append","files":$fullFiles,""" +
+      s"""${keep("schema")},${keep("rows")},${keep("ts")}}"""
+    java.nio.file.Files.write(v1Path, legacy.getBytes("UTF-8"))
+    // Hadoop's ChecksumFileSystem keeps a .crc sidecar per file; the
+    // out-of-band rewrite above invalidates it (a real legacy table
+    // would have a matching one).
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t.tablePath, "_graft_log", ".v00000001.json.crc"))
+    val reopened = VersionedTable(spark, t.tablePath)
+    assert(reopened.read().count() == 3, "legacy record must resolve as full replace")
+    assert(reopened.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(reopened.read(Some(0)).count() == 2)
+  }
+
   test("two racing writers: exactly one wins the version, loser retries cleanly, no lost rows") {
     val path = Files.createTempDirectory("graft-vt").toString + "/t"
     VersionedTable(spark, path).commitOverwrite(Seq((0L, "base")).toDF("id", "v"))

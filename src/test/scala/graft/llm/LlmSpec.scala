@@ -103,7 +103,7 @@ class LlmSpec extends AnyFunSuite {
   test("k-means partitions the corpus and a Lloyd update does not increase inertia") {
     val embs = Tables.embeddings(spark, sf)
     val n = embs.count()
-    def profile(iters: Int) = graft.llm.Clustering.kmeans(embs, k = 4, iters = iters)
+    def profile(rounds: Int) = graft.llm.Clustering.kmeans(embs, k = 4, rounds = rounds)
       .select("cluster", "n_members", "inertia")
       .as[(Long, Long, Double)].collect()
     val one = profile(1)
