@@ -63,6 +63,8 @@ object Bench {
     "q_attrib_linear", "q_label_prop",
     // round-9 linkage + robust-stats families
     "q_jaro_linkage", "q_mad_robust",
+    // semantic-dedup tranche (SemDedup + token-window near-dup)
+    "q_semdedup", "q_chunk_semdedup",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

@@ -522,6 +522,136 @@ object LlmQueries {
       Clustering.kmeans(embeddings(s, d), k = 4, rounds = 2)
     },
 
+    // SemDedup (Abbas et al. 2023): k-means assignment + within-cluster
+    // cosine threshold, keep-min-id survivors — semantic near-dup
+    // pruning whose pair set is bounded per cluster, never all-pairs
+    // (k grows ∝ N at scale; see Dedup.semDedup). The oracle replays
+    // the full chain: both Lloyd-quantized assignment rounds, the
+    // within-cluster pair scan, and the min-id dup rule. Raw (unrounded)
+    // cosine threshold compare on both engines — the dot/norm pipeline
+    // is bit-identical by the Clustering determinism contract, and the
+    // nearest fixture cosine sits ~4e-4 from the 0.4 cut.
+    q("q_semdedup",
+      """WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster, e AS ce, vsq AS cesq FROM v
+        |  WHERE vec_id < 8),
+        |r1 AS (SELECT v.vec_id, v.e, c0.cluster,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      v.vsq - 2.0 * list_dot_product(v.e, c0.ce) + c0.cesq,
+        |      c0.cluster) AS rn
+        |  FROM v CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, e, cluster FROM r1 WHERE rn = 1),
+        |m1 AS (SELECT cluster, j, CAST(CAST(avg(e[j]) AS FLOAT) AS DOUBLE) AS m
+        |  FROM a1, unnest(range(1, 65)) AS u(j) GROUP BY 1, 2),
+        |c1 AS (SELECT cluster, array_agg(m ORDER BY j) AS ce FROM m1 GROUP BY 1),
+        |c1s AS (SELECT cluster, ce,
+        |    list_sum(list_transform(ce, x -> x * x)) AS cesq FROM c1),
+        |r2 AS (SELECT v.vec_id, c1s.cluster,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      v.vsq - 2.0 * list_dot_product(v.e, c1s.ce) + c1s.cesq,
+        |      c1s.cluster) AS rn
+        |  FROM v CROSS JOIN c1s),
+        |a2 AS MATERIALIZED (SELECT vec_id, cluster FROM r2 WHERE rn = 1),
+        |dup AS (SELECT DISTINCT b.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_dot_product(va.e, vb.e) / sqrt(va.vsq * vb.vsq) >= 0.4)
+        |SELECT a2.vec_id AS vec_id, a2.cluster AS cluster,
+        |  (a2.vec_id IN (SELECT vec_id FROM dup)) AS is_dup
+        |FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Dedup.semDedup(embeddings(s, d), k = 8, rounds = 2, threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
+    // Token-window semantic near-dup: chunk-level boilerplate detection
+    // across documents (32-token windows, stride 24 — the fixture has no
+    // sentence delimiters, so fixed token windows stand in for
+    // paragraphs). Candidates = chunks sharing a winnowing
+    // min-fingerprint (capped equality buckets, never chunk×chunk);
+    // verify = sparse hashing-trick cosine on candidates only. Every
+    // step is the replayable md5-int integer family, so the oracle
+    // re-runs the entire chain: chunking, per-chunk fingerprints,
+    // bucket pairs, and the sparse-cosine verify.
+    q("q_chunk_semdedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |  unnest(range(0, greatest(1,
+        |    1 + CAST(ceil((len(tok) - 32) / 24.0) AS BIGINT)))) AS chunk_idx
+        |  FROM t),
+        |ch AS MATERIALIZED (SELECT doc_id * 10000 + chunk_idx AS cid, doc_id,
+        |  chunk_idx, tok[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS ctok FROM c),
+        |h AS (SELECT cid, ctok,
+        |  [('0x' || substr(md5(x), 1, 8))::BIGINT % 1000000007 for x in ctok] AS th
+        |  FROM ch),
+        |w AS (SELECT cid, len(ctok) AS n, th,
+        |  [list_reduce(th[i+1:i+8], (acc, x) -> (acc*131 + x) % 1000000007)
+        |   for i in range(0, greatest(len(ctok) - 7, 0))] AS wh FROM h),
+        |fp AS MATERIALIZED (SELECT cid,
+        |  CASE WHEN n >= 8 THEN list_min(wh)
+        |       ELSE list_reduce(th, (acc, x) -> (acc*131 + x) % 1000000007)
+        |  END AS fingerprint FROM w),
+        |buckets AS (SELECT fingerprint, list_sort(list(cid)) AS ids FROM fp
+        |  GROUP BY fingerprint HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.ca, b.cb FROM
+        |    (SELECT fingerprint, unnest(ids) AS ca FROM buckets) a
+        |  JOIN (SELECT fingerprint, unnest(ids) AS cb FROM buckets) b
+        |    ON a.fingerprint = b.fingerprint AND a.ca < b.cb),
+        |bk AS MATERIALIZED (SELECT cid,
+        |  ('0x' || substr(md5(t), 1, 8))::BIGINT % 32 AS b, count(*) AS cnt
+        |  FROM (SELECT cid, unnest(ctok) AS t FROM ch) GROUP BY 1, 2),
+        |nm AS (SELECT cid, sum(cnt * cnt) AS n2 FROM bk GROUP BY 1),
+        |cd AS MATERIALIZED (SELECT cand.ca, cand.cb, ma.doc_id AS doc_a,
+        |    ma.chunk_idx AS chunk_a, mb.doc_id AS doc_b, mb.chunk_idx AS chunk_b
+        |  FROM cand JOIN ch ma ON ma.cid = cand.ca
+        |  JOIN ch mb ON mb.cid = cand.cb
+        |  WHERE ma.doc_id <> mb.doc_id),
+        |dots AS (SELECT cd.ca, cd.cb, sum(ba.cnt * bb.cnt) AS dp
+        |  FROM cd JOIN bk ba ON ba.cid = cd.ca
+        |  JOIN bk bb ON bb.cid = cd.cb AND bb.b = ba.b
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, chunk_a, doc_b, chunk_b,
+        |  round(dp / sqrt(na.n2 * nb.n2), 6) AS cosine
+        |FROM cd JOIN dots ON dots.ca = cd.ca AND dots.cb = cd.cb
+        |JOIN nm na ON na.cid = cd.ca JOIN nm nb ON nb.cid = cd.cb
+        |WHERE dp / sqrt(na.n2 * nb.n2) >= 0.8
+        |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin) { (s, d) =>
+      Dedup.chunkSemanticPairs(documents(s, d))
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    },
+
+    // Batch parity of the STREAMING content-dedup gate
+    // (EventStreams.dedupByContentSignature): the same per-row folded
+    // minhash signature, keep-min-doc_id survivor — what the streaming
+    // dropDuplicates state converges to when arrival order follows
+    // doc_id. The oracle replays the whole signature family (md5-int
+    // shingle hashes, 8 linear permutations, Horner fold).
+    q("q_dedup_content_sig", {
+      val P = Dedup.HashP
+      val params = (0 until 8).map { i =>
+        val (a, b) = Dedup.permConstants(i); s"[$a,$b]"
+      }.mkString("[", ",", "]")
+      s"""WITH ${shingleCtes("documents")},
+         |hx AS (SELECT doc_id,
+         |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_reduce(
+         |    [list_min([(p[1] * x + p[2]) % $P for x in xs]) for p in $params],
+         |    (acc, x) -> (acc * 131 + x) % $P) AS content_sig FROM hx)
+         |SELECT doc_id, content_sig,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY content_sig)) AS kept
+         |FROM sig ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val w = Window.partitionBy("content_sig")
+      documents(s, d)
+        .select(col("doc_id"),
+          Dedup.contentSignature(col("text")).as("content_sig"))
+        .withColumn("kept", col("doc_id") === min("doc_id").over(w))
+        .orderBy("doc_id")
+    },
+
     q("q_sim_pq", pqOracle) { (s, d) =>
       Similarity.pqTopK(
           embeddings(s, d),

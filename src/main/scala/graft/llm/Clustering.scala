@@ -58,7 +58,21 @@ object Clustering {
     * `rounds - 1` Lloyd centroid updates, then the final assignment that
     * is profiled (so `rounds = 1` scores the init centroids untouched) —
     * and returns the per-cluster profile: member count and L2² inertia. */
-  def kmeans(embeddings: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+  def kmeans(embeddings: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame =
+    kmeansAssignments(embeddings, k, rounds)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum("dist2"), 2).as("inertia"),
+        round(avg("dist2"), 6).as("mean_d2"))
+      .orderBy("cluster")
+
+  /** Per-vector nearest-centroid assignment after `rounds` rounds (same
+    * determinism contract and physical shape as [[kmeans]] — this IS its
+    * final assignment pass, exposed for consumers that need the members,
+    * not the profile: SemDedup, topic bucketing, cartography). Columns:
+    * (vec_id, e, vsq, cluster, dist2). */
+  def kmeansAssignments(embeddings: DataFrame, k: Int = 4,
+                        rounds: Int = 2): DataFrame = {
     val corpus = embeddings
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("vsq", sumSq(col("e")))
@@ -69,10 +83,5 @@ object Clustering {
       update(assign(corpus, c))
     }
     assign(corpus, centroids)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"),
-        round(sum("dist2"), 2).as("inertia"),
-        round(avg("dist2"), 6).as("mean_d2"))
-      .orderBy("cluster")
   }
 }

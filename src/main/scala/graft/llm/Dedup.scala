@@ -260,6 +260,137 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Per-ROW minhash content signature, folded to one 64-bit key: the
+    * `numHashes` linear-permutation minhashes of the doc's shingle set
+    * (same [[permConstants]]/[[md5Int]] family as [[minhashPairs]]),
+    * Horner-combined base 131 mod [[HashP]]. Two identical texts always
+    * collide; near-identical texts collide with minhash probability —
+    * the content-level exact-dup gate.
+    *
+    * This is a projection (no aggregation) precisely so STREAMING can
+    * use it: `dropDuplicates` state keys must exist on the row, and a
+    * pre-aggregation would be a second stateful operator. The HOF
+    * lambdas here evaluate interpreted — the known ~10× penalty vs the
+    * batch path's exploded codegen aggregation — but the work is
+    * numHashes × |shingles| integer ops per row, a per-row constant the
+    * streaming micro-batch absorbs; batch-side dedup should keep using
+    * [[minhashPairs]]'s aggregation shape.
+    */
+  def contentSignature(text: Column, shingleN: Int = 3,
+                       numHashes: Int = 8): Column = {
+    val xs = transform(shingles(text, shingleN), s => md5Int(s))
+    val mhs = (0 until numHashes).map { i =>
+      val (a, b) = permConstants(i)
+      array_min(transform(xs, x => (x * a + b) % HashP))
+    }
+    mhs.reduce((acc, x) => (acc * 131L + x) % HashP)
+  }
+
+  /** SemDedup: semantic near-dup pruning via embedding clustering, after
+    * Abbas et al. 2023 ("SemDedup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540, public recipe):
+    * k-means the corpus, then compare embeddings ONLY within a cluster
+    * and drop items whose cosine to another cluster member crosses
+    * `threshold`. The survivor rule is keep-min-vec_id: an item is a
+    * duplicate iff some LOWER-id item in its cluster is ≥ threshold
+    * similar — deterministic, single-join expressible, no iteration (the
+    * paper keeps one arbitrary item per dup group; min-id is the
+    * arbitrary pick both engines can agree on).
+    *
+    * Scale shape: this is the paper's own trick for never building
+    * all-pairs — pair cost is Σ|cluster|², so k grown ∝ N (keeping
+    * expected cluster size constant, e.g. the paper's 11k clusters for
+    * 1.3B items) keeps total candidate work ~linear while the clustering
+    * itself stays a k-row broadcast assignment (see [[Clustering]]).
+    * Assignments are localCheckpointed: both sides of the within-cluster
+    * self-join and the final flag join reuse the materialized (id,
+    * cluster, e, vsq) rows instead of re-running Lloyd three times.
+    */
+  def semDedup(embeddings: DataFrame, k: Int = 8, rounds: Int = 2,
+               threshold: Double = 0.4): DataFrame = {
+    import graft.llm.Similarity.dot
+    val a = Clustering.kmeansAssignments(embeddings, k, rounds)
+      .select(col("vec_id"), col("cluster"), col("e"), col("vsq"))
+      .localCheckpoint()
+    val left = a.select(col("cluster"), col("vec_id").as("id_a"),
+      col("e").as("ea"), col("vsq").as("sqa"))
+    val right = a.select(col("cluster"), col("vec_id").as("id_b"),
+      col("e").as("eb"), col("vsq").as("sqb"))
+    val dupIds = left.join(right, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("ea"), col("eb")) / sqrt(col("sqa") * col("sqb"))
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    a.select("vec_id", "cluster")
+      .join(dupIds.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("d"), lit(false)).as("is_dup"))
+  }
+
+  /** Token-window (chunk-level) semantic near-dup pairs: finds WINDOWS of
+    * shared/boilerplate content across documents that document-level
+    * dedup misses (a paragraph copied into an otherwise-different doc).
+    * The fixture corpus has no sentence delimiters, so chunks are fixed
+    * token windows ([[TextAnalysis.chunk]]), per the paragraph-ops plan.
+    *
+    * Shape — candidates then verify, both bounded:
+    *  1. chunk every doc (window/stride token slices, one narrow explode);
+    *  2. candidate pairs = chunks from DIFFERENT docs sharing a winnowing
+    *     min-fingerprint ([[TextAnalysis.rollingFingerprint]] over the
+    *     chunk), through the same capped bucket machinery as LSH
+    *     ([[bucketPairs]]) — an equality join on one 64-bit key, never
+    *     chunk×chunk;
+    *  3. verify = cosine over `dim`-bucket hashing-trick token-count
+    *     vectors (md5-int bucket, integer counts), computed SPARSELY: a
+    *     keyed join on (chunk, bucket) rows — ≤ dim rows per chunk, no
+    *     dense arrays — against candidates only.
+    * Every step is replayable integer math, so the oracle re-runs the
+    * whole chain. Cosine enters the output rounded; the threshold
+    * compares the raw integer-derived double identically on both
+    * engines.
+    */
+  def chunkSemanticPairs(docs: DataFrame, window: Int = 32, stride: Int = 24,
+                         fpWindow: Int = 8, dim: Int = 32,
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 1000): DataFrame = {
+    val chunks = TextAnalysis.chunk(docs, window, stride)
+      .select((col("doc_id") * 10000 + col("chunk_idx")).as("cid"),
+        col("doc_id"), col("chunk_idx"), col("chunk_text").as("text"))
+      .localCheckpoint() // fingerprint, buckets, and meta all reuse it
+    val fp = TextAnalysis.rollingFingerprint(
+        chunks.select(col("cid").as("doc_id"), col("text")), fpWindow)
+      .select(col("doc_id").as("doc_id"), lit(0).as("band"),
+        col("fingerprint").as("bucket"))
+    val cand = bucketPairs(fp, maxBucket)
+      .select(col("id1").as("ca"), col("id2").as("cb"))
+    val meta = chunks.select("cid", "doc_id", "chunk_idx")
+    val candDocs = broadcast(cand)
+      .join(meta.select(col("cid").as("ca"), col("doc_id").as("doc_a"),
+        col("chunk_idx").as("chunk_a")), "ca")
+      .join(meta.select(col("cid").as("cb"), col("doc_id").as("doc_b"),
+        col("chunk_idx").as("chunk_b")), "cb")
+      .filter(col("doc_a") =!= col("doc_b"))
+    val buckets = chunks
+      .select(col("cid"), explode(split(col("text"), " ")).as("t"))
+      .select(col("cid"), pmod(md5Int(col("t")), lit(dim.toLong)).as("b"))
+      .groupBy("cid", "b").agg(count(lit(1)).as("cnt"))
+    val norms = buckets.groupBy("cid")
+      .agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val dots = candDocs.select("ca", "cb")
+      .join(buckets.select(col("cid").as("ca"), col("b"),
+        col("cnt").as("cnta")), "ca")
+      .join(buckets.select(col("cid").as("cb"), col("b"),
+        col("cnt").as("cntb")), Seq("cb", "b"))
+      .groupBy("ca", "cb").agg(sum(col("cnta") * col("cntb")).as("dp"))
+    candDocs.join(dots, Seq("ca", "cb"))
+      .join(norms.select(col("cid").as("ca"), col("n2").as("na2")), "ca")
+      .join(norms.select(col("cid").as("cb"), col("n2").as("nb2")), "cb")
+      .withColumn("cosine", col("dp") / sqrt(col("na2") * col("nb2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Connected components over near-duplicate pairs.
     *
     * Adaptive, like AQE: the edge list (candidate near-dup PAIRS) is

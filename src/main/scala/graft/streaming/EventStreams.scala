@@ -36,6 +36,26 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id")
 
+  /** Streaming CONTENT dedup: the LLM-pipeline parity of
+    * [[dedupWithinWatermark]] — re-posts of the same text under a fresh
+    * id are dropped, keyed on the per-row minhash content signature
+    * ([[graft.llm.Dedup.contentSignature]]) instead of the event id.
+    * State = one long per distinct content within the watermark horizon,
+    * checkpointed like any dropDuplicates state (the restart test pins
+    * that a dup arriving after recovery is still dropped). Batch parity
+    * is oracle-checked by q_dedup_content_sig (keep-min-id over the same
+    * signature).
+    */
+  def dedupByContentSignature(docs: DataFrame,
+                              lateness: String = "10 minutes",
+                              shingleN: Int = 3,
+                              numHashes: Int = 8): DataFrame =
+    docs
+      .withColumn("content_sig",
+        graft.llm.Dedup.contentSignature(col("text"), shingleN, numHashes))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("content_sig")
+
   /** Session windows per user (30-minute gap), streaming-native. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  lateness: String = "10 minutes"): DataFrame =

@@ -76,6 +76,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_chisq_conversion",      // 1-row grand-total broadcast (marginals are bounded equi-joins)
     "q_mix_temperature",       // 1-row token-total + normalizer broadcasts
     "q_kmeans",                // k-row centroid broadcast per Lloyd round
+    "q_semdedup",              // same k-row centroid broadcast (pair scan itself is equi on cluster)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {

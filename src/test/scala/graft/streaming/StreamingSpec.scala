@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkEntry, TestSpark}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 /** Batch-mode session_window reference for the stateful-session
   * equivalence test (same output shape as statefulSessionAgg).
@@ -43,6 +44,46 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
     q.stop()
     assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming content dedup drops re-posted text under fresh ids, within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = EventStreams.dedupByContentSignature(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("content_dedup_out")
+      .outputMode("append").start()
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    input.addData(Doc(1, ts(1), boiler), Doc(2, ts(2), boiler),
+      Doc(3, ts(3), "completely different words in this one"))
+    q.processAllAvailable()
+    input.addData(Doc(4, ts(4), boiler)) // re-post in a LATER batch, same content
+    q.processAllAvailable()
+    val ids = spark.table("content_dedup_out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 3L), s"survivors: $ids")
+  }
+
+  test("streaming content dedup state survives a checkpoint restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cd-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cd-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cd-out").toString
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val batch1 = Seq(Doc(1, ts(1), boiler),
+      Doc(2, ts(2), "completely different words in this one")).toDF()
+    batch1.write.mode("append").parquet(dir)
+    def run() = EventStreams.dedupByContentSignature(
+        spark.readStream.schema(batch1.schema).parquet(dir), "1 hour")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    // a content dup arrives while the query is DOWN; the restarted query
+    // must recover the signature state from the checkpoint and drop it
+    Seq(Doc(3, ts(3), boiler), Doc(4, ts(4), "genuinely novel text arrives here"))
+      .toDF().write.mode("append").parquet(dir)
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"survivors after restart: $ids")
   }
 
   test("transformWithState running totals accumulate across micro-batches (RocksDB store)") {
