@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver fixture tables (`TESTDATA.md`).
   *
-  * Centralizes the one genuinely tricky read: `events.parquet` stores its
-  * `ts` column as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-  * rejects by default. We flip the session conf
-  * `spark.sql.legacy.parquet.nanosAsLong` at read time (safe to set
-  * repeatedly) and convert the raw nanosecond longs to a microsecond
-  * `TimestampType` — the same truncation DuckDB applies when casting
-  * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+  * Centralizes the one genuinely tricky read: `events.parquet`'s `ts`
+  * column has shipped in two physical forms across fixture generations —
+  * parquet TIMESTAMP(NANOS) (rounds 1-8), which Spark's vectorized
+  * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` maps it
+  * to a raw long, and plain microsecond TIMESTAMP(isAdjustedToUTC=false)
+  * (round 9+), which Spark reads natively as TIMESTAMP_NTZ. [[events]]
+  * dispatches on the resolved read schema and normalizes BOTH to the
+  * same session-zone `TimestampType` wall-clock (UTC session), so every
+  * downstream query and the DuckDB oracle see identical values
+  * regardless of which generation wrote the file.
   *
   * At 100 TB these readers are where partition pruning / pushdown begin:
   * they return a bare scan, so every downstream filter/projection reaches
@@ -41,9 +44,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` converted from TIMESTAMP(NANOS) to a usable
-    * microsecond timestamp. Integer division truncates toward zero ==
-    * floor for the post-1970 fixture data.
+  /** `events` with `ts` normalized to session-zone `TimestampType`,
+    * whatever the fixture generation wrote:
+    *  - raw nanosecond long (TIMESTAMP(NANOS) under the legacy conf):
+    *    integer-divide to micros (truncation toward zero == floor for the
+    *    post-1970 fixture data — the same truncation DuckDB applies
+    *    casting TIMESTAMP_NS to TIMESTAMP);
+    *  - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false): reinterpret the
+    *    wall-clock in the session zone (UTC) — a value-preserving cast;
+    *  - already TimestampType: pass through.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val key = (spark, s"$sfDir/events.parquet#converted")
@@ -57,8 +66,14 @@ object Tables {
       // cache keys shifted the table layout). putIfAbsent keeps the
       // memoization race-safe; losers just drop their duplicate plan.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = table(spark, sfDir, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = table(spark, sfDir, "events")
+      val df = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
       cache.putIfAbsent(key, df)
       cache.get(key)
     }
