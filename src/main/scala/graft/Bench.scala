@@ -65,6 +65,8 @@ object Bench {
     "q_jaro_linkage", "q_mad_robust",
     // semantic-dedup tranche (SemDedup + token-window near-dup)
     "q_semdedup", "q_chunk_semdedup",
+    // round-9 span-coverage / mixing / model-scoring / incremental-agg
+    "q_exact_substr", "q_mix_epochs", "q_quality_model", "q_lake_incr_agg",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

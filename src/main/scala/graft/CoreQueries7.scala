@@ -122,6 +122,41 @@ object CoreQueries7 {
         .select(col("c_custkey"), col("c_mktsegment").as("segment"),
           col("c_nationkey"))
         .orderBy("c_custkey")
+    },
+
+    // Incrementally-maintained aggregate through the CORRECTNESS board:
+    // three disjoint event slices fold into the versioned state table
+    // ([[graft.lake.IncrementalAgg]] — algebraic sum/count/min/max
+    // partials, avg finalized at read), then the final snapshot is
+    // compared against the oracle's one-shot aggregate over the full
+    // table. What's proven: fold(b1)∘fold(b2)∘fold(b3) ≡ agg(b1∪b2∪b3)
+    // CROSS-ENGINE, through real commit I/O — the monoid property that
+    // makes a 100 TB fact stream summarizable without recomputing
+    // history. Slices split on pmod(event_id, 3) so every row lands in
+    // exactly one batch regardless of value distribution.
+    q("q_lake_incr_agg",
+      """SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS vsum,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+        |  round(sum(value) / count(*), 6) AS vavg
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-incr-agg").toString + "/t"
+      val ev = events(s, d).select(col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("value"))
+      (0 until 3).foreach { i =>
+        graft.lake.IncrementalAgg.update(s, dir,
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          col("day"), col("event_type"), col("value"))
+      }
+      graft.lake.IncrementalAgg
+        .finalize(graft.lake.VersionedTable(s, dir).read())
+        .select(date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("key").as("event_type"), col("n"),
+          round(col("vsum"), 6).as("vsum"), round(col("vmin"), 6).as("vmin"),
+          round(col("vmax"), 6).as("vmax"), round(col("vavg"), 6).as("vavg"))
+        .orderBy("day", "event_type")
     }
   )
 }

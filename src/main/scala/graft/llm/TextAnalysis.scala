@@ -130,7 +130,18 @@ object TextAnalysis {
     * over a doc-partitioned sort — every operator codegen'd, one
     * shuffle on doc_id, identical integer values to the fold.
     */
-  private def windowHashRows(docs: DataFrame, window: Int): DataFrame = {
+  private def windowHashRows(docs: DataFrame, window: Int): DataFrame =
+    windowHashPositions(docs, window).select("doc_id", "fp")
+
+  /** [[windowHashRows]] with provenance: one row per w-token window as
+    * (doc_id, pos, wlen, fp) where `pos` is the 0-based START token of
+    * the window and `wlen` its token length (= window, except short docs
+    * contribute one whole-text window of length n < window). The
+    * positional form is what span-level consumers (exact-substring
+    * coverage) need: knowing WHERE a duplicated window sits lets them
+    * compute token coverage of the union of duplicated spans.
+    */
+  def windowHashPositions(docs: DataFrame, window: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val M = 1000000007L
     val tok = tokens(col("text"))
@@ -138,7 +149,8 @@ object TextAnalysis {
     // Short docs: one whole-text hash each — a bounded slice where the
     // interpreted fold touches < window elements per row.
     val short = docs.filter(size(tok) < window)
-      .select(col("doc_id"),
+      .select(col("doc_id"), lit(0L).as("pos"),
+        size(tok).cast("long").as("wlen"),
         aggregate(transform(tok, t => md5M(t)), lit(0L),
           (acc, x) => (acc * 131L + x) % M).as("fp"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -147,8 +159,45 @@ object TextAnalysis {
     val long = docs.filter(size(tok) >= window)
       .select(col("doc_id"), posexplode(tok).as(Seq("pos", "t")))
       .select(col("doc_id"), col("pos"), md5M(col("t")).as("th"))
-      .select(col("doc_id"), horner.as("fp"))
+      .select(col("doc_id"), col("pos"), horner.as("fp"))
       .filter(col("fp").isNotNull) // rows before the first complete window
+      .select(col("doc_id"), (col("pos") - lit(window - 1)).cast("long").as("pos"),
+        lit(window.toLong).as("wlen"), col("fp"))
     long.union(short)
+  }
+
+  /** Exact-substring duplication coverage (the span-removal signal from
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, public recipe): for each document, the
+    * fraction of its tokens covered by some w-token window whose hash
+    * occurs ≥2 times in the corpus (another doc OR a repeat within the
+    * same doc — both are the memorization hazard the filter targets).
+    *
+    * Scale shape: window hashes are a narrow (doc_id, pos, fp)
+    * projection; "duplicated" is one keyed count over fp (map-side
+    * combining — never a pair join); coverage is a per-doc sort by pos
+    * where the union-of-intervals length telescopes to
+    * Σ min(wlen, pos − prev_pos) because every window has the same
+    * length — one doc_id-partitioned window pass, no interval
+    * materialization. Everything is the replayable md5-int/Horner
+    * family, so the oracle re-runs the chain bit-identically.
+    */
+  def exactSubstrCoverage(docs: DataFrame, window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = windowHashPositions(docs, window)
+    val occ = rows.groupBy("fp").agg(count(lit(1)).as("occ"))
+    val dup = rows.join(occ, "fp").filter(col("occ") >= 2)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val inc = least(col("wlen"), col("pos") - lag(col("pos"), 1).over(w))
+    val cov = dup.select(col("doc_id"), col("pos"), col("wlen"))
+      .withColumn("inc", coalesce(inc, col("wlen")))
+      .groupBy("doc_id").agg(sum("inc").as("dup_tok"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tok"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("dup_tok"), lit(0L)) * lit(1.0) / col("n_tokens"),
+          6).as("dup_coverage"))
   }
 }

@@ -77,6 +77,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_mix_temperature",       // 1-row token-total + normalizer broadcasts
     "q_kmeans",                // k-row centroid broadcast per Lloyd round
     "q_semdedup",              // same k-row centroid broadcast (pair scan itself is equi on cluster)
+    "q_mix_epochs",            // 1-row max-source-count broadcast onto the |sources|-row epoch table
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {

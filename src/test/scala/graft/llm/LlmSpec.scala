@@ -255,6 +255,39 @@ class LlmSpec extends AnyFunSuite {
     assert(out._2 == 0xbc4b2a76L)
   }
 
+  test("exactSubstrCoverage: overlap telescoping, short-doc dups, clean docs") {
+    // doc 1 and 2 share the 8-token run "a b c d e f g h" (doc 2 shifted
+    // by one leading token, so its dup windows start at pos 1); doc 3 is
+    // clean; docs 4/5 are identical SHORT (<8 tokens) docs — whole-text
+    // windows must still collide. Doc 1's tail repeats the run's first
+    // token but breaks the window, so no extra coverage.
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z w q r s t"),
+      (2L, "k a b c d e f g h m n o p u v"),
+      (3L, "entirely different tokens with no repeats here at all ok"),
+      (4L, "tiny shared doc"),
+      (5L, "tiny shared doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrCoverage(docs, 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 1: one dup window at pos 0 → 8 tokens of 16
+    assert(out(0) == ((1L, 16L, 8L, 0.5)))
+    // doc 2: same run at pos 1 → 8 of 15
+    assert(out(1)._3 == 8L && out(1)._2 == 15L)
+    // doc 3: clean
+    assert(out(2)._3 == 0L && out(2)._4 == 0.0)
+    // docs 4/5: whole-doc windows (wlen=3) collide → full coverage
+    assert(out(3) == ((4L, 3L, 3L, 1.0)) && out(4) == ((5L, 3L, 3L, 1.0)))
+
+    // overlapping dup windows telescope: "a b c a b c a b c a" (10 toks)
+    // repeated twice across docs → every window dup; coverage = all 10.
+    val rep = Seq((1L, "a b c a b c a b c a"), (2L, "a b c a b c a b c a"))
+      .toDF("doc_id", "text")
+    val cov = TextAnalysis.exactSubstrCoverage(rep, 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cov.forall(r => r._2 == 10L && r._3 == 10L && r._4 == 1.0))
+  }
+
   test("multimodal: batched stub decode preserves rows and emits fixed-dim features") {
     val docs = Tables.documents(spark, sf).limit(100)
     val feats = Multimodal.extractFeatures(Multimodal.asMediaRecords(docs), batchSize = 7)
