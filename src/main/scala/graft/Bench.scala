@@ -67,6 +67,7 @@ object Bench {
     "q_semdedup", "q_chunk_semdedup",
     // round-9 span-coverage / mixing / model-scoring / incremental-agg
     "q_exact_substr", "q_mix_epochs", "q_quality_model", "q_lake_incr_agg",
+    "q_percent_rank", "q_longest_dup_span",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

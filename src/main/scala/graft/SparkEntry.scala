@@ -18,6 +18,7 @@ object SparkEntry {
       CoreQueries7.all ++ CoreQueries8.all ++ CoreQueries9.all ++
       CoreQueries10.all ++ CoreQueries11.all ++ CoreQueries12.all ++
       CoreQueries13.all ++ CoreQueries14.all ++ CoreQueries15.all ++
+      CoreQueries16.all ++
       LlmQueries.all ++ LlmQueries2.all ++ LlmQueries3.all ++
       LlmQueries4.all
 
