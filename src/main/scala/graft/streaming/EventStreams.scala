@@ -151,6 +151,32 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Left-outer stream-stream interval join: every purchase emits, with
+    * its preceding-click match or — once the click-side watermark has
+    * passed the purchase's join window, proving no match can still
+    * arrive — a null click. The outer row is emitted by the state-store
+    * eviction pass, so result timing is governed by watermark movement,
+    * not batch arrival: the replay-safe way to ask "which purchases had
+    * no preceding engagement" on an unbounded stream.
+    */
+  def purchasesWithOptionalClick(clicks: DataFrame, purchases: DataFrame,
+                                 horizon: String = "30 minutes",
+                                 lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming → lake sink: each micro-batch lands via the insert-only
     * merge (`graft.lake.Merge`), so replayed batches (restarts,
     * re-delivery) never duplicate rows — the streaming realization of

@@ -199,6 +199,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((100L, 1L)))
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.purchasesWithOptionalClick(
+      clicks.toDF(), purchases.toDF(), horizon = "30 minutes", lateness = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    // user 1 purchases with a preceding click; user 2 purchases with none
+    clicks.addData(Ev(1, ts(5), 1, 1.0))
+    purchases.addData(Ev(100, ts(20), 1, 9.0), Ev(101, ts(20), 2, 9.0))
+    q.processAllAvailable()
+    val matched = spark.table("ss_outer")
+      .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    // inner match emits immediately; the null row must NOT have emitted
+    // yet (a click could still arrive within lateness)
+    assert(matched == Set((100L, Some(1L))))
+    // advance both watermarks far past the join window: the unmatched
+    // purchase can now prove no-match and emit its outer row
+    clicks.addData(Ev(9, ts(120), 9, 1.0))
+    purchases.addData(Ev(900, ts(120), 9, 1.0))
+    q.processAllAvailable()
+    clicks.addData(Ev(10, ts(180), 9, 1.0))
+    purchases.addData(Ev(901, ts(180), 9, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ss_outer")
+      .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(all.contains((101L, None)))
+  }
+
   test("foreachBatch sink lands micro-batches via insert-only merge (replay-safe)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
