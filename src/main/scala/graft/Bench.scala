@@ -68,7 +68,7 @@ object Bench {
     // round-9 span-coverage / mixing / model-scoring / incremental-agg
     "q_exact_substr", "q_mix_epochs", "q_quality_model", "q_lake_incr_agg",
     "q_percent_rank", "q_longest_dup_span",
-    "q_winnow_overlap", "q_text_normalize",
+    "q_winnow_overlap", "q_text_normalize", "q_scd2_join",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

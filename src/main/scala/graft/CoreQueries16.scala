@@ -18,6 +18,50 @@ object CoreQueries16 {
 
   val all: Seq[QueryDef] = Seq(
 
+    // SCD2 temporal join — the payoff of the historized dimension
+    // (q_scd2_intervals): each fact row joins the dimension VERSION
+    // valid at its event time ([valid_from, valid_to)), the classic
+    // "state as of the transaction" warehouse query. Plan shape: the
+    // join is EQUI on user_id with the interval bounds as residual
+    // filter — one keyed shuffle, never a nested-loop range scan; the
+    // dimension is orders of magnitude smaller than the fact stream
+    // (change rows only), so at scale it broadcasts. Aggregated to
+    // (user, state) so the output compare stays compact at any sf.
+    q("q_scd2_join",
+      """WITH e AS (SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE user_id < 100),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM e),
+        |v AS (SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (SELECT user_id, event_type AS state, ts AS vfrom,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vto
+        |  FROM v)
+        |SELECT e.user_id, dim.state, count(*) AS n_events,
+        |  round(sum(e.value), 6) AS total_value
+        |FROM e JOIN dim ON e.user_id = dim.user_id
+        |  AND e.ts >= dim.vfrom AND (dim.vto IS NULL OR e.ts < dim.vto)
+        |GROUP BY e.user_id, dim.state
+        |ORDER BY e.user_id, dim.state""".stripMargin) { (s, d) =>
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+      val dim = e.withColumn("prev", lag("event_type", 1).over(wU))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("vto", lead("ts", 1).over(wU))
+        .select(col("user_id").as("d_user_id"), col("event_type").as("state"),
+          col("ts").as("vfrom"), col("vto"))
+      e.join(dim,
+          col("user_id") === col("d_user_id") &&
+            col("ts") >= col("vfrom") &&
+            (col("vto").isNull || col("ts") < col("vto")))
+        .groupBy(col("user_id"), col("state"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("total_value"))
+        .orderBy("user_id", "state")
+    },
+
     // Relative-rank windows: percent_rank + cume_dist per group under a
     // deterministic total order (unique-key tiebreak, so tie handling
     // can never diverge cross-engine). Partitioned on a real key —
