@@ -62,6 +62,40 @@ object CoreQueries16 {
         .orderBy("user_id", "state")
     },
 
+    // Time travel through the CORRECTNESS board: three versions of a
+    // lake table (initial load → copy-on-write DELETE → copy-on-write
+    // numeric UPDATE) read back BY VERSION NUMBER, each snapshot's
+    // row count and balance sum compared against the oracle's replay
+    // of the same three states from the raw table. What's proven: the
+    // versioned log reconstructs every historical snapshot exactly —
+    // not just the latest — through real commit I/O. Snapshot reads
+    // resolve O(1) via the _last_checkpoint pointer + version probe.
+    q("q_lake_time_travel",
+      """SELECT 0 AS version, count(*) AS n_rows,
+        |  round(sum(c_acctbal), 6) AS balance_sum FROM customer
+        |UNION ALL
+        |SELECT 1, count(*), round(sum(c_acctbal), 6)
+        |FROM customer WHERE c_acctbal >= 0
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |    THEN c_acctbal + 100 ELSE c_acctbal END), 6)
+        |FROM customer WHERE c_acctbal >= 0
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-vt-tt").toString + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      t.commitOverwrite(customer(s, d))
+      t.delete(col("c_acctbal") < 0)
+      t.update(col("c_mktsegment") === "BUILDING",
+        Map("c_acctbal" -> (col("c_acctbal") + 100)))
+      (0 to 2).map { v =>
+        t.read(Some(v)).agg(count(lit(1)).as("n_rows"),
+            round(sum("c_acctbal"), 6).as("balance_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("balance_sum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+
     // Relative-rank windows: percent_rank + cume_dist per group under a
     // deterministic total order (unique-key tiebreak, so tie handling
     // can never diverge cross-engine). Partitioned on a real key —
