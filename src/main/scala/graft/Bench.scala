@@ -69,7 +69,7 @@ object Bench {
     "q_exact_substr", "q_mix_epochs", "q_quality_model", "q_lake_incr_agg",
     "q_percent_rank", "q_longest_dup_span",
     "q_winnow_overlap", "q_text_normalize", "q_scd2_join",
-    "q_lake_time_travel",
+    "q_lake_time_travel", "q_kl_source", "q_oov_rate",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

@@ -58,6 +58,84 @@ object LlmQueries5 {
         .orderBy("id1", "id2")
     },
 
+    // Per-source vocabulary drift: KL(source unigram ‖ corpus unigram)
+    // — the domain-similarity score a curation pipeline uses to weight
+    // sources toward a target distribution (the text-domain sibling of
+    // q_psi_drift's numeric-bucket drift). Shape: one (source, token)
+    // keyed aggregation + one token-keyed corpus aggregation, joined on
+    // token — bounded by vocabulary, never by corpus size; the two
+    // 1-row totals broadcast. Shares are exact integer ratios; the
+    // conventional 1e-6 clamp keeps the log total; round(6) absorbs
+    // libm ln ulp skew (q_psi_drift precedent).
+    q("q_kl_source",
+      """WITH st AS (SELECT source, w, count(*) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT w, sum(c) AS cc FROM st GROUP BY 1),
+        |sn AS (SELECT source, sum(c)::BIGINT AS ns FROM st GROUP BY 1),
+        |n AS (SELECT sum(cc)::BIGINT AS nc FROM ct)
+        |SELECT st.source, count(*) AS n_terms,
+        |  round(sum(
+        |    (st.c * 1.0 / sn.ns) *
+        |    ln(greatest(st.c * 1.0 / sn.ns, 0.000001) /
+        |       greatest(ct.cc * 1.0 / n.nc, 0.000001))), 6) AS kl_divergence
+        |FROM st JOIN ct USING (w) JOIN sn USING (source) CROSS JOIN n
+        |GROUP BY st.source ORDER BY st.source""".stripMargin) { (s, d) =>
+      val st = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds corpus totals, source totals, and the join
+      val ct = st.groupBy("w").agg(sum("c").as("cc"))
+      val sn = st.groupBy("source").agg(sum("c").as("ns"))
+      val n = ct.agg(sum("cc").as("nc"))
+      st.join(ct, "w").join(sn, "source").crossJoin(broadcast(n))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum((col("c") * lit(1.0) / col("ns")) *
+            log(greatest(col("c") * lit(1.0) / col("ns"), lit(0.000001)) /
+              greatest(col("cc") * lit(1.0) / col("nc"), lit(0.000001)))), 6)
+            .as("kl_divergence"))
+        .orderBy("source")
+    },
+
+    // Out-of-vocabulary rate against a fixed reference vocabulary (the
+    // corpus's top-1024 tokens by count, doc-count tiebreak then token
+    // text — fully deterministic): the tokenizer-coverage question
+    // every pipeline asks before committing to a vocab. The reference
+    // vocab is a bounded sort+limit (TakeOrdered — never a global
+    // window), broadcast to a per-doc anti-membership count; per-source
+    // rollup ends the pipeline. All-integer ratios until the final
+    // rounded division.
+    q("q_oov_rate",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT w FROM vc ORDER BY c DESC, w LIMIT 1024),
+        |d AS (SELECT tok.doc_id, tok.source, count(*) AS n_tok,
+        |    sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens, sum(n_oov)::BIGINT AS n_oov,
+        |  round(sum(n_oov) * 1.0 / sum(n_tok), 6) AS oov_rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(1024)
+        .select(col("w"), lit(1).as("in_vocab"))
+      val docOov = tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      docOov.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("n_oov").as("n_oov"),
+          round(sum("n_oov") * lit(1.0) / sum("n_tok"), 6).as("oov_rate"))
+        .orderBy("source")
+    },
+
     // CCNet-style text normalization: lowercase, strip non-alphanumeric
     // characters, collapse whitespace — the canonical form exact dedup
     // and fingerprinting run on in public curation pipelines (CCNet's

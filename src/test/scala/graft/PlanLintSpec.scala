@@ -78,6 +78,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_kmeans",                // k-row centroid broadcast per Lloyd round
     "q_semdedup",              // same k-row centroid broadcast (pair scan itself is equi on cluster)
     "q_mix_epochs",            // 1-row max-source-count broadcast onto the |sources|-row epoch table
+    "q_kl_source",             // 1-row corpus-token-total broadcast onto the vocab-bounded term table
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
