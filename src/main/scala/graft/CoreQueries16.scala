@@ -98,8 +98,19 @@ object CoreQueries16 {
 
     // Relative-rank windows: percent_rank + cume_dist per group under a
     // deterministic total order (unique-key tiebreak, so tie handling
-    // can never diverge cross-engine). Partitioned on a real key —
-    // scales as one keyed sort, no global window.
+    // can never diverge cross-engine, and rank == row_number). The
+    // oracle states it as the window function; the Spark plan does NOT
+    // run a window over partitionBy(l_returnflag) — that key has
+    // cardinality 3, so the whole fact table would funnel into 3
+    // single-task sorts at scale. Instead: the standing bucketed
+    // two-pass prefix-sum (q_gini pattern). $100 price buckets are
+    // monotone in the leading sort key, so (flag, bucket) concatenation
+    // IS the global order: pass 1 ranks within (flag, bucket) — ~1000
+    // buckets per flag, parallel, each a small sort; pass 2 prefix-sums
+    // the per-bucket counts over the tiny bucket LIST only. Global
+    // rank i = carry + local rank; percent_rank = (i-1)/(n-1),
+    // cume_dist = i/n are arithmetic from there (division of identical
+    // integer operands → bit-identical doubles cross-engine).
     q("q_percent_rank",
       """SELECT l_returnflag, l_orderkey, l_linenumber,
         |  round(percent_rank() OVER w, 6) AS pr,
@@ -108,12 +119,32 @@ object CoreQueries16 {
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-      lineitem(s, d)
+      val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          col("l_extendedprice"))
+        .withColumn("bkt", floor(col("l_extendedprice") / 100.0).cast("long"))
+      // pass 1: rank within (flag, price-bucket) — parallel small sorts
+      val wIn = Window.partitionBy("l_returnflag", "bkt")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      val ranked = li.withColumn("lr", row_number().over(wIn).cast("long"))
+      // pass 2: ordered carry over the bucket list only (≤ ~1k rows/flag)
+      val wB = Window.partitionBy("l_returnflag").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bkt = ranked.groupBy("l_returnflag", "bkt")
+        .agg(count(lit(1)).as("bc"))
+      val carries = bkt
+        .withColumn("carry", coalesce(sum("bc").over(wB), lit(0L)))
+        .select(col("l_returnflag"), col("bkt"), col("carry"))
+      val totals = bkt.groupBy("l_returnflag").agg(sum("bc").as("n"))
+      ranked
+        .join(broadcast(carries), Seq("l_returnflag", "bkt"))
+        .join(broadcast(totals), Seq("l_returnflag"))
+        .withColumn("i", col("carry") + col("lr"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(when(col("n") > 1,
+            (col("i") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .otherwise(lit(0.0)), 6).as("pr"),
+          round(col("i").cast("double") / col("n").cast("double"), 6).as("cd"))
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     },
 

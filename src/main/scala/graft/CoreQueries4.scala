@@ -129,9 +129,15 @@ object CoreQueries4 {
         .orderBy("p_partkey")
     },
 
-    // Grouped standardization / anomaly flag: per-group mean/stddev via
-    // a window (one pass), z-score per row, |z| > 2.5 flagged. The
-    // monitoring-pipeline shape: no second scan for the stats.
+    // Grouped standardization / anomaly flag: per-group mean/stddev,
+    // z-score per row, |z| > 2.5 flagged. The oracle states the stats
+    // as a window; the Spark plan must NOT — PARTITION BY event_type
+    // (fixed ~5-value domain) would funnel the whole corpus-growing
+    // events table into 5 single-task sorts (the PlanLintSpec
+    // low-cardinality-window shape). Instead the stats collapse to a
+    // |event types|-row aggregate (map-side partial combine) that
+    // broadcasts back onto the scan — two cheap pruned scans beat one
+    // 5-task shuffle at any real scale.
     q("q_zscore_anomaly",
       """WITH s AS (SELECT event_id, event_type, value,
         |    avg(value) OVER (PARTITION BY event_type) AS mu,
@@ -141,10 +147,10 @@ object CoreQueries4 {
         |  round((value - mu) / sigma, 6) AS z,
         |  abs((value - mu) / sigma) > 2.5 AS is_anomaly
         |FROM s ORDER BY event_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("event_type")
-      events(s, d).select(col("event_id"), col("event_type"), col("value"),
-          avg("value").over(w).as("mu"),
-          stddev_samp("value").over(w).as("sigma"))
+      val stats = events(s, d).groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      events(s, d).select("event_id", "event_type", "value")
+        .join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("mu")) / col("sigma"), 6).as("z"),
           (abs((col("value") - col("mu")) / col("sigma")) > 2.5).as("is_anomaly"))

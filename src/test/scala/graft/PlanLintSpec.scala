@@ -33,6 +33,66 @@ class PlanLintSpec extends AnyFunSuite {
       s"unpartitioned (single-task) Window in: ${offenders.mkString(", ")}")
   }
 
+  /** Low-cardinality window-key lint (round-10, from the q_percent_rank
+    * post-mortem): a Window partitioned on a key with < ~100 distinct
+    * values funnels a corpus-proportional input into that many tasks —
+    * correct at test scale, a single-task multi-billion-row sort at
+    * 100×. A single-scale check can't tell a genuinely fixed key
+    * (l_returnflag: 3 values forever) from a key that merely LOOKS
+    * small at tiny sf (user_id: 15 at sf0.001, 10× more per 10× data),
+    * nor a corpus-proportional input from a bounded one (calendar
+    * scaffolds, price-bucket lists — they saturate). So the check is
+    * DIFFERENTIAL: each Window's child subplan is evaluated at BOTH
+    * sf0.001 and sf0.01 (via PlanProbe.ofRows — sees through aliases
+    * and derived keys), and a window is flagged only when its input
+    * grows with the corpus (>= 5000 rows at sf0.01 and > 3× the
+    * sf0.001 count) while its partition-key cardinality does not
+    * (< 100 distinct at sf0.01 and < 1.5× the sf0.001 count). That is
+    * exactly the shape that dies at 100×.
+    */
+  private val allowLowCard = Set[String]()
+
+  test("no corpus-growing Window is partitioned on a fixed low-cardinality key") {
+    import org.apache.spark.sql.graft.PlanProbe
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Project}
+    val sfBig = "/root/testdata/sf0.01"
+    def windowsOf(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  dir: String): Seq[LogicalWindow] =
+      fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.nonEmpty => w
+      }
+    def measure(w: LogicalWindow): (Long, Long) = {
+      val n = PlanProbe.ofRows(spark, w.child).count()
+      val keys: Seq[NamedExpression] = w.partitionSpec.zipWithIndex.map {
+        case (ne: NamedExpression, _) => ne
+        case (e, i) => Alias(e, s"k$i")()
+      }
+      val d = PlanProbe.ofRows(spark, Distinct(Project(keys, w.child))).count()
+      (n, d)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowLowCard(name) =>
+        val (small, big) = (windowsOf(fn, sf), windowsOf(fn, sfBig))
+        // plan shape is scale-invariant, so windows pair up positionally
+        small.zip(big).flatMap { case (wS, wB) =>
+          val (nB, dB) = measure(wB)
+          if (nB < 5000 || dB >= 100) None
+          else {
+            val (nS, dS) = measure(wS)
+            val inputGrows = nB > 3 * nS
+            val keyGrows = dB >= 1.5 * dS
+            if (inputGrows && !keyGrows)
+              Some(s"$name (input $nS->$nB rows, partitions $dS->$dB)")
+            else None
+          }
+        }.headOption
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"corpus-growing window on fixed low-cardinality key in: ${offenders.mkString("; ")}")
+  }
+
   /** Queries allowed to plan a nested-loop/cartesian join (whether they
     * do can depend on fixture scale): an explicit bounded cross product,
     * a broadcast of a 1-row scalar aggregate, or a documented
