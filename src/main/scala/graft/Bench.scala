@@ -79,11 +79,12 @@ object Bench {
     * visible IN the record: a fixed pure-CPU xorshift loop (min-of-3, so
     * a one-off scheduler blip doesn't false-positive, while sustained
     * contention still shows) timed before sweep 1 and again after sweep
-    * 2, plus /proc/loadavg at both points. `canaryRefSec` is the
-    * committed quiet-machine reference; a pre/post reading >1.3× it gets
-    * a loud stderr warning and readers of BENCH_FULL_r{N} can discount
-    * the epoch without needing a re-run to prove contamination. */
-  private val canaryRefSec = 0.32 // quiet-machine min-of-3, this host (loadavg 0.10: 0.310-0.337s)
+    * 2, plus /proc/loadavg at both points. The quiet-machine reference
+    * is PER-HOST, resolved through [[BenchCalibration]] (committed
+    * calibration file → quiet-run self-measure → built-in fallback);
+    * a pre/post reading >1.3× it gets a loud stderr warning, the
+    * record's `calibration.clean` flips false, and `ref_source` tells
+    * readers which kind of baseline judged it. */
   private def canarySec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -166,9 +167,14 @@ object Bench {
       (cc :+ f"heap=${heap.getUsed / 1e9}%.1fG").mkString(" ")
     }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val repoForCal = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val load1 = try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    val cal = BenchCalibration.resolve(repoForCal, () => canarySec(),
+      load1, Runtime.getRuntime.availableProcessors())
+    val canaryRefSec = cal.refSec
     val (canaryPre, loadPre) = (canarySec(), loadavg())
-    if (canaryPre > canaryRefSec * 1.3)
-      System.err.println(f"[bench] WARNING: pre-sweep canary $canaryPre%.3fs > 1.3x ref ${canaryRefSec}%.3fs (loadavg $loadPre) — machine is loaded; timings in this record are NOT comparable across rounds")
+    BenchCalibration.warning("pre-sweep", canaryPre, canaryRefSec, loadPre)
+      .foreach(System.err.println)
     def sweep(pass: Int): Map[String, Double] = names.flatMap { name =>
       releaseCaches()
       val t0 = System.nanoTime()
@@ -186,8 +192,8 @@ object Bench {
     }.toMap
     val (s1, s2) = (sweep(1), sweep(2))
     val (canaryPost, loadPost) = (canarySec(), loadavg())
-    if (canaryPost > canaryRefSec * 1.3)
-      System.err.println(f"[bench] WARNING: post-sweep canary $canaryPost%.3fs > 1.3x ref ${canaryRefSec}%.3fs (loadavg $loadPost) — machine is loaded; timings in this record are NOT comparable across rounds")
+    BenchCalibration.warning("post-sweep", canaryPost, canaryRefSec, loadPost)
+      .foreach(System.err.println)
     val results = names.flatMap { n =>
       (s1.get(n), s2.get(n)) match {
         case (Some(a), Some(b)) => Some(n -> math.min(a, b))
@@ -197,12 +203,14 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val errJson = errors.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val protocol = "warm+release+min2-v3"
-    val clean = canaryPre <= canaryRefSec * 1.3 && canaryPost <= canaryRefSec * 1.3
+    val clean = canaryPre <= canaryRefSec * BenchCalibration.warnFactor &&
+      canaryPost <= canaryRefSec * BenchCalibration.warnFactor
     val calJson =
-      s"""{"ref":${fmt(canaryRefSec)},"pre":${fmt(canaryPre)},"post":${fmt(canaryPost)},""" +
+      s"""{"ref":${fmt(canaryRefSec)},"ref_source":"${cal.source}",""" +
+        s""""pre":${fmt(canaryPre)},"post":${fmt(canaryPost)},""" +
         s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost","clean":$clean}"""
     // Full per-query record: every registered query, committed in-repo.
-    val repo = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val repo = repoForCal
     val round = currentRound(repo)
     val fullJson = {
       val m = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

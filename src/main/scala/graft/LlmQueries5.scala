@@ -26,6 +26,14 @@ object LlmQueries5 {
     // the sparsification the overlap join runs with at corpus scale;
     // the dense variant stays as ground truth. Same replayable hash
     // family, so the oracle re-runs selection AND join bit-identically.
+    // Candidates route through the SAME capped-bucket machinery as the
+    // LSH/chunk-semdedup siblings (r9 verdict): a fingerprint shared by
+    // k docs would emit k² pairs, and at corpus scale boilerplate
+    // guarantees hot fingerprints — buckets larger than 1000 docs are
+    // dropped, and the drop is NEVER silent: every output row carries
+    // `n_dropped_buckets` (a 1-row aggregate broadcast), so a run that
+    // hit the cap says so in the result itself. The oracle mirrors the
+    // cap (HAVING ≤ 1000) and the dropped count exactly.
     q("q_winnow_overlap",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |h AS (SELECT doc_id, len(tok) AS n,
@@ -40,21 +48,39 @@ object LlmQueries5 {
         |e AS (SELECT doc_id, i // 16 AS stride, wh[i+1] AS fp
         |  FROM w, unnest(range(0, len(wh))) AS u(i)),
         |sparse AS (SELECT DISTINCT doc_id, min(fp) AS fp
-        |  FROM e GROUP BY doc_id, stride)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |  FROM e GROUP BY doc_id, stride),
+        |bk AS (SELECT fp, count(*) AS k FROM sparse GROUP BY 1),
+        |dropped AS (SELECT count(*) FILTER (WHERE k > 1000)::BIGINT
+        |  AS n_dropped_buckets FROM bk)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared,
+        |  any_value(dropped.n_dropped_buckets) AS n_dropped_buckets
         |FROM sparse a JOIN sparse b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN bk ON bk.fp = a.fp AND bk.k <= 1000
+        |CROSS JOIN dropped
         |GROUP BY id1, id2
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val sparse = TextAnalysis.windowHashPositions(documents(s, d), 8)
         .groupBy(col("doc_id"), (col("pos") / 16).cast("long").as("stride"))
         .agg(min("fp").as("fp"))
         .select("doc_id", "fp").distinct()
-        .localCheckpoint() // feeds both join sides
-      sparse.as("a")
-        .join(sparse.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .localCheckpoint() // feeds kept buckets and the dropped count
+      // one fp-keyed shuffle builds the buckets; in-bucket pair
+      // expansion replaces the uncapped self-join (Dedup.bucketPairs
+      // shape), so a hot fingerprint can never emit k² join rows
+      val buckets = sparse.groupBy("fp")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      val nDropped = buckets
+        .agg(coalesce(sum(when(size(col("ids")) > 1000, 1L).otherwise(0L)),
+          lit(0L)).as("n_dropped_buckets"))
+      val pairsArr = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(x.as("id1"), y.as("id2")))))
+      buckets.filter(size(col("ids")).between(2, 1000))
+        .select(explode(pairsArr).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .groupBy("id1", "id2")
         .agg(count(lit(1)).as("shared"))
+        .crossJoin(broadcast(nDropped))
         .orderBy("id1", "id2")
     },
 

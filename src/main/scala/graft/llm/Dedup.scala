@@ -353,8 +353,21 @@ object Dedup {
                          fpWindow: Int = 8, dim: Int = 32,
                          threshold: Double = 0.8,
                          maxBucket: Int = 1000): DataFrame = {
+    // cid packs (doc_id, chunk_idx) into one join key for the bucket
+    // machinery; the encoding holds only while chunk_idx < 10000
+    // (~240k tokens at the default window/stride). A longer doc would
+    // SILENTLY collide with the next doc_id's chunks, so the overflow
+    // raises at scan time instead (executor-side raise_error — no
+    // driver-side count pass, fails the first task that sees one).
+    val cid = when(col("chunk_idx") < 10000,
+      col("doc_id") * 10000 + col("chunk_idx"))
+      .otherwise(raise_error(format_string(
+        "chunkSemanticPairs: doc %d has chunk_idx %d >= 10000; " +
+          "the cid = doc_id*10000 + chunk_idx encoding would collide " +
+          "with another doc's chunks - re-chunk with a larger stride",
+        col("doc_id"), col("chunk_idx"))))
     val chunks = TextAnalysis.chunk(docs, window, stride)
-      .select((col("doc_id") * 10000 + col("chunk_idx")).as("cid"),
+      .select(cid.as("cid"),
         col("doc_id"), col("chunk_idx"), col("chunk_text").as("text"))
       .localCheckpoint() // fingerprint, buckets, and meta all reuse it
     val fp = TextAnalysis.rollingFingerprint(

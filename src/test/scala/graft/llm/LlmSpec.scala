@@ -300,4 +300,22 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
     rows.foreach(f => assert(again(f.doc_id) == f.feature.toSeq))
   }
+
+  test("chunkSemanticPairs raises loudly on chunk_idx >= 10000 instead of colliding cids") {
+    // stride=1/window=2 makes a 10k-token doc overflow the cid encoding
+    // without materializing a 240k-token fixture
+    val longDoc = (0 until 10002).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, "short doc text here")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Dedup.chunkSemanticPairs(docs, window = 2, stride = 1).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("would collide"),
+      s"expected the cid-overflow raise, got: $chain")
+    // below the limit the same shape runs clean (no false raise)
+    val ok = Seq((1L, (0 until 50).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.chunkSemanticPairs(ok, window = 2, stride = 1).collect()
+  }
 }
