@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,7 +75,7 @@ object CoreQueries10 {
         .join(cumb, col("event_type") === col("cet") && col("bkt") === col("cbkt"))
         .withColumn("active", col("carry") + sum("net").over(wF))
         .select("event_type", "t", "active")
-        .localCheckpoint() // read twice: max + argmax join-back
+        .cut() // read twice: max + argmax join-back
       val mx = conc.groupBy(col("event_type").as("met"))
         .agg(max("active").as("max_concurrent"))
       mx.join(conc, col("event_type") === col("met")
@@ -108,7 +110,7 @@ object CoreQueries10 {
         .join(part(s, d).select(col("p_partkey"), col("p_brand").as("brand")),
           col("l_partkey") === col("p_partkey"))
         .select("okey", "brand").distinct()
-        .localCheckpoint() // feeds total, per-brand counts, and both pair sides
+        .cut() // feeds total, per-brand counts, and both pair sides
       val n = ob.agg(count_distinct(col("okey")).as("n_orders"))
       val bc = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
       val a = ob.select(col("okey").as("ka"), col("brand").as("b1"))

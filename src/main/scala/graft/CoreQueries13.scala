@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -195,7 +197,7 @@ object CoreQueries13 {
         |  round(avg(da.d), 6) AS mean_src_degree,
         |  round(corr(da.d, db.d), 6) AS assortativity
         |FROM s JOIN deg da ON da.node = s.x JOIN deg db ON db.node = s.y""".stripMargin) { (s, d) =>
-      val e0 = CoreQueries9.tradeEdges(s, d).localCheckpoint()
+      val e0 = CoreQueries9.tradeEdges(s, d).cut()
       val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val sym = e0.select(col("a").as("x"), col("b").as("y"))
@@ -247,7 +249,7 @@ object CoreQueries13 {
             .otherwise(col("b")).as("src"),
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
             .otherwise(col("a")).as("dst"))
-        .localCheckpoint() // feeds all three wedge-join sides once
+        .cut() // feeds all three wedge-join sides once
       val e1 = oriented.select(col("src").as("x"), col("dst").as("y"))
       val e2 = oriented.select(col("src").as("y2"), col("dst").as("z"))
       val e3 = oriented.select(col("src").as("x3"), col("dst").as("z3"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -171,10 +173,10 @@ object CoreQueries14 {
         .filter(col("sn") =!= col("cn"))
         .groupBy(col("sn").cast("int").as("src"), col("cn").cast("int").as("dst"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .cut()
       val e = ed.crossJoin(broadcast(ed.agg(avg("cnt").as("avgc"))))
         .filter(col("cnt") > col("avgc")).select("src", "dst")
-        .localCheckpoint()
+        .cut()
       val a1 = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("a"))
       val h1 = e.join(a1, col("dst") === col("node"))
         .groupBy(col("src").as("node2")).agg(sum("a").as("h"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,7 +67,7 @@ object CoreQueries6 {
         // costed feeds both the per-part min and the output join —
         // materialize the (small) slice once instead of running the
         // distinct+join pipeline twice.
-        .localCheckpoint()
+        .cut()
       val mins = costed.groupBy(col("p_partkey").as("mk"))
         .agg(min("s_acctbal").as("min_bal"))
       costed.join(mins, col("p_partkey") === col("mk") &&

@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -58,7 +60,7 @@ object CoreQueries7 {
       // corpus scan; with it the raw keys are read exactly once.
       val sk = h.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
         .select("l_returnflag", "hv")
-        .localCheckpoint()
+        .cut()
       def estimate(df: DataFrame) =
         df.agg(floor(lit(Scale) / max("hv")).cast("long").as("kmv_estimate"),
           count(lit(1)).as("k_used"))

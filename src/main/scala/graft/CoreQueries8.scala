@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -212,7 +214,7 @@ object CoreQueries8 {
       val edges = edges0
         .withColumn("p", col("cnt") * lit(1.0) / sum("cnt").over(Window.partitionBy("src")))
         .select("src", "dst", "p")
-        .localCheckpoint() // corpus scan runs once, not once per iteration
+        .cut() // corpus scan runs once, not once per iteration
       val nodes = nation(s, d).select(col("n_nationkey").as("node"), col("n_name"))
       var ranks = nodes.select(col("node"), (lit(1.0) / lit(PrNodes)).as("pr"))
       for (_ <- 1 to PrIters) {
@@ -276,7 +278,7 @@ object CoreQueries8 {
         .distinct()
         .withColumn("rk", row_number().over(Window.partitionBy("source").orderBy("hv")))
         .filter(col("rk") <= IK).select("source", "hv")
-        .localCheckpoint() // bounded k·|sources| rows; both pair sides read it
+        .cut() // bounded k·|sources| rows; both pair sides read it
       val srcs = sk.select("source").distinct()
       val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("s1"), col("b.source").as("s2"))

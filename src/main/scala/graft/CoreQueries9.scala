@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +54,7 @@ object CoreQueries9 {
       .groupBy(least(col("sn"), col("cn")).cast("int").as("a"),
         greatest(col("sn"), col("cn")).cast("int").as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .cut()
     ec.crossJoin(broadcast(ec.agg(avg("cnt").as("avgc"))))
       .filter(col("cnt") > col("avgc")).select("a", "b")
   }
@@ -224,7 +226,7 @@ object CoreQueries9 {
             .otherwise(col("a")).as("dst"))
         // feeds all three triangle-join sides — materialize the ≤|V|²
         // row edge list once instead of re-planning its join chain 3×
-        .localCheckpoint()
+        .cut()
       val e1 = oriented.select(col("src").as("x"), col("dst").as("y"))
       val e2 = oriented.select(col("src").as("y2"), col("dst").as("z"))
       val e3 = oriented.select(col("src").as("x3"), col("dst").as("z3"))
@@ -390,13 +392,13 @@ object CoreQueries9 {
     }) { (s, d) =>
       val e0 = tradeEdges(s, d)
       val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
+        .cut()
       // Adaptive (the Communities/connectedComponents discipline): a
       // dimension-sized edge list runs the whole BFS in one narrow task;
       // above the gate the distributed relax rounds keep their keyed shape.
       val (dist4, dist5) =
         if (eu.count() <= 1000000L) {
-          val sim = localBfs(eu, multiSource = false).localCheckpoint()
+          val sim = localBfs(eu, multiSource = false).cut()
           (sim.select("node", "hops").filter(col("hops") <= 4),
             sim.select("node", "hops").filter(col("hops") <= 5))
         } else {
@@ -407,7 +409,7 @@ object CoreQueries9 {
               .select(eu("b").as("node"), (dist("hops") + 1).as("hops"))
             dist = dist.union(relaxed)
               .groupBy("node").agg(min("hops").as("hops"))
-            if (k == 4) { dist = dist.localCheckpoint(); d4 = dist } // read twice: d5 + output
+            if (k == 4) { dist = dist.cut(); d4 = dist } // read twice: d5 + output
           }
           (d4, dist)
         }
@@ -462,13 +464,13 @@ object CoreQueries9 {
     }) { (s, d) =>
       val e0 = tradeEdges(s, d)
       val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
+        .cut()
       // Adaptive: multi-source BFS is O(|V|·(|V|+|E|)) in one task, so
       // the gate is tighter than the single-source queries' — fitting
       // the documented model-graph scope of full-graph centrality.
       val (dist4, dist5) =
         if (eu.count() <= 10000L) {
-          val sim = localBfs(eu, multiSource = true).localCheckpoint()
+          val sim = localBfs(eu, multiSource = true).cut()
           (sim.filter(col("hops") <= 4), sim.filter(col("hops") <= 5))
         } else {
           val nodes = eu.select(col("a").as("node")).distinct()
@@ -479,7 +481,7 @@ object CoreQueries9 {
               .select(dist("src"), eu("b").as("node"), (dist("hops") + 1).as("hops"))
             dist = dist.union(relaxed)
               .groupBy("src", "node").agg(min("hops").as("hops"))
-            if (k == 4) { dist = dist.localCheckpoint(); d4 = dist }
+            if (k == 4) { dist = dist.cut(); d4 = dist }
           }
           (d4, dist)
         }
@@ -521,7 +523,7 @@ object CoreQueries9 {
          |WHERE jaccard >= 0.25 ORDER BY u, v""".stripMargin) { (s, d) =>
       val e0 = tradeEdges(s, d)
       val eu = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
+        .cut()
       val deg = eu.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       val e1 = eu.select(col("a").as("w"), col("b").as("u"))
       val e2 = eu.select(col("a").as("w2"), col("b").as("v"))
@@ -573,7 +575,7 @@ object CoreQueries9 {
          |ORDER BY degf.node""".stripMargin
     }) { (s, d) =>
       val K = 6
-      val g0 = tradeEdges(s, d).localCheckpoint()
+      val g0 = tradeEdges(s, d).cut()
       // Adaptive: peeling is O(rounds·|E|) in one task under the gate;
       // the distributed per-round degree/filter loop runs above it.
       val (g4, g5) =
@@ -594,7 +596,7 @@ object CoreQueries9 {
               edges.foreach(e => last(e) = r)
             }
             last.iterator.map { case ((a, b), r) => (a, b, r) }
-          }.toDF("a", "b", "last").localCheckpoint()
+          }.toDF("a", "b", "last").cut()
           (sim.filter(col("last") >= 4).select("a", "b"),
             sim.filter(col("last") >= 5).select("a", "b"))
         } else {
@@ -607,7 +609,7 @@ object CoreQueries9 {
             g = g.join(keep.withColumnRenamed("node", "ka"), col("a") === col("ka"))
               .join(keep.withColumnRenamed("node", "kb"), col("b") === col("kb"))
               .select("a", "b")
-              .localCheckpoint()
+              .cut()
             if (k == 4) gr4 = g
           }
           (gr4, g)

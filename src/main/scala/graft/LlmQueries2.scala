@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -148,7 +150,7 @@ object LlmQueries2 {
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .distinct()
-        .localCheckpoint()
+        .cut()
       val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
       val ix = v.as("a")
         .join(v.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
@@ -279,7 +281,7 @@ object LlmQueries2 {
       val tf = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .cut()
       val df = tf.groupBy(col("term").as("t2")).agg(count(lit(1)).as("df"))
       val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -266,7 +268,7 @@ object LlmQueries3 {
       // Presence set feeds three consumers (both self-join sides + the
       // per-term doc counts) — materialize once, as in q_source_overlap.
       val pres = tk.join(broadcast(top), Seq("w"), "leftsemi")
-        .distinct().localCheckpoint()
+        .distinct().cut()
       val dc = pres.groupBy("w").agg(count(lit(1)).as("dw"))
       val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val co = pres.as("a")
@@ -385,7 +387,7 @@ object LlmQueries3 {
       // The fingerprint set feeds both join sides — materialize once
       // (q_source_overlap pattern).
       val e = graft.llm.TextAnalysis.rollingWindowHashes(documents(s, d), 8)
-        .localCheckpoint()
+        .cut()
       e.as("a")
         .join(e.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

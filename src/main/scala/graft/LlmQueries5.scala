@@ -1,5 +1,7 @@
 package graft
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,7 +65,7 @@ object LlmQueries5 {
         .groupBy(col("doc_id"), (col("pos") / 16).cast("long").as("stride"))
         .agg(min("fp").as("fp"))
         .select("doc_id", "fp").distinct()
-        .localCheckpoint() // feeds kept buckets and the dropped count
+        .cut() // feeds kept buckets and the dropped count
       // one fp-keyed shuffle builds the buckets; in-bucket pair
       // expansion replaces the uncapped self-join (Dedup.bucketPairs
       // shape), so a hot fingerprint can never emit k² join rows
@@ -110,7 +112,7 @@ object LlmQueries5 {
       val st = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // feeds corpus totals, source totals, and the join
+        .cut() // feeds corpus totals, source totals, and the join
       val ct = st.groupBy("w").agg(sum("c").as("cc"))
       val sn = st.groupBy("source").agg(sum("c").as("ns"))
       val n = ct.agg(sum("cc").as("nc"))

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +37,7 @@ object Communities {
     // whole sketch pipeline, and every round touches the edges.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
+      .cut()
     if (edges.count() <= localThreshold) return localPropagate(edges, rounds)
 
     var labels = edges.select(col("src").as("id")).distinct()
@@ -51,7 +53,7 @@ object Communities {
       labels = votes.groupBy("id", "label").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("id", "label")
-        .localCheckpoint() // per-round lineage cut (k-core discipline)
+        .cut() // per-round lineage cut (k-core discipline)
     }
     prev.join(labels.select(col("id"), col("label").as("label_next")), "id")
   }

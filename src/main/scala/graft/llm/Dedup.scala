@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -311,7 +313,7 @@ object Dedup {
     import graft.llm.Similarity.dot
     val a = Clustering.kmeansAssignments(embeddings, k, rounds)
       .select(col("vec_id"), col("cluster"), col("e"), col("vsq"))
-      .localCheckpoint()
+      .cut()
     val left = a.select(col("cluster"), col("vec_id").as("id_a"),
       col("e").as("ea"), col("vsq").as("sqa"))
     val right = a.select(col("cluster"), col("vec_id").as("id_b"),
@@ -369,7 +371,7 @@ object Dedup {
     val chunks = TextAnalysis.chunk(docs, window, stride)
       .select(cid.as("cid"),
         col("doc_id"), col("chunk_idx"), col("chunk_text").as("text"))
-      .localCheckpoint() // fingerprint, buckets, and meta all reuse it
+      .cut() // fingerprint, buckets, and meta all reuse it
     val fp = TextAnalysis.rollingFingerprint(
         chunks.select(col("cid").as("doc_id"), col("text")), fpWindow)
       .select(col("doc_id").as("doc_id"), lit(0).as("band"),
@@ -428,7 +430,7 @@ object Dedup {
     // re-execute 2×iterations times (measured: 34s instead of ~6s).
     val edgesRaw = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
+      .cut()
     // Size the iteration parallelism to the edge list (~1M edges per
     // partition): near-dup graphs are orders smaller than the corpus, and
     // every CC iteration re-scans these partitions — a tiny graph spread
@@ -442,7 +444,7 @@ object Dedup {
     val edges = if (targetParts < edgesRaw.rdd.getNumPartitions)
       edgesRaw.coalesce(targetParts) else edgesRaw
     val vertices = edges.select(col("src").as("id")).distinct()
-    var labels = vertices.withColumn("component", col("id")).localCheckpoint()
+    var labels = vertices.withColumn("component", col("id")).cut()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -456,7 +458,7 @@ object Dedup {
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .cut()
       val changed = next.filter(col("component") =!= col("prev")).count()
       labels = next.select("id", "component")
       converged = changed == 0
@@ -526,7 +528,7 @@ object Dedup {
     // 65-aggregate pipeline over every shingle; it feeds three consumers
     // (banding, both verify sides). Materialize it once so the heavy
     // aggregation doesn't run 3× (and its large codegen compiles once).
-    val parts = simhashParts(docs).localCheckpoint()
+    val parts = simhashParts(docs).cut()
     val banded = parts.select(col("doc_id"),
       posexplode(array(col("part0"), col("part1"), col("part2"), col("part3")))
         .as(Seq("band", "bucket")))

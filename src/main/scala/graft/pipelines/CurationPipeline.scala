@@ -1,5 +1,7 @@
 package graft.pipelines
 
+import graft.CheckpointStrategy.Ops._
+
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +52,7 @@ object CurationPipeline {
       Expectation("doc_id_present", col("doc_id").isNotNull, Fail),
       Expectation("text_nonempty", length(col("text")) > 0, Drop))
     val obs = Observation()
-    val checked = Expectations.withExpectations(docs, obs, exps).localCheckpoint()
+    val checked = Expectations.withExpectations(docs, obs, exps).cut()
 
     val quality = TextAnalysis.gopherFilter(checked,
       cfg.minTokens, cfg.maxRepRatio, cfg.minAlphaRatio)
@@ -62,7 +64,7 @@ object CurationPipeline {
     val kept = checked.join(
       quality.filter(col("keep"))
         .select("doc_id", "n_tokens", "rep_ratio", "alpha_ratio"), "doc_id")
-      .localCheckpoint()
+      .cut()
 
     val deduped = Dedup.dedupSurvivors(kept,
       Dedup.minhashPairs(kept, cfg.dedupThreshold))
