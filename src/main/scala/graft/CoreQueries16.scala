@@ -82,13 +82,20 @@ object CoreQueries16 {
         |    THEN c_acctbal + 100 ELSE c_acctbal END), 6)
         |FROM customer WHERE c_acctbal >= 0
         |ORDER BY version""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-vt-tt").toString + "/t"
+      val dir = graft.lake.Scratch.dir("graft-vt-tt") + "/t"
       val t = graft.lake.VersionedTable(s, dir)
       t.commitOverwrite(customer(s, d))
-      t.delete(col("c_acctbal") < 0)
+      // delete/update return None (and commit NOTHING) when no row
+      // matches — a fixture regeneration with no negative balances or
+      // no BUILDING segment would otherwise surface later as a cryptic
+      // missing-version read instead of failing here, at the cause
+      t.delete(col("c_acctbal") < 0).getOrElse(sys.error(
+        "q_lake_time_travel: DELETE matched no rows (fixture has no " +
+          "negative c_acctbal) - version 1 would not exist"))
       t.update(col("c_mktsegment") === "BUILDING",
-        Map("c_acctbal" -> (col("c_acctbal") + 100)))
+        Map("c_acctbal" -> (col("c_acctbal") + 100))).getOrElse(sys.error(
+        "q_lake_time_travel: UPDATE matched no rows (fixture has no " +
+          "BUILDING segment) - version 2 would not exist"))
       (0 to 2).map { v =>
         t.read(Some(v)).agg(count(lit(1)).as("n_rows"),
             round(sum("c_acctbal"), 6).as("balance_sum"))

@@ -113,8 +113,7 @@ object CoreQueries7 {
         |  c_nationkey
         |FROM customer WHERE c_acctbal >= 0
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-vt-dml").toString + "/t"
+      val dir = graft.lake.Scratch.dir("graft-vt-dml") + "/t"
       val t = graft.lake.VersionedTable(s, dir)
       t.commitOverwrite(customer(s, d))
       t.delete(col("c_acctbal") < 0)
@@ -142,8 +141,7 @@ object CoreQueries7 {
         |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
         |  round(sum(value) / count(*), 6) AS vavg
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-incr-agg").toString + "/t"
+      val dir = graft.lake.Scratch.dir("graft-incr-agg") + "/t"
       val ev = events(s, d).select(col("event_id"),
         date_trunc("day", col("ts")).as("day"),
         col("event_type"), col("value"))

@@ -319,8 +319,7 @@ object CoreQueries8 {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-vt-skip").toString + "/t"
+      val dir = graft.lake.Scratch.dir("graft-vt-skip") + "/t"
       val t = graft.lake.VersionedTable(s, dir)
       t.commitOverwrite(lineitem(s, d).repartitionByRange(8, col("l_orderkey")))
       t.readWhere(col("l_orderkey").between(1000L, 2000L))

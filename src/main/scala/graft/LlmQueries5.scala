@@ -127,8 +127,8 @@ object LlmQueries5 {
     },
 
     // Out-of-vocabulary rate against a fixed reference vocabulary (the
-    // corpus's top-1024 tokens by count, doc-count tiebreak then token
-    // text — fully deterministic): the tokenizer-coverage question
+    // corpus's top-1024 tokens by occurrence count desc, token-text
+    // tiebreak — fully deterministic): the tokenizer-coverage question
     // every pipeline asks before committing to a vocab. The reference
     // vocab is a bounded sort+limit (TakeOrdered — never a global
     // window), broadcast to a per-doc anti-membership count; per-source
