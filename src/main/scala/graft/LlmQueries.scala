@@ -183,6 +183,47 @@ object LlmQueries {
        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Recall@10 of every ANN family against the brute-force ground
+    * truth — the self-evaluation number a 100-TB pipeline tunes
+    * bands/nProbe/m by. Because all four families are deterministic
+    * and replayable, the ENTIRE comparison is oracle-expressible: the
+    * three family replays run as subqueries against a brute-force
+    * truth CTE. Recall stats stay integer hit-counts until one final
+    * division, so both engines emit bit-identical doubles. */
+  private val annRecallOracle: String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    WITH queries AS (SELECT vec_id AS query_id, embedding AS qe
+       |        FROM embeddings WHERE vec_id < 10),
+       |    scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine
+       |      FROM embeddings e CROSS JOIN queries q
+       |      WHERE e.vec_id <> q.query_id)
+       |    SELECT query_id, neighbor_id FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) t
+       |    WHERE rn <= 10) t),
+       |lshk AS (SELECT query_id, neighbor_id FROM ($annLshOracle) t),
+       |ivfk AS (SELECT query_id, neighbor_id FROM ($ivfOracle) t),
+       |pqk AS (SELECT query_id, neighbor_id FROM ($pqOracle) t),
+       |fams AS (SELECT 'lsh' AS family, query_id, neighbor_id FROM lshk
+       |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivfk
+       |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk),
+       |hits AS (SELECT f.family, t.query_id, count(*) AS n_hits
+       |  FROM truth t JOIN fams f ON f.query_id = t.query_id
+       |    AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT family, query_id
+       |  FROM (VALUES ('lsh'), ('ivf'), ('pq')) v(family)
+       |  CROSS JOIN (SELECT DISTINCT query_id FROM truth) q),
+       |r AS (SELECT g.family, g.query_id, coalesce(h.n_hits, 0) AS n_hits
+       |  FROM grid g LEFT JOIN hits h ON h.family = g.family
+       |    AND h.query_id = g.query_id)
+       |SELECT family, count(*) AS n_queries,
+       |  round(sum(n_hits) * 1.0 / (count(*) * 10), 6) AS avg_recall,
+       |  round(min(n_hits) / 10.0, 6) AS min_recall
+       |FROM r GROUP BY family ORDER BY family""".stripMargin
+
   /** Full DuckDB replay of the MinHash+LSH pipeline: 3-gram shingles →
     * md5-int hashes → 32 linear-permutation minhashes → 8 Horner band
     * buckets → in-bucket pairs (2..1000 cap) → exact Jaccard verify.
@@ -659,6 +700,40 @@ object LlmQueries {
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
           k = 10)
         .orderBy("query_id", "rn")
+    },
+
+    // ANN self-evaluation: recall@10 of LSH buckets, IVF cells, and
+    // PQ-ADC codes against the exact brute-force neighbors — the number
+    // that decides bands/nProbe/m at production scale. PQ ranks by L2²
+    // ADC while truth ranks by cosine (vectors aren't normalized), so
+    // its recall is expected to trail the cosine-space families; that
+    // gap is itself the measurement. Hit counts stay integers until one
+    // final division (bit-identical doubles cross-engine).
+    q("q_ann_recall", annRecallOracle) { (s, d) =>
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val truth = Similarity.bruteForceTopK(emb, qs, 10)
+        .select("query_id", "neighbor_id")
+      def fam(name: String, df: DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
+          .withColumn("family", lit(name))
+      val fams = fam("lsh", Similarity.lshTopK(emb, qs, 10))
+        .unionByName(fam("ivf", Similarity.ivfTopK(emb, qs, 10)))
+        .unionByName(fam("pq", Similarity.pqTopK(emb, qs, 10)))
+      val hits = truth.join(fams, Seq("query_id", "neighbor_id"))
+        .groupBy("family", "query_id").agg(count(lit(1)).as("n_hits"))
+      val grid = qs.select("query_id")
+        .crossJoin(broadcast(Seq("lsh", "ivf", "pq").toDF("family")))
+      grid.join(hits, Seq("family", "query_id"), "left")
+        .select(col("family"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum("n_hits") * lit(1.0) / (count(lit(1)) * 10), 6)
+            .as("avg_recall"),
+          round(min("n_hits") / lit(10.0), 6).as("min_recall"))
+        .orderBy("family")
     },
 
     // Embedding stats: norm per vector, aggregated per label.

@@ -140,6 +140,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_mix_epochs",            // 1-row max-source-count broadcast onto the |sources|-row epoch table
     "q_kl_source",             // 1-row corpus-token-total broadcast onto the vocab-bounded term table
     "q_winnow_overlap",        // 1-row dropped-bucket-count broadcast (the cap-visibility column)
+    "q_ann_recall",            // composes q_sim_topk/ivf's allowlisted broadcasts + a 3-row family grid
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
