@@ -70,6 +70,9 @@ object Bench {
     "q_percent_rank", "q_longest_dup_span",
     "q_winnow_overlap", "q_text_normalize", "q_scd2_join",
     "q_lake_time_travel", "q_kl_source", "q_oov_rate",
+    // round-10 ANN-evaluation + stream-parity families (cross-round
+    // comparisons use the common subset — see PLANS.md battery note)
+    "q_ann_recall", "q_interval_join_outer",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.TextAnalysis
 
-/** Sixteenth core tranche (round 9): relative-rank window functions and
-  * the longest-duplicated-span analysis built on the positional
-  * rolling-hash windows.
+/** Sixteenth core tranche (round 9, extended round 10): relative-rank
+  * window functions, the longest-duplicated-span analysis built on the
+  * positional rolling-hash windows, and the batch-equivalence oracle
+  * row for the streaming left-outer interval join.
   */
 object CoreQueries16 {
   import Tables._
@@ -212,6 +213,36 @@ object CoreQueries16 {
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("longest_span"), lit(0L)).as("longest_span"))
         .orderBy("doc_id")
+    },
+
+    // Batch-equivalence oracle row for the STREAMING left-outer
+    // interval join (EventStreams.purchasesWithOptionalClick): every
+    // purchase emits with each preceding click in the 30-minute
+    // horizon, or a null click when none exists. The query calls the
+    // SAME function the stream runs — withWatermark is a no-op on a
+    // batch Dataset, so this is the identical join code path, not a
+    // re-implementation; StreamingSpec separately proves the
+    // watermark-driven null emission on an actual stream. Plan shape:
+    // equi-join on user_id with the interval bounds as residual filter
+    // (one keyed shuffle, broadcast when one side is small) — never a
+    // time-range nested loop.
+    q("q_interval_join_outer",
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts::TIMESTAMP AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts::TIMESTAMP AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.click_ts <= p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+        |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      graft.streaming.EventStreams.purchasesWithOptionalClick(
+          ev.filter(col("event_type") === "click")
+            .select("user_id", "event_id", "ts"),
+          ev.filter(col("event_type") === "purchase")
+            .select("user_id", "event_id", "ts"))
+        .orderBy("user_id", "purchase_id", "click_id")
     }
   )
 }
