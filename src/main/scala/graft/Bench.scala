@@ -73,6 +73,11 @@ object Bench {
     // round-10 ANN-evaluation + stream-parity families (cross-round
     // comparisons use the common subset — see PLANS.md battery note)
     "q_ann_recall", "q_interval_join_outer",
+    // round-10 lake CDC/evolution, dedup self-evaluation, skew + vocab
+    // profiling families
+    "q_lake_cdc", "q_lake_schema_evolve", "q_interval_join_full",
+    "q_skew_diagnostic", "q_dedup_recall", "q_dedup_threshold_sweep",
+    "q_vocab_growth",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

@@ -234,7 +234,8 @@ object LlmQueries {
   /** CTE chain computing the verified minhash pair set as `pairs(id1,
     * id2, jaccard)` — shared by the minhash query oracle and the
     * survivors oracle (which clusters these pairs). */
-  private[graft] def minhashPairsCtes(src: String): String = {
+  private[graft] def minhashPairsCtes(src: String,
+                                      threshold: Double = 0.7): String = {
     val P = Dedup.HashP
     val params = (0 until 32).map { i =>
       val (a, b) = Dedup.permConstants(i); s"[$a,$b]"
@@ -256,7 +257,7 @@ object LlmQueries {
        | JOIN hx s1 ON s1.doc_id = cand.id1
        | JOIN hx s2 ON s2.doc_id = cand.id2
        |WHERE len(list_intersect(s1.shingles, s2.shingles)) * 1.0 /
-       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.7)""".stripMargin
+       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= $threshold)""".stripMargin
   }
 
   private val minhashOracle: String =

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Sixth LLM-curation tranche (round 10): self-evaluation and tuning
+  * surfaces for the dedup suite — banding recall audited against exact
+  * Jaccard ground truth on a fixed sample (the dedup sibling of
+  * q_ann_recall), the threshold operating curve a pipeline sweeps
+  * before committing to a Jaccard cutoff — plus Heaps-law vocabulary
+  * growth, the corpus-scaling profile that predicts vocab size at 10×
+  * the data.
+  */
+object LlmQueries6 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Dedup self-evaluation: recall of the MinHash-LSH banding pipeline
+    // against EXACT shingle-Jaccard ground truth on a deterministic doc
+    // sample (doc_id % 2 = 0 here; the modulus is the audit-fraction
+    // knob — at corpus scale it is set so the sample is ~10⁴ docs, and
+    // truth cost shrinks with the SQUARE of the fraction since both
+    // pair endpoints must sample in). Ground truth is the exact
+    // construction banding exists to avoid — an inverted shingle index
+    // within the sample (shingle-keyed equi-join; hot shingles are
+    // quadratic, which is precisely why it only ever runs on the audit
+    // sample). The candidate side is the production minhashPairs
+    // pipeline itself, so misses measure exactly what banding (8 bands
+    // × 4 rows) plus the hot-bucket cap give up. The same exact-Jaccard
+    // definition (distinct 3-gram shingles) on both sides makes
+    // found ⊆ truth, so recall = hits / truth.
+    q("q_dedup_recall", {
+      s"""WITH ${LlmQueries.minhashPairsCtes("documents")},
+         |swords AS (SELECT doc_id, unnest(shingles) AS s
+         |  FROM sh WHERE doc_id % 2 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM swords GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ov
+         |  FROM swords a JOIN swords b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id1, id2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = inter.id1
+         |  JOIN sizes s2 ON s2.doc_id = inter.id2
+         |  WHERE ov * 1.0 / (s1.sz + s2.sz - ov) >= 0.7),
+         |fnd AS (SELECT id1, id2 FROM pairs
+         |  WHERE id1 % 2 = 0 AND id2 % 2 = 0),
+         |hh AS (SELECT count(*)::BIGINT AS n_hits
+         |  FROM truth JOIN fnd USING (id1, id2)),
+         |tr AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+         |SELECT tr.n_truth, hh.n_hits, (tr.n_truth - hh.n_hits) AS n_missed,
+         |  round(hh.n_hits * 1.0 / greatest(tr.n_truth, 1), 6) AS recall
+         |FROM tr CROSS JOIN hh""".stripMargin
+    }) { (s, d) =>
+      val sample = documents(s, d).filter(col("doc_id") % 2 === 0)
+      val sw = sample
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      val sizes = sw.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sw.select(col("doc_id").as("id1"), col("s"))
+        .join(sw.select(col("doc_id").as("id2"), col("s")),
+          Seq("s"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("ov"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+        .filter(col("ov") * lit(1.0) /
+          (col("sz1") + col("sz2") - col("ov")) >= 0.7)
+        .select("id1", "id2")
+      val found = Dedup.minhashPairs(documents(s, d), threshold = 0.7)
+        .filter(col("id1") % 2 === 0 && col("id2") % 2 === 0)
+        .select("id1", "id2")
+      val h = truth.join(found, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_hits"))
+      val t = truth.agg(count(lit(1)).as("n_truth"))
+      t.crossJoin(broadcast(h))
+        .select(col("n_truth"), col("n_hits"),
+          (col("n_truth") - col("n_hits")).as("n_missed"),
+          round(col("n_hits") * lit(1.0) / greatest(col("n_truth"), lit(1L)), 6)
+            .as("recall"))
+    },
+
+    // Threshold operating curve: pair volume and affected-doc volume at
+    // each candidate Jaccard cutoff, from ONE banding+verify pass at
+    // the loosest threshold (0.5) — how a pipeline picks its dedup τ
+    // without re-running the expensive candidate generation per value.
+    // The sweep re-aggregates the verified pair set (linear in pairs,
+    // 5-row threshold table broadcast); comparisons use the rounded
+    // jaccard column both engines already hash-match in q_dedup_minhash.
+    q("q_dedup_threshold_sweep", {
+      s"""WITH ${LlmQueries.minhashPairsCtes("documents", threshold = 0.5)}
+         |SELECT th AS threshold,
+         |  (SELECT count(*)::BIGINT FROM pairs WHERE jaccard >= th) AS n_pairs,
+         |  (SELECT count(DISTINCT x)::BIGINT FROM
+         |    (SELECT unnest([id1, id2]) AS x FROM pairs WHERE jaccard >= th))
+         |    AS n_docs
+         |FROM unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t(th)
+         |ORDER BY threshold""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val pairs = Dedup.minhashPairs(documents(s, d), threshold = 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+      val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      // 5-row broadcast against the (already tiny, ~linear-in-dups)
+      // verified pair set: the inequality join is 5 × |pairs|, never
+      // corpus-sized
+      val nPairs = pairs.join(broadcast(th), col("jaccard") >= col("threshold"))
+        .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = pairs
+        .select(col("jaccard"), explode(array(col("id1"), col("id2"))).as("x"))
+        .join(broadcast(th), col("jaccard") >= col("threshold"))
+        .groupBy("threshold").agg(countDistinct("x").as("n_docs"))
+      th.join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("threshold")
+    },
+
+    // Heaps-law vocabulary growth: new word types and cumulative vocab
+    // per doc_id decile — the corpus-scaling profile that says whether
+    // vocabulary (and so tokenizer/embedding-table sizing) saturates or
+    // keeps growing at 10× the data. Shape: a token-keyed
+    // first-occurrence aggregate (the only corpus-sized shuffle), decile
+    // bucketing against a 1-row max broadcast, then a 10-row prefix sum
+    // — the window input is the decile list, bounded at any corpus size.
+    q("q_vocab_growth",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |occ AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |newt AS (SELECT (first_doc * 10) // mx.n AS decile,
+        |    count(*) AS n_new_types
+        |  FROM occ CROSS JOIN mx GROUP BY 1),
+        |vol AS (SELECT (doc_id * 10) // mx.n AS decile, count(*) AS n_tokens
+        |  FROM tok CROSS JOIN mx GROUP BY 1)
+        |SELECT vol.decile,
+        |  coalesce(newt.n_new_types, 0)::BIGINT AS n_new_types,
+        |  sum(coalesce(newt.n_new_types, 0))
+        |    OVER (ORDER BY vol.decile)::BIGINT AS cum_types,
+        |  vol.n_tokens::BIGINT AS n_tokens,
+        |  sum(vol.n_tokens) OVER (ORDER BY vol.decile)::BIGINT AS cum_tokens
+        |FROM vol LEFT JOIN newt ON newt.decile = vol.decile
+        |ORDER BY vol.decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val mx = documents(s, d).agg((max("doc_id") + 1).as("n"))
+      val newt = tok.groupBy("w").agg(min("doc_id").as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .groupBy(floor(col("first_doc") * 10 / col("n")).as("decile"))
+        .agg(count(lit(1)).as("n_new_types"))
+      val vol = tok.crossJoin(broadcast(mx))
+        .groupBy(floor(col("doc_id") * 10 / col("n")).as("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vol.join(newt, Seq("decile"), "left")
+        .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+        .select(col("decile"), col("n_new_types"),
+          sum("n_new_types").over(w).as("cum_types"),
+          col("n_tokens"), sum("n_tokens").over(w).as("cum_tokens"))
+        .orderBy("decile")
+    }
+  )
+}

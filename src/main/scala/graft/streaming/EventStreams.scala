@@ -177,6 +177,37 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** Full-outer stream-stream interval join — the last join shape in the
+    * family (inner: [[clicksLeadingToPurchase]], left-outer:
+    * [[purchasesWithOptionalClick]]): every purchase emits with its
+    * preceding-click matches or a null click, AND every click that led
+    * to no purchase within the forward horizon emits with a null
+    * purchase. Both null emissions are watermark-driven state evictions
+    * — an unmatched row leaves the store (and emits) only once the
+    * OTHER side's watermark proves no partner can still arrive, so
+    * neither side's state grows beyond the horizon. Same condition as
+    * the siblings, so the batch-equivalence oracle is a plain FULL
+    * JOIN with the interval predicate (q_interval_join_full).
+    */
+  def clickPurchaseFullOuter(clicks: DataFrame, purchases: DataFrame,
+                             horizon: String = "30 minutes",
+                             lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("p_user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "fullOuter")
+      .select(coalesce(col("p_user_id"), col("c_user_id")).as("user_id"),
+        col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming → lake sink: each micro-batch lands via the insert-only
     * merge (`graft.lake.Merge`), so replayed batches (restarts,
     * re-delivery) never duplicate rows — the streaming realization of

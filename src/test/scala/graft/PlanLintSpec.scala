@@ -20,7 +20,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_yoy_growth",    // 12-row lag over the calendar-bounded monthly aggregate
     "q_skyline",       // suffix-min over the ≤|size domain| per-size aggregate
     "q_bootstrap_ci",  // rank over the 50-row replicate-mean frame
-    "q_kaplan_meier")  // suffix/cumulative windows over the calendar-day-bounded risk table
+    "q_kaplan_meier",  // suffix/cumulative windows over the calendar-day-bounded risk table
+    "q_vocab_growth")  // 10-row prefix sum over the decile list (bounded at any corpus size)
 
   test("no registered query plans an unpartitioned Window outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
@@ -141,6 +142,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q_kl_source",             // 1-row corpus-token-total broadcast onto the vocab-bounded term table
     "q_winnow_overlap",        // 1-row dropped-bucket-count broadcast (the cap-visibility column)
     "q_ann_recall",            // composes q_sim_topk/ivf's allowlisted broadcasts + a 3-row family grid
+    "q_skew_diagnostic",       // 1-row (n_rows, n_keys) totals broadcast onto the top-5 list
+    "q_dedup_recall",          // 1-row hit-count × 1-row truth-count broadcast (audit scalars)
+    "q_dedup_threshold_sweep", // 5-row threshold-grid broadcast onto the verified pair set
+    "q_vocab_growth",          // 1-row max-doc-id broadcast for decile bucketing
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {

@@ -230,6 +230,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.contains((101L, None)))
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides after watermarks pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.clickPurchaseFullOuter(
+      clicks.toDF(), purchases.toDF(), horizon = "30 minutes", lateness = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_full")
+      .outputMode("append").start()
+    // user 1: click + purchase (inner match); user 2: purchase with no
+    // click; user 3: click that leads to no purchase
+    clicks.addData(Ev(1, ts(5), 1, 1.0), Ev(2, ts(5), 3, 1.0))
+    purchases.addData(Ev(100, ts(20), 1, 9.0), Ev(101, ts(20), 2, 9.0))
+    q.processAllAvailable()
+    val matched = spark.table("ss_full")
+      .select("purchase_id", "click_id").as[(Option[Long], Option[Long])]
+      .collect().toSet
+    // only the inner match may have emitted; both outer rows await
+    // the opposite side's watermark proof
+    assert(matched == Set((Some(100L), Some(1L))))
+    // advance both watermarks far past every join window
+    clicks.addData(Ev(9, ts(120), 9, 1.0))
+    purchases.addData(Ev(900, ts(120), 9, 1.0))
+    q.processAllAvailable()
+    clicks.addData(Ev(10, ts(180), 9, 1.0))
+    purchases.addData(Ev(901, ts(180), 9, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ss_full")
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(all.contains((2L, Some(101L), None)), "unmatched purchase must emit a null click")
+    assert(all.contains((3L, None, Some(2L))), "unmatched click must emit a null purchase")
+  }
+
   test("foreachBatch sink lands micro-batches via insert-only merge (replay-safe)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
