@@ -132,9 +132,14 @@ object Dedup {
     * buckets), so the DuckDB oracle replays the WHOLE pipeline —
     * candidates, caps, and verify — with list comprehensions.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
-                   numHashes: Int = 32, bands: Int = 8,
-                   maxBucket: Int = 1000): DataFrame = {
+  /** (doc_id, band, bucket) LSH banding of the replayable minhash
+    * signature — the persistable "signature store" unit: banding a doc
+    * depends only on the doc's own text, so corpus and batch sides of an
+    * incremental run can be banded independently (or read back from a
+    * store) and still collide identically.
+    */
+  private def bandedMinhash(docs: DataFrame, shingleN: Int,
+                            numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
@@ -149,18 +154,19 @@ object Dedup {
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       rows.reduce((acc, x) => (acc * 131L + x) % HashP)
     }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+  }
 
-    val candidates = bucketPairs(banded, maxBucket)
-
-    // Exact verify on the candidate set only: candidates are ~linear and
-    // tiny — broadcast them so shingle arrays never shuffle. The corpus
-    // is semi-joined to the candidate ids BEFORE shingling, so the
-    // verify pass re-shingles only docs that appear in some candidate
-    // pair (~the near-dup population) instead of the whole corpus on
-    // both join sides — at 100 TB the difference between two extra full
-    // corpus passes and two passes over the dup fraction.
+  /** Exact shingle-Jaccard verification of a (tiny, ~linear) candidate
+    * pair set. Candidates are broadcast so document payloads never
+    * shuffle, and the corpus is semi-joined to candidate ids BEFORE
+    * shingling, so the verify pass re-shingles only docs appearing in
+    * some candidate pair (~the near-dup population) — at 100 TB the
+    * difference between two extra full corpus passes and two passes over
+    * the dup fraction.
+    */
+  private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
+                            shingleN: Int, threshold: Double): DataFrame = {
     val candIds = candidates
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
     val withShingles = docs
@@ -174,6 +180,65 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  def minhashPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8,
+                   maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedMinhash(docs, shingleN, numHashes, bands)
+    val candidates = bucketPairs(banded, maxBucket)
+    verifyJaccard(docs, candidates, shingleN, threshold)
+  }
+
+  /** Incremental MinHash+LSH dedup: near-dup pairs of a NEW batch
+    * against an already-deduped corpus (and within the batch itself),
+    * never corpus×corpus. This is the operational shape at 100 TB — the
+    * corpus is deduped once, its banded signatures persist as a store,
+    * and each arriving batch is banded (cost ∝ batch), bucket-joined
+    * against the store, and verified only on pairs with ≥1 batch
+    * endpoint. Re-running the full corpus×corpus pipeline per batch
+    * would make ingestion cost ∝ corpus instead of ∝ batch.
+    *
+    * Identity contract (what the oracle exploits): banding is per-doc,
+    * and the bucket-size cap counts corpus+batch members together, so
+    * the emitted pair set is EXACTLY the full-corpus [[minhashPairs]]
+    * output filtered to pairs with ≥1 batch endpoint.
+    *
+    * `corpus` and `batch` must have disjoint `doc_id`s (loud check at
+    * plan level is the caller's: ids are the store's primary key).
+    */
+  def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
+                              threshold: Double, shingleN: Int = 3,
+                              numHashes: Int = 32, bands: Int = 8,
+                              maxBucket: Int = 1000): DataFrame = {
+    val banded =
+      bandedMinhash(corpus, shingleN, numHashes, bands)
+        .withColumn("is_new", lit(false))
+        .unionByName(
+          bandedMinhash(batch, shingleN, numHashes, bands)
+            .withColumn("is_new", lit(true)))
+
+    // In-bucket pairs as in bucketPairs, but members carry the batch
+    // flag and only combinations with ≥1 batch endpoint are expanded:
+    // a bucket of c corpus docs and n batch docs emits n·(c+n) pairs,
+    // never the c² corpus-internal ones. The cap is on TOTAL bucket
+    // size (corpus+batch), mirroring the full pipeline bit-for-bit.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("is_new")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    val pairsArr = flatten(transform(col("xs"), (x, i) =>
+      filter(
+        transform(slice(col("xs"), i + lit(2), size(col("xs")) - i - 1),
+          y => struct(
+            x.getField("doc_id").as("id1"),
+            y.getField("doc_id").as("id2"),
+            (x.getField("is_new") || y.getField("is_new")).as("keep"))),
+        p => p.getField("keep"))))
+    val candidates = buckets.select(explode(pairsArr).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+
+    verifyJaccard(corpus.unionByName(batch), candidates, shingleN, threshold)
   }
 
   /** 64-bit SimHash, materialized as four 16-bit parts (ANSI-safe: no

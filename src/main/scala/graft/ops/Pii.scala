@@ -33,6 +33,37 @@ object Pii {
   def maskEmail(email: Column): Column =
     regexp_replace(email, "^[^@]+", "*****")
 
+  /** Multi-class free-text PII scrub — the redaction pass a training-data
+    * pipeline runs over raw documents before anything else sees them.
+    * Patterns are deliberately RE2-safe (character classes + bounded
+    * quantifiers, no backreferences/lookaround) so the same literal
+    * pattern means the same thing in Java regex (Spark) and RE2 (DuckDB
+    * oracle) — cross-engine redaction equality is hash-checked by
+    * q_pii_scrub. Pure codegen'd projection: zero shuffle at any corpus
+    * size; the scan is the cost.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact all three PII classes, each to its own tag. Email first: an
+    * email can embed digit runs, but neither phone (hyphens) nor IPv4
+    * (dots between digit groups) patterns can match inside the remaining
+    * classes, so the chain order is otherwise free.
+    */
+  def scrubText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Per-class match counts (audit columns emitted next to the scrub). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailPattern)).as("n_emails"),
+    regexp_count(text, lit(PhonePattern)).as("n_phones"),
+    regexp_count(text, lit(Ipv4Pattern)).as("n_ips"))
+
   /** The full Confidential/Silver split (`/root/reference/main.py:613-623`):
     * one frame gains a surrogate email; the masked variant drops the raw
     * email column (P5). Returns (confidential, silver). Both branch from

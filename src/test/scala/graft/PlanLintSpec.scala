@@ -146,6 +146,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_dedup_recall",          // 1-row hit-count × 1-row truth-count broadcast (audit scalars)
     "q_dedup_threshold_sweep", // 5-row threshold-grid broadcast onto the verified pair set
     "q_vocab_growth",          // 1-row max-doc-id broadcast for decile bucketing
+    "q_length_buckets",        // 1-row global (max, count, sum) broadcast for the no-bucketing baseline
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {

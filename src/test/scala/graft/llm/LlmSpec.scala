@@ -318,4 +318,19 @@ class LlmSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     Dedup.chunkSemanticPairs(ok, window = 2, stride = 1).collect()
   }
+
+  test("incremental minhash == full pipeline filtered to batch-touching pairs") {
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 4 === 0
+    val full = Dedup.minhashPairs(docs, threshold = 0.7)
+      .filter(col("id1") % 4 === 0 || col("id2") % 4 === 0)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.minhashPairsIncremental(
+        docs.filter(!isBatch), docs.filter(isBatch), threshold = 0.7)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"incremental=${inc.size} full-filtered=${full.size}")
+    assert(inc.nonEmpty) // the corpus has planted near-dups crossing the split
+    // no corpus-internal pair ever surfaces
+    inc.foreach { case (a, b, _) => assert(a % 4 == 0 || b % 4 == 0) }
+  }
 }
