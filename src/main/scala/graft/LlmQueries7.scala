@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.Dedup
+import graft.CheckpointStrategy.Ops._
+import graft.llm.{Clustering, Dedup}
 import graft.ops.Pii
 
 /** Seventh LLM-curation tranche (round 10): the operational ingestion
@@ -184,6 +185,92 @@ object LlmQueries7 {
           round(lit(1.0) - col("gtokens") * lit(1.0) /
             (col("gmax") * col("gdocs")), 6).as("global_waste_frac"))
         .orderBy("bucket_cap")
+    },
+
+    // Incremental clustering maintenance — the third incremental index
+    // family next to the lake's incr-agg/CDC and q_dedup_incremental:
+    // centroids are TRAINED ONCE on the ingested corpus (vec_id % 4 ≠ 0;
+    // k-smallest-id init, 1 Lloyd update — the persistable k-row store),
+    // then the arriving batch is ASSIGNED to the stored centroids with a
+    // k-row broadcast (cost ∝ batch; the corpus never reruns). The
+    // output is the re-cluster decision row: per-cluster corpus vs batch
+    // occupancy shares, mean L2² fit, and the share drift that says when
+    // the stored codebook has gone stale. Oracle: full Lloyd replay on
+    // the corpus split (same float-quantized determinism contract as
+    // q_kmeans) + batch assignment + the share comparison.
+    q("q_cluster_incremental", {
+      val dist = "v.vsq - 2.0 * list_dot_product(v.e, c1s.ce) + c1s.cesq"
+      def assignCte(src: String) =
+        s"""SELECT vec_id, cluster, dist2 FROM (
+           |  SELECT v.vec_id, c1s.cluster, $dist AS dist2,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY $dist, c1s.cluster) AS rn
+           |  FROM $src v CROSS JOIN c1s) t WHERE rn = 1""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
+         |  FROM embeddings WHERE vec_id % 4 <> 0),
+         |vb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |c0 AS (SELECT vec_id AS cluster, e AS ce, vsq AS cesq
+         |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+         |r1 AS (SELECT v.vec_id, v.e, c0.cluster,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.vsq - 2.0 * list_dot_product(v.e, c0.ce) + c0.cesq,
+         |      c0.cluster) AS rn
+         |  FROM v CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, e, cluster FROM r1 WHERE rn = 1),
+         |m1 AS (SELECT cluster, j, CAST(CAST(avg(e[j]) AS FLOAT) AS DOUBLE) AS m
+         |  FROM a1, unnest(range(1, 65)) AS u(j) GROUP BY 1, 2),
+         |c1 AS (SELECT cluster, array_agg(m ORDER BY j) AS ce FROM m1 GROUP BY 1),
+         |c1s AS (SELECT cluster, ce,
+         |    list_sum(list_transform(ce, x -> x * x)) AS cesq FROM c1),
+         |ac AS (${assignCte("v")}),
+         |ab AS (${assignCte("vb")}),
+         |pc AS (SELECT cluster, count(*) AS n_corpus, avg(dist2) AS cmean
+         |  FROM ac GROUP BY 1),
+         |pb AS (SELECT cluster, count(*) AS n_batch, avg(dist2) AS bmean
+         |  FROM ab GROUP BY 1),
+         |tc AS (SELECT count(*) AS nc FROM ac),
+         |tb AS (SELECT count(*) AS nb FROM ab)
+         |SELECT pc.cluster, pc.n_corpus::BIGINT AS n_corpus,
+         |  round(pc.n_corpus * 1.0 / tc.nc, 6) AS corpus_share,
+         |  round(pc.cmean, 6) AS corpus_mean_d2,
+         |  coalesce(pb.n_batch, 0)::BIGINT AS n_batch,
+         |  round(coalesce(pb.n_batch, 0) * 1.0 / tb.nb, 6) AS batch_share,
+         |  round(pb.bmean, 6) AS batch_mean_d2,
+         |  round(coalesce(pb.n_batch, 0) * 1.0 / tb.nb
+         |    - pc.n_corpus * 1.0 / tc.nc, 6) AS share_drift
+         |FROM pc LEFT JOIN pb USING (cluster)
+         |CROSS JOIN tc CROSS JOIN tb
+         |ORDER BY pc.cluster""".stripMargin
+    }) { (s, d) =>
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+      // k-row store, lineage-cut: both assignment passes reuse it
+      // without re-running the Lloyd training subtree
+      val cents = Clustering.kmeansCentroids(corpus, k = 4, rounds = 2).cut()
+      val corpusA = Clustering.assignTo(corpus, cents)
+      val batchA = Clustering.assignTo(batch, cents)
+      val pc = corpusA.groupBy("cluster")
+        .agg(count(lit(1)).as("n_corpus"), avg("dist2").as("cmean"))
+      val pb = batchA.groupBy("cluster")
+        .agg(count(lit(1)).as("n_batch"), avg("dist2").as("bmean"))
+      val tc = corpusA.agg(count(lit(1)).as("nc"))
+      val tb = batchA.agg(count(lit(1)).as("nb"))
+      pc.join(pb, Seq("cluster"), "left")
+        .crossJoin(broadcast(tc)).crossJoin(broadcast(tb))
+        .select(col("cluster"), col("n_corpus"),
+          round(col("n_corpus") * lit(1.0) / col("nc"), 6).as("corpus_share"),
+          round(col("cmean"), 6).as("corpus_mean_d2"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+          round(coalesce(col("n_batch"), lit(0L)) * lit(1.0) / col("nb"), 6)
+            .as("batch_share"),
+          round(col("bmean"), 6).as("batch_mean_d2"),
+          round(coalesce(col("n_batch"), lit(0L)) * lit(1.0) / col("nb")
+            - col("n_corpus") * lit(1.0) / col("nc"), 6).as("share_drift"))
+        .orderBy("cluster")
     }
   )
 }

@@ -66,22 +66,40 @@ object Clustering {
         round(avg("dist2"), 6).as("mean_d2"))
       .orderBy("cluster")
 
+  private def prep(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("vsq", sumSq(col("e")))
+
+  /** Trained centroids (cluster, ce, cesq) after `rounds - 1` Lloyd
+    * updates from the k-smallest-vec_id init (identical to the historic
+    * `vec_id < k` rule on a dense-from-0 id space, but also well-defined
+    * on any id subset — e.g. the corpus side of an incremental split).
+    * This is the persistable "clustering store": assignment of later
+    * batches needs only these k rows, never the training corpus. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 4,
+                      rounds: Int = 2): DataFrame = {
+    val corpus = prep(embeddings)
+    val init = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cluster"), col("e").as("ce"),
+        col("vsq").as("cesq"))
+    (1 until rounds).foldLeft(init) { (c, _) =>
+      update(assign(corpus, c))
+    }
+  }
+
+  /** Nearest-centroid assignment of `embeddings` against an existing
+    * centroid set (k-row broadcast; the vectors never shuffle). Columns:
+    * (vec_id, e, vsq, cluster, dist2). */
+  def assignTo(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assign(prep(embeddings), centroids)
+
   /** Per-vector nearest-centroid assignment after `rounds` rounds (same
     * determinism contract and physical shape as [[kmeans]] — this IS its
     * final assignment pass, exposed for consumers that need the members,
     * not the profile: SemDedup, topic bucketing, cartography). Columns:
     * (vec_id, e, vsq, cluster, dist2). */
   def kmeansAssignments(embeddings: DataFrame, k: Int = 4,
-                        rounds: Int = 2): DataFrame = {
-    val corpus = embeddings
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("vsq", sumSq(col("e")))
-    val init = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"), col("e").as("ce"),
-        col("vsq").as("cesq"))
-    val centroids = (1 until rounds).foldLeft(init) { (c, _) =>
-      update(assign(corpus, c))
-    }
-    assign(corpus, centroids)
-  }
+                        rounds: Int = 2): DataFrame =
+    assignTo(embeddings, kmeansCentroids(embeddings, k, rounds))
 }

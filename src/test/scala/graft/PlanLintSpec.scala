@@ -147,6 +147,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_dedup_threshold_sweep", // 5-row threshold-grid broadcast onto the verified pair set
     "q_vocab_growth",          // 1-row max-doc-id broadcast for decile bucketing
     "q_length_buckets",        // 1-row global (max, count, sum) broadcast for the no-bucketing baseline
+    "q_cluster_incremental",   // k-row centroid broadcast (as q_kmeans) + two 1-row total broadcasts
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
