@@ -129,6 +129,26 @@ object CoreQueries17 {
         .orderBy("user_id", "purchase_id", "click_id")
     },
 
+    // Stream-static enrichment (§2.8's remaining standard shape): the
+    // event stream joined to a STATIC broadcast dimension — the dim
+    // never enters streaming state — then rolled up per (day, segment);
+    // unmatched users aggregate under 'UNKNOWN' (enrich never drops
+    // facts). Batch-equivalence row: this query runs the SAME
+    // EventStreams.enrichedSegmentDaily the stream runs; StreamingSpec
+    // proves the streaming path on a live MemoryStream. Plan: broadcast
+    // hash join (no shuffle for the join) + one keyed day/segment agg.
+    q("q_stream_enrich",
+      """SELECT strftime(time_bucket(INTERVAL '1 day', e.ts::TIMESTAMP),
+        |    '%Y-%m-%d %H:%M:%S') AS day,
+        |  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  count(*) AS n_events, round(sum(e.value), 2) AS total_value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.EventStreams
+        .enrichedSegmentDaily(events(s, d), customer(s, d))
+        .orderBy("day", "segment")
+    },
+
     // Join-key skew diagnostic: the heavy-hitter profile a pipeline
     // computes BEFORE a big join to decide between plain shuffle,
     // broadcast, and salting (ops.Skew) — top-5 hottest keys with their

@@ -29,6 +29,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("window.start").as("window_start"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment + event-time rollup: the stream is joined
+    * to a STATIC dimension (broadcast — the dim never enters streaming
+    * state, Spark re-reads/broadcasts it per micro-batch) and aggregated
+    * per (day, segment). Unmatched users keep their events under
+    * 'UNKNOWN' (left join — an enrich must never drop facts). Works
+    * identically on a batch frame, which is how q_stream_enrich
+    * oracle-checks it; the streaming path (withWatermark upstream,
+    * append/update sink) is asserted in StreamingSpec.
+    */
+  def enrichedSegmentDaily(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("ts"), col("value"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("day"),
+        col("segment"), col("n_events"), col("total_value"))
+
   /** Streaming dedup within the watermark horizon — the streaming
     * realization of the reference's insert-only MERGE (re-delivered ids
     * are dropped; state expires with the watermark).

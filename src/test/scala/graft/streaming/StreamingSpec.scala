@@ -425,4 +425,31 @@ class StreamingSpec extends AnyFunSuite {
     // ~1/√64 error. State stays at exactly k hashes once saturated.
     assert(rows == Seq((1234L, 64), (2330L, 64)))
   }
+
+  test("stream-static enrich joins a broadcast dim per micro-batch, UNKNOWN for misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "STEEL")).toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Ev]
+    val q = EventStreams.enrichedSegmentDaily(
+        input.toDF().withWatermark("ts", "10 minutes"), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    input.addData(Ev(1, ts(1), 1, 1.5), Ev(2, ts(2), 2, 2.5))
+    q.processAllAvailable()
+    input.addData(Ev(3, ts(3), 1, 3.0), Ev(4, ts(4), 99, 4.0)) // 99: no dim row
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out")
+      .select("segment", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("AUTO", 2L, 4.5), ("STEEL", 1L, 2.5), ("UNKNOWN", 1L, 4.0)))
+    // batch equivalence on the same inputs (what q_stream_enrich checks
+    // against DuckDB at fixture scale)
+    val batch = Seq(Ev(1, ts(1), 1, 1.5), Ev(2, ts(2), 2, 2.5),
+      Ev(3, ts(3), 1, 3.0), Ev(4, ts(4), 99, 4.0)).toDF()
+    val b = EventStreams.enrichedSegmentDaily(batch, dim)
+      .select("segment", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(b == rows)
+  }
 }
