@@ -210,13 +210,38 @@ object Dedup {
   def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
                               threshold: Double, shingleN: Int = 3,
                               numHashes: Int = 32, bands: Int = 8,
-                              maxBucket: Int = 1000): DataFrame = {
-    val banded =
-      bandedMinhash(corpus, shingleN, numHashes, bands)
-        .withColumn("is_new", lit(false))
-        .unionByName(
-          bandedMinhash(batch, shingleN, numHashes, bands)
-            .withColumn("is_new", lit(true)))
+                              maxBucket: Int = 1000): DataFrame =
+    minhashPairsFromStore(
+      minhashSignatureStore(corpus, shingleN, numHashes, bands),
+      corpus, batch, threshold, shingleN, numHashes, bands, maxBucket)
+
+  /** The persistable dedup index: (doc_id, band, bucket) banded minhash
+    * signatures. Banding depends only on the doc's own text, so a store
+    * written at ingest time collides identically with signatures
+    * computed later for a new batch — write this to a versioned table
+    * once per ingest, and [[minhashPairsFromStore]] never touches the
+    * corpus text again except to verify candidates. O(bands) rows of a
+    * few longs per doc, regardless of document size.
+    */
+  def minhashSignatureStore(docs: DataFrame, shingleN: Int = 3,
+                            numHashes: Int = 32, bands: Int = 8): DataFrame =
+    bandedMinhash(docs, shingleN, numHashes, bands)
+
+  /** [[minhashPairsIncremental]] with the corpus side read from a
+    * persisted signature store. `corpus` is consulted ONLY to fetch the
+    * text of docs that appear in some candidate pair (a semi-join on
+    * candidate ids inside the verify step) — the full corpus text is
+    * never re-shingled, which is the point of persisting signatures.
+    */
+  def minhashPairsFromStore(store: DataFrame, corpus: DataFrame,
+                            batch: DataFrame, threshold: Double,
+                            shingleN: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val banded = store.select(col("doc_id"), col("band"), col("bucket"))
+      .withColumn("is_new", lit(false))
+      .unionByName(
+        bandedMinhash(batch, shingleN, numHashes, bands)
+          .withColumn("is_new", lit(true)))
 
     // In-bucket pairs as in bucketPairs, but members carry the batch
     // flag and only combinations with ≥1 batch endpoint are expanded:
