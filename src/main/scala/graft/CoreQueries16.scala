@@ -39,7 +39,7 @@ object CoreQueries16 {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vto
         |  FROM v)
         |SELECT e.user_id, dim.state, count(*) AS n_events,
-        |  round(sum(e.value), 6) AS total_value
+        |  round(sum(e.value), 2) AS total_value
         |FROM e JOIN dim ON e.user_id = dim.user_id
         |  AND e.ts >= dim.vfrom AND (dim.vto IS NULL OR e.ts < dim.vto)
         |GROUP BY e.user_id, dim.state
@@ -59,7 +59,7 @@ object CoreQueries16 {
             (col("vto").isNull || col("ts") < col("vto")))
         .groupBy(col("user_id"), col("state"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 6).as("total_value"))
+          round(sum("value"), 2).as("total_value"))
         .orderBy("user_id", "state")
     },
 
@@ -73,14 +73,14 @@ object CoreQueries16 {
     // resolve O(1) via the _last_checkpoint pointer + version probe.
     q("q_lake_time_travel",
       """SELECT 0 AS version, count(*) AS n_rows,
-        |  round(sum(c_acctbal), 6) AS balance_sum FROM customer
+        |  round(sum(c_acctbal), 2) AS balance_sum FROM customer
         |UNION ALL
-        |SELECT 1, count(*), round(sum(c_acctbal), 6)
+        |SELECT 1, count(*), round(sum(c_acctbal), 2)
         |FROM customer WHERE c_acctbal >= 0
         |UNION ALL
         |SELECT 2, count(*),
         |  round(sum(CASE WHEN c_mktsegment = 'BUILDING'
-        |    THEN c_acctbal + 100 ELSE c_acctbal END), 6)
+        |    THEN c_acctbal + 100 ELSE c_acctbal END), 2)
         |FROM customer WHERE c_acctbal >= 0
         |ORDER BY version""".stripMargin) { (s, d) =>
       val dir = graft.lake.Scratch.dir("graft-vt-tt") + "/t"
@@ -99,7 +99,7 @@ object CoreQueries16 {
           "BUILDING segment) - version 2 would not exist"))
       (0 to 2).map { v =>
         t.read(Some(v)).agg(count(lit(1)).as("n_rows"),
-            round(sum("c_acctbal"), 6).as("balance_sum"))
+            round(sum("c_acctbal"), 2).as("balance_sum"))
           .select(lit(v).as("version"), col("n_rows"), col("balance_sum"))
       }.reduce(_.unionByName(_)).orderBy("version")
     },

@@ -32,16 +32,16 @@ object CoreQueries17 {
     // per sync — cost ∝ change, never table size.
     q("q_lake_cdc",
       """SELECT 1 AS version, 'delete' AS change_type, count(*) AS n_rows,
-        |  round(sum(c_acctbal), 6) AS balance_sum
+        |  round(sum(c_acctbal), 2) AS balance_sum
         |FROM customer WHERE c_acctbal < 0
         |UNION ALL
-        |SELECT 2, 'delete', count(*), round(sum(c_acctbal), 6)
+        |SELECT 2, 'delete', count(*), round(sum(c_acctbal), 2)
         |FROM customer WHERE c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
         |UNION ALL
-        |SELECT 2, 'insert', count(*), round(sum(c_acctbal + 100), 6)
+        |SELECT 2, 'insert', count(*), round(sum(c_acctbal + 100), 2)
         |FROM customer WHERE c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
         |UNION ALL
-        |SELECT 3, 'insert', count(*), round(sum(c_acctbal), 6)
+        |SELECT 3, 'insert', count(*), round(sum(c_acctbal), 2)
         |FROM customer WHERE c_custkey < 100
         |ORDER BY version, change_type""".stripMargin) { (s, d) =>
       val dir = graft.lake.Scratch.dir("graft-vt-cdc") + "/t"
@@ -60,7 +60,7 @@ object CoreQueries17 {
         .groupBy(col("_commit_version").as("version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("c_acctbal"), 6).as("balance_sum"))
+          round(sum("c_acctbal"), 2).as("balance_sum"))
         .orderBy("version", "change_type")
     },
 
@@ -80,7 +80,7 @@ object CoreQueries17 {
         |    CASE WHEN c_acctbal >= 5000 THEN 'gold'
         |         WHEN c_acctbal >= 0 THEN 'std' ELSE 'neg' END
         |  FROM customer WHERE c_custkey < 200)
-        |SELECT tier, count(*) AS n_rows, round(sum(c_acctbal), 6) AS balance_sum
+        |SELECT tier, count(*) AS n_rows, round(sum(c_acctbal), 2) AS balance_sum
         |FROM merged GROUP BY tier ORDER BY tier""".stripMargin) { (s, d) =>
       val dir = graft.lake.Scratch.dir("graft-vt-evolve") + "/t"
       val t = graft.lake.VersionedTable(s, dir)
@@ -96,7 +96,7 @@ object CoreQueries17 {
       t.read()
         .groupBy(coalesce(col("c_tier"), lit("none")).as("tier"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("c_acctbal"), 6).as("balance_sum"))
+          round(sum("c_acctbal"), 2).as("balance_sum"))
         .orderBy("tier")
     },
 
