@@ -78,7 +78,8 @@ object Bench {
     "q_lake_cdc", "q_lake_schema_evolve", "q_interval_join_full",
     "q_skew_diagnostic", "q_dedup_recall", "q_dedup_threshold_sweep",
     "q_vocab_growth", "q_dedup_incremental", "q_pii_scrub", "q_length_buckets",
-    "q_cluster_incremental", "q_stream_enrich",
+    "q_cluster_incremental", "q_stream_enrich", "q_html_extract",
+    "q_url_canonicalize",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

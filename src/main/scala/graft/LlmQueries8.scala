@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eighth LLM-curation tranche (round 10): web-ingest normalization —
+  * the two ops that sit at the very front of a crawl-curation pipeline,
+  * before any quality/dedup stage sees a byte: HTML → text extraction
+  * and URL canonicalization. Both are pure codegen'd projections (zero
+  * shuffle at any corpus size; the scan is the cost), and both are
+  * verified byte-exactly cross-engine (md5 of the extracted text /
+  * the canonical URL string itself), not just via counts. All regex
+  * literals are RE2-safe so Java regex (Spark) and RE2 (DuckDB) agree
+  * by construction (same contract as ops/Pii).
+  */
+object LlmQueries8 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  /** Strip script/style blocks, then all tags, decode the core entities
+    * (&lt;/&gt;/&quot; before &amp; — the standard order so "&amp;lt;"
+    * doesn't double-decode), collapse whitespace. Fixture text contains
+    * no '<' or '&', so extraction is exactly invertible on the planted
+    * payload — the md5 compare proves the whole chain byte-for-byte. */
+  private def extractText(html: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, "<script[^>]*>.*?</script>", " "),
+                  "<style[^>]*>.*?</style>", " "),
+                "<[^>]+>", " "),
+              "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&amp;", "&"),
+      "\\s+", " "))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // HTML → text extraction (trafilatura-lite): script/style blocks
+    // removed wholesale, tags stripped, entities decoded, whitespace
+    // collapsed. The HTML is synthesized deterministically around each
+    // fixture document (title/h1 chrome, optional script and nav-div
+    // chrome by doc_id residue) so the op exercises all branches; the
+    // extracted text's md5 is hash-compared cross-engine — the
+    // extraction itself is verified, not a proxy metric.
+    q("q_html_extract", {
+      val mk =
+        """'<html><head><title>Doc ' || doc_id || '</title>' ||
+          |  '<style>p{color:red}</style></head><body>' ||
+          |  CASE WHEN doc_id % 3 = 0 THEN '<script>var x=1;</script>' ELSE '' END ||
+          |  '<h1>' || source || '</h1><p>' || substr(text, 1, 120) || '</p>' ||
+          |  CASE WHEN doc_id % 2 = 0
+          |    THEN '<div class="nav">home about contact</div>' ELSE '' END ||
+          |  '<p>tail &amp; done &lt;eof&gt;</p></body></html>'""".stripMargin
+      s"""WITH h AS (SELECT doc_id, $mk AS html FROM documents),
+         |x AS (SELECT doc_id, html,
+         |  trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(
+         |                regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+         |                '<style[^>]*>.*?</style>', ' ', 'g'),
+         |              '<[^>]+>', ' ', 'g'),
+         |            '&lt;', '<', 'g'),
+         |          '&gt;', '>', 'g'),
+         |        '&quot;', '"', 'g'),
+         |      '&amp;', '&', 'g'),
+         |    '\\s+', ' ', 'g')) AS extracted
+         |  FROM h)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+         |  (doc_id % 3 = 0) AS had_script,
+         |  length(extracted)::BIGINT AS n_chars_extracted,
+         |  md5(extracted) AS extract_md5
+         |FROM x ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        when(col("doc_id") % 3 === 0, "<script>var x=1;</script>").otherwise(""),
+        lit("<h1>"), col("source"), lit("</h1><p>"),
+        substring(col("text"), 1, 120), lit("</p>"),
+        when(col("doc_id") % 2 === 0, "<div class=\"nav\">home about contact</div>")
+          .otherwise(""),
+        lit("<p>tail &amp; done &lt;eof&gt;</p></body></html>"))
+      documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .withColumn("extracted", extractText(col("html")))
+        .select(col("doc_id"),
+          regexp_count(col("html"), lit("<[^>]+>")).as("n_tags"),
+          (col("doc_id") % 3 === 0).as("had_script"),
+          length(col("extracted")).cast("long").as("n_chars_extracted"),
+          md5(col("extracted")).as("extract_md5"))
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization — the crawl-frontier dedup key: lowercase
+    // scheme+host, strip leading www., drop default ports
+    // (https:443 / http:80 — non-default ports survive), keep path
+    // case-sensitive ('' → '/'), drop fragments, drop utm_* tracking
+    // params and SORT the survivors (param order never distinguishes
+    // URLs). URLs are synthesized deterministically from customer keys
+    // with mixed case/scheme/port/query/fragment branches; the
+    // canonical string itself is hash-compared, and n_same_canonical
+    // (count over the canonical key) shows the frontier-dedup power —
+    // at crawl scale this projection is what keeps the frontier set
+    // linear in REAL pages, not in URL spellings.
+    q("q_url_canonicalize", {
+      val mk =
+        """(CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+          |  '://' ||
+          |  (CASE WHEN c_custkey % 6 < 3 THEN 'WWW.' ELSE '' END) ||
+          |  'Example' || (c_custkey % 20) || '.COM' ||
+          |  (CASE WHEN c_custkey % 4 = 0 THEN ':443'
+          |        WHEN c_custkey % 7 = 0 THEN ':8443' ELSE '' END) ||
+          |  '/Path' || (c_custkey % 9) || '/item' ||
+          |  (CASE WHEN c_custkey % 3 = 0
+          |     THEN '?utm_source=news&id=' || (c_custkey % 50) ||
+          |          '&utm_campaign=c' || (c_custkey % 5)
+          |        WHEN c_custkey % 3 = 1
+          |     THEN '?id=' || (c_custkey % 50) || '&ref=abc' ELSE '' END) ||
+          |  (CASE WHEN c_custkey % 5 = 0 THEN '#frag' || c_custkey ELSE '' END)""".stripMargin
+      s"""WITH u AS (SELECT c_custkey, $mk AS url FROM customer),
+         |p AS (SELECT c_custkey, url,
+         |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         |  regexp_replace(
+         |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+         |    '^www\\.', '') AS host,
+         |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1) AS port,
+         |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+         |  coalesce(array_to_string(list_sort(list_filter(
+         |    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+         |    x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '') AS qs
+         |  FROM u),
+         |c AS (SELECT c_custkey,
+         |  scheme || '://' || host ||
+         |  (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+         |          OR (scheme = 'http' AND port = '80')
+         |     THEN '' ELSE ':' || port END) ||
+         |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         |  (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
+         |  FROM p)
+         |SELECT c_custkey, canonical,
+         |  count(*) OVER (PARTITION BY canonical)::BIGINT AS n_same_canonical
+         |FROM c ORDER BY c_custkey""".stripMargin
+    }) { (s, d) =>
+      val k = col("c_custkey")
+      val url = concat(
+        when(k % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+        when(k % 6 < 3, "WWW.").otherwise(""),
+        lit("Example"), (k % 20).cast("string"), lit(".COM"),
+        when(k % 4 === 0, ":443").when(k % 7 === 0, ":8443").otherwise(""),
+        lit("/Path"), (k % 9).cast("string"), lit("/item"),
+        when(k % 3 === 0, concat(lit("?utm_source=news&id="),
+            (k % 50).cast("string"), lit("&utm_campaign=c"), (k % 5).cast("string")))
+          .when(k % 3 === 1, concat(lit("?id="), (k % 50).cast("string"), lit("&ref=abc")))
+          .otherwise(""),
+        when(k % 5 === 0, concat(lit("#frag"), k.cast("string"))).otherwise(""))
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val host = regexp_replace(
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)),
+        "^www\\.", "")
+      val port = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*:([0-9]+)", 1)
+      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1)
+      val qs = array_join(array_sort(filter(
+        split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+        x => !startswith(x, lit("utm_")) && x =!= "")), "&")
+      val canonical = concat(
+        col("scheme"), lit("://"), col("host"),
+        when(col("port") === "" ||
+            (col("scheme") === "https" && col("port") === "443") ||
+            (col("scheme") === "http" && col("port") === "80"), "")
+          .otherwise(concat(lit(":"), col("port"))),
+        when(col("path") === "", "/").otherwise(col("path")),
+        when(col("qs") === "", "").otherwise(concat(lit("?"), col("qs"))))
+      customer(s, d)
+        .select(k, url.as("url"))
+        .withColumn("scheme", scheme).withColumn("host", host)
+        .withColumn("port", port).withColumn("path", path).withColumn("qs", qs)
+        .select(k, canonical.as("canonical"))
+        // canonical-key window: cardinality ∝ distinct real pages — the
+        // key this op exists to make high-cardinality
+        .withColumn("n_same_canonical",
+          count(lit(1)).over(Window.partitionBy("canonical")))
+        .orderBy("c_custkey")
+    }
+  )
+}
