@@ -59,4 +59,17 @@ class FilterPiiSpec extends AnyFunSuite {
     assert(!silver.columns.contains("email") && silver.columns.contains("email_enmascarados"))
     assert(silver.select("email_enmascarados").as[String].head().startsWith("*****@"))
   }
+
+  test("scrubText redacts all three classes, is idempotent, leaves clean text alone") {
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(Pii.scrubText(col("t"))).as[String].head()
+    val raw = "mail a.b-c%d@host.co tel 12-345-678-9012 ip 10.0.255.3 ok"
+    val once = scrub(raw)
+    assert(once == "mail [EMAIL] tel [PHONE] ip [IP] ok")
+    assert(scrub(once) == once) // idempotent: tags match no pattern
+    val clean = "no pii here just words 123 and 1.5 ratios a-b"
+    assert(scrub(clean) == clean) // short digit runs / decimals untouched
+    // class isolation: an email's digits never match phone/ip inside it
+    assert(scrub("x 99@99.com y") == "x [EMAIL] y")
+  }
 }
