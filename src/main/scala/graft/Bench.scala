@@ -79,7 +79,7 @@ object Bench {
     "q_skew_diagnostic", "q_dedup_recall", "q_dedup_threshold_sweep",
     "q_vocab_growth", "q_dedup_incremental", "q_pii_scrub", "q_length_buckets",
     "q_cluster_incremental", "q_stream_enrich", "q_html_extract",
-    "q_url_canonicalize",
+    "q_url_canonicalize", "q_embed_project",
   )
 
   /** Machine-epoch calibration canary. Round 8's driver bench ran on a

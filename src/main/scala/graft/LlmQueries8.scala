@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries8 {
   import Tables._
+  import graft.llm.Similarity
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
@@ -194,6 +195,63 @@ object LlmQueries8 {
         .withColumn("n_same_canonical",
           count(lit(1)).over(Window.partitionBy("canonical")))
         .orderBy("c_custkey")
+    },
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    // measured distortion profile: each vector is projected through a
+    // fixed-seed gaussian plane matrix (a literal in both engines — the
+    // LSH-planes pattern with its own seed), and deterministic probe
+    // pairs (vec_id, vec_id+1 for vec_id % 5 = 0) compare full-space vs
+    // projected cosine. The per-pair |Δcos| IS the decision row for
+    // running ANN/dedup in the cheap space (16/64 = 4× less vector I/O
+    // and flops). Plan: the projection is a scan-local codegen'd
+    // expression chain (zero shuffle); the probe join is keyed on
+    // vec_id. Determinism: DotProductF/SumSqF left-to-right double
+    // accumulation matches DuckDB's list kernels bit for bit (the
+    // established LSH/IVF contract), and cosines round to 6 before the
+    // Δ so both engines agree exactly.
+    q("q_embed_project", {
+      val planes = Similarity.hyperplanes(16, 64, seed = 7L)
+        .map(p => p.map(v => v.toFloat.toDouble.toString).mkString("[", ", ", "]"))
+        .mkString("[", ",\n  ", "]")
+      val sq = (c: String) => s"list_sum(list_transform($c, x -> x * x))"
+      s"""WITH pl AS (SELECT $planes AS P),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${sq("embedding::DOUBLE[]")} AS vsq FROM embeddings),
+         |p AS (SELECT vec_id, v, vsq,
+         |  [list_dot_product(v, pl.P[i]) for i in range(1, 17)] AS y
+         |  FROM e, pl),
+         |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(list_dot_product(a.v, b.v) / sqrt(a.vsq * b.vsq), 6) AS cos_full,
+         |  round(list_dot_product(a.y, b.y) /
+         |    sqrt(${sq("a.y")} * ${sq("b.y")}), 6) AS cos_proj
+         |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 5 = 0)
+         |SELECT id1, id2, cos_full, cos_proj,
+         |  round(abs(cos_full - cos_proj), 6) AS abs_err
+         |FROM pairs ORDER BY id1""".stripMargin
+    }) { (s, d) =>
+      val planes = Similarity.hyperplanes(16, 64, seed = 7L)
+      def side(prefix: String): DataFrame =
+        embeddings(s, d).select(
+          (col("vec_id").as(s"${prefix}id") +:
+            col("embedding").as(s"${prefix}v") +:
+            Similarity.sumSq(col("embedding")).as(s"${prefix}vsq") +:
+            (0 until 16).map(i =>
+              Similarity.dot(col("embedding"),
+                typedLit(planes(i).map(_.toFloat))).as(s"${prefix}y$i"))): _*)
+      val a = side("a_")
+      val b = side("b_")
+      def dotY = (0 until 16).map(i => col(s"a_y$i") * col(s"b_y$i")).reduce(_ + _)
+      def sqY(p: String) = (0 until 16).map(i => col(s"${p}y$i") * col(s"${p}y$i")).reduce(_ + _)
+      a.filter(col("a_id") % 5 === 0)
+        .join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id").as("id1"), col("b_id").as("id2"),
+          round(Similarity.dot(col("a_v"), col("b_v")) /
+            sqrt(col("a_vsq") * col("b_vsq")), 6).as("cos_full"),
+          round(dotY / sqrt(sqY("a_") * sqY("b_")), 6).as("cos_proj"))
+        .withColumn("abs_err", round(abs(col("cos_full") - col("cos_proj")), 6))
+        .orderBy("id1")
     }
   )
 }
