@@ -52,11 +52,18 @@ object BenchCalibration {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
+  /** Atomic temp+move (the Watermark pattern): a crash mid-write can
+    * never truncate the committed file, and a concurrent writer's
+    * rename loses at worst ITS entry, not the whole map. */
   def writeFile(p: Path, m: Map[String, Double]): Unit = {
     val body = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": ${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{\n  ", ",\n  ", "\n}\n")
-    Files.writeString(p, body)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def resolve(repo: String, measure: () => Double,
@@ -67,7 +74,9 @@ object BenchCalibration {
       case Some(ref) => Resolved(ref, "calibration-file")
       case None if loadavg1 < cpus / 4.0 =>
         val ref = measure()
-        try writeFile(p, known + (hostId() -> ref))
+        // re-read at write time so a concurrent bootstrap's entry that
+        // landed since our first read survives the merge
+        try writeFile(p, readFile(p) + (hostId() -> ref))
         catch { case e: Throwable =>
           System.err.println(s"[bench] calibration write failed: ${e.getMessage}")
         }

@@ -34,12 +34,20 @@ object CheckpointStrategy {
       .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR"))
       .filter(_.nonEmpty)
 
+  // setCheckpointDir stores a qualified path + per-call random UUID
+  // subdirectory, so sc.getCheckpointDir never equals the raw configured
+  // string — remember what we configured per SparkContext ourselves, or
+  // every cut() in an iterative query would mint a fresh UUID directory
+  // (per-cut metadata RPCs + unbounded sprawl on an object store).
+  private val configured =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   /** Materialize `df` for multi-consumer reuse and cut its lineage,
     * via the configured strategy. Eager in both modes. */
   def cut(df: DataFrame): DataFrame = reliableDir match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      if (configured.put(sc, dir) != dir) sc.setCheckpointDir(dir)
       df.checkpoint()
     case None => df.localCheckpoint()
   }

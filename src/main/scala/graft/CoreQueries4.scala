@@ -149,8 +149,12 @@ object CoreQueries4 {
         |FROM s ORDER BY event_id""".stripMargin) { (s, d) =>
       val stats = events(s, d).groupBy("event_type")
         .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+        .withColumnRenamed("event_type", "s_event_type")
+      // null-safe key: the oracle's PARTITION BY keeps a null-keyed
+      // partition (with its own stats), so a plain inner join would
+      // silently drop null event_types if a fixture ever grew them
       events(s, d).select("event_id", "event_type", "value")
-        .join(broadcast(stats), "event_type")
+        .join(broadcast(stats), col("event_type") <=> col("s_event_type"))
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("mu")) / col("sigma"), 6).as("z"),
           (abs((col("value") - col("mu")) / col("sigma")) > 2.5).as("is_anomaly"))

@@ -101,8 +101,11 @@ object LlmQueries7 {
          |FROM customer)
          |SELECT c_custkey,
          |  len(regexp_extract_all(t, '$em'))::BIGINT AS n_emails,
-         |  len(regexp_extract_all(t, '$ph'))::BIGINT AS n_phones,
-         |  len(regexp_extract_all(t, '$ip'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(
+         |    regexp_replace(t, '$em', '[EMAIL]', 'g'), '$ph'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(regexp_replace(
+         |    regexp_replace(t, '$em', '[EMAIL]', 'g'),
+         |    '$ph', '[PHONE]', 'g'), '$ip'))::BIGINT AS n_ips,
          |  md5(regexp_replace(regexp_replace(regexp_replace(t,
          |    '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
          |    AS scrub_md5,

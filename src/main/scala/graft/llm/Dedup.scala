@@ -104,6 +104,21 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"), md5Int(col("shingle")).as("h"))
 
+  /** Ordered in-bucket pair expansion over a SORTED member-struct array
+    * (first struct field must be `doc_id`), kept when `keep(x, y)` —
+    * THE single implementation of the slice/transform combination idiom,
+    * shared by [[bucketPairs]] and the incremental variant so cap and
+    * expansion semantics cannot drift apart by-convention. */
+  private def expandPairs(xs: Column, keep: (Column, Column) => Column): Column =
+    flatten(transform(xs, (x, i) =>
+      filter(
+        transform(slice(xs, i + lit(2), size(xs) - i - 1),
+          y => struct(
+            x.getField("doc_id").as("id1"),
+            y.getField("doc_id").as("id2"),
+            keep(x, y).as("keep"))),
+        p => p.getField("keep"))))
+
   /** All in-bucket pairs via collect_list + combination expansion —
     * replaces a bucket self-join (one shuffle instead of two plan
     * evaluations + join + distinct). Bucket arrays are tiny (≤maxBucket),
@@ -111,12 +126,9 @@ object Dedup {
     */
   private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val buckets = banded.groupBy("band", "bucket")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val pairsArr = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-        y => struct(x.as("id1"), y.as("id2")))))
-    buckets.select(explode(pairsArr).as("p"))
+      .agg(array_sort(collect_list(struct(col("doc_id")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets.select(explode(expandPairs(col("xs"), (_, _) => lit(true))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
@@ -251,15 +263,8 @@ object Dedup {
     val buckets = banded.groupBy("band", "bucket")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("is_new")))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-    val pairsArr = flatten(transform(col("xs"), (x, i) =>
-      filter(
-        transform(slice(col("xs"), i + lit(2), size(col("xs")) - i - 1),
-          y => struct(
-            x.getField("doc_id").as("id1"),
-            y.getField("doc_id").as("id2"),
-            (x.getField("is_new") || y.getField("is_new")).as("keep"))),
-        p => p.getField("keep"))))
-    val candidates = buckets.select(explode(pairsArr).as("p"))
+    val candidates = buckets.select(explode(expandPairs(col("xs"),
+        (x, y) => x.getField("is_new") || y.getField("is_new"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
 

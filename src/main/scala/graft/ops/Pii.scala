@@ -58,11 +58,20 @@ object Pii {
         PhonePattern, "[PHONE]"),
       Ipv4Pattern, "[IP]")
 
-  /** Per-class match counts (audit columns emitted next to the scrub). */
-  def piiCounts(text: Column): Seq[Column] = Seq(
-    regexp_count(text, lit(EmailPattern)).as("n_emails"),
-    regexp_count(text, lit(PhonePattern)).as("n_phones"),
-    regexp_count(text, lit(Ipv4Pattern)).as("n_ips"))
+  /** Per-class match counts (audit columns emitted next to the scrub).
+    * Each class is counted on the text AS THE SCRUB CHAIN SEES IT
+    * (phones on email-scrubbed text, IPs after phones too), so the
+    * counts always equal the number of tags scrubText emits — a digit
+    * run inside an email never double-counts as a phone/IP.
+    */
+  def piiCounts(text: Column): Seq[Column] = {
+    val afterEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "[PHONE]")
+    Seq(
+      regexp_count(text, lit(EmailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(PhonePattern)).as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).as("n_ips"))
+  }
 
   /** The full Confidential/Silver split (`/root/reference/main.py:613-623`):
     * one frame gains a surrogate email; the masked variant drops the raw

@@ -75,7 +75,15 @@ class PlanLintSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowLowCard(name) =>
         val (small, big) = (windowsOf(fn, sf), windowsOf(fn, sfBig))
-        // plan shape is scale-invariant, so windows pair up positionally
+        // Windows pair up positionally ONLY if the plan shape is
+        // scale-invariant; count-gated adaptive queries (localBfs vs
+        // distributed-relax branches) can legitimately differ between
+        // scales — zip would then silently truncate or mispair, so a
+        // mismatch must fail loudly and earn an explicit allowlisting.
+        assert(small.length == big.length,
+          s"$name: window count differs across scales (${small.length} at " +
+            s"sf0.001 vs ${big.length} at sf0.01) — plan shape is " +
+            "scale-dependent; lint cannot pair windows positionally")
         small.zip(big).flatMap { case (wS, wB) =>
           val (nB, dB) = measure(wB)
           if (nB < 5000 || dB >= 100) None
