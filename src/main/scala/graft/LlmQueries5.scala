@@ -5,7 +5,7 @@ import graft.CheckpointStrategy.Ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.TextAnalysis
+import graft.llm.{Dedup, TextAnalysis}
 
 /** Fifth LLM-curation tranche: winnowing-sparsified overlap detection
   * (the production-scale form of the fingerprint overlap join) and
@@ -60,6 +60,9 @@ object LlmQueries5 {
         |JOIN bk ON bk.fp = a.fp AND bk.k <= 1000
         |CROSS JOIN dropped
         |GROUP BY id1, id2
+        |UNION ALL
+        |SELECT (-1)::BIGINT, (-1)::BIGINT, 0::BIGINT, n_dropped_buckets
+        |FROM dropped
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val sparse = TextAnalysis.windowHashPositions(documents(s, d), 8)
         .groupBy(col("doc_id"), (col("pos") / 16).cast("long").as("stride"))
@@ -70,19 +73,23 @@ object LlmQueries5 {
       // expansion replaces the uncapped self-join (Dedup.bucketPairs
       // shape), so a hot fingerprint can never emit k² join rows
       val buckets = sparse.groupBy("fp")
-        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .agg(array_sort(collect_list(struct(col("doc_id")))).as("xs"))
       val nDropped = buckets
-        .agg(coalesce(sum(when(size(col("ids")) > 1000, 1L).otherwise(0L)),
+        .agg(coalesce(sum(when(size(col("xs")) > 1000, 1L).otherwise(0L)),
           lit(0L)).as("n_dropped_buckets"))
-      val pairsArr = flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(x.as("id1"), y.as("id2")))))
-      buckets.filter(size(col("ids")).between(2, 1000))
-        .select(explode(pairsArr).as("p"))
+      // shared pair-expansion helper (Dedup.expandPairs) — one
+      // implementation of the combination idiom across the engine
+      buckets.filter(size(col("xs")).between(2, 1000))
+        .select(explode(Dedup.expandPairs(col("xs"), (_, _) => lit(true))).as("p"))
         .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .groupBy("id1", "id2")
         .agg(count(lit(1)).as("shared"))
         .crossJoin(broadcast(nDropped))
+        // sentinel summary row: the cap count stays observable even if
+        // NO pair survives (the total-drop corpus), so the cap is never
+        // silent — the loud-cap contract this query documents
+        .unionByName(nDropped.select(lit(-1L).as("id1"), lit(-1L).as("id2"),
+          lit(0L).as("shared"), col("n_dropped_buckets")))
         .orderBy("id1", "id2")
     },
 

@@ -109,7 +109,7 @@ object Dedup {
     * THE single implementation of the slice/transform combination idiom,
     * shared by [[bucketPairs]] and the incremental variant so cap and
     * expansion semantics cannot drift apart by-convention. */
-  private def expandPairs(xs: Column, keep: (Column, Column) => Column): Column =
+  private[graft] def expandPairs(xs: Column, keep: (Column, Column) => Column): Column =
     flatten(transform(xs, (x, i) =>
       filter(
         transform(slice(xs, i + lit(2), size(xs) - i - 1),
