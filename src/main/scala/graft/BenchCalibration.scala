@@ -53,8 +53,13 @@ object BenchCalibration {
     }
 
   /** Atomic temp+move (the Watermark pattern): a crash mid-write can
-    * never truncate the committed file, and a concurrent writer's
-    * rename loses at worst ITS entry, not the whole map. */
+    * never truncate the committed file. Concurrency caveat: this is
+    * read-merge-write with last-rename-wins, so an entry committed by
+    * ANOTHER writer between our read and our move is dropped — either
+    * host's entry can lose, not just ours. Acceptable for a
+    * builder-run tool: a dropped entry just re-self-measures on that
+    * host's next quiet run; nothing downstream depends on the file
+    * being complete. */
   def writeFile(p: Path, m: Map[String, Double]): Unit = {
     val body = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": ${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }

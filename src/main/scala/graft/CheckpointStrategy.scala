@@ -47,7 +47,14 @@ object CheckpointStrategy {
   def cut(df: DataFrame): DataFrame = reliableDir match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (configured.put(sc, dir) != dir) sc.setCheckpointDir(dir)
+      // compute() runs setCheckpointDir INSIDE the per-key lock, so a
+      // concurrent first cut() can never observe the map entry before
+      // the dir is actually set (put-before-set race), and a changed
+      // configuration re-applies exactly once.
+      configured.compute(sc, (_, prev) => {
+        if (prev != dir) sc.setCheckpointDir(dir)
+        dir
+      })
       df.checkpoint()
     case None => df.localCheckpoint()
   }

@@ -32,16 +32,20 @@ object CoreQueries17 {
     // per sync — cost ∝ change, never table size.
     q("q_lake_cdc",
       """SELECT 1 AS version, 'delete' AS change_type, count(*) AS n_rows,
-        |  round(sum(c_acctbal), 2) AS balance_sum
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |    AS balance_sum
         |FROM customer WHERE c_acctbal < 0
         |UNION ALL
-        |SELECT 2, 'delete', count(*), round(sum(c_acctbal), 2)
+        |SELECT 2, 'delete', count(*),
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6)
         |FROM customer WHERE c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
         |UNION ALL
-        |SELECT 2, 'insert', count(*), round(sum(c_acctbal + 100), 2)
+        |SELECT 2, 'insert', count(*),
+        |  round(CAST(sum(CAST(c_acctbal + 100 AS DECIMAL(28,6))) AS DOUBLE), 6)
         |FROM customer WHERE c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
         |UNION ALL
-        |SELECT 3, 'insert', count(*), round(sum(c_acctbal), 2)
+        |SELECT 3, 'insert', count(*),
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6)
         |FROM customer WHERE c_custkey < 100
         |ORDER BY version, change_type""".stripMargin) { (s, d) =>
       val dir = graft.lake.Scratch.dir("graft-vt-cdc") + "/t"
@@ -60,7 +64,13 @@ object CoreQueries17 {
         .groupBy(col("_commit_version").as("version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("c_acctbal"), 2).as("balance_sum"))
+          // money sums accumulate in DECIMAL: exact and order-independent
+          // at any scale (the sf1 sweep caught double-sum accumulation
+          // drift here), so the full 6-digit discrimination is safe —
+          // no tie ambiguity either, since no double sits exactly on a
+          // 1e-6 rounding boundary
+          round(sum(col("c_acctbal").cast("decimal(28,6)")).cast("double"), 6)
+            .as("balance_sum"))
         .orderBy("version", "change_type")
     },
 
@@ -80,7 +90,9 @@ object CoreQueries17 {
         |    CASE WHEN c_acctbal >= 5000 THEN 'gold'
         |         WHEN c_acctbal >= 0 THEN 'std' ELSE 'neg' END
         |  FROM customer WHERE c_custkey < 200)
-        |SELECT tier, count(*) AS n_rows, round(sum(c_acctbal), 2) AS balance_sum
+        |SELECT tier, count(*) AS n_rows,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |    AS balance_sum
         |FROM merged GROUP BY tier ORDER BY tier""".stripMargin) { (s, d) =>
       val dir = graft.lake.Scratch.dir("graft-vt-evolve") + "/t"
       val t = graft.lake.VersionedTable(s, dir)
@@ -96,7 +108,9 @@ object CoreQueries17 {
       t.read()
         .groupBy(coalesce(col("c_tier"), lit("none")).as("tier"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("c_acctbal"), 2).as("balance_sum"))
+          // DECIMAL accumulation: exact at any scale (see q_lake_cdc)
+          round(sum(col("c_acctbal").cast("decimal(28,6)")).cast("double"), 6)
+            .as("balance_sum"))
         .orderBy("tier")
     },
 

@@ -240,9 +240,9 @@ object LlmQueries7 {
          |  round(pc.n_corpus * 1.0 / tc.nc, 6) AS corpus_share,
          |  round(pc.cmean, 6) AS corpus_mean_d2,
          |  coalesce(pb.n_batch, 0)::BIGINT AS n_batch,
-         |  round(coalesce(pb.n_batch, 0) * 1.0 / tb.nb, 6) AS batch_share,
+         |  round(coalesce(pb.n_batch, 0) * 1.0 / nullif(tb.nb, 0), 6) AS batch_share,
          |  round(pb.bmean, 6) AS batch_mean_d2,
-         |  round(coalesce(pb.n_batch, 0) * 1.0 / tb.nb
+         |  round(coalesce(pb.n_batch, 0) * 1.0 / nullif(tb.nb, 0)
          |    - pc.n_corpus * 1.0 / tc.nc, 6) AS share_drift
          |FROM pc LEFT JOIN pb USING (cluster)
          |CROSS JOIN tc CROSS JOIN tb
@@ -268,10 +268,14 @@ object LlmQueries7 {
           round(col("n_corpus") * lit(1.0) / col("nc"), 6).as("corpus_share"),
           round(col("cmean"), 6).as("corpus_mean_d2"),
           coalesce(col("n_batch"), lit(0L)).as("n_batch"),
-          round(coalesce(col("n_batch"), lit(0L)) * lit(1.0) / col("nb"), 6)
-            .as("batch_share"),
+          // nullif guard: an EMPTY batch (nb = 0, the shape incremental
+          // maintenance invites) yields null shares on both engines
+          // instead of engine-divergent divide-by-zero behavior
+          round(coalesce(col("n_batch"), lit(0L)) * lit(1.0)
+            / nullif(col("nb"), lit(0L)), 6).as("batch_share"),
           round(col("bmean"), 6).as("batch_mean_d2"),
-          round(coalesce(col("n_batch"), lit(0L)) * lit(1.0) / col("nb")
+          round(coalesce(col("n_batch"), lit(0L)) * lit(1.0)
+              / nullif(col("nb"), lit(0L))
             - col("n_corpus") * lit(1.0) / col("nc"), 6).as("share_drift"))
         .orderBy("cluster")
     }
