@@ -577,8 +577,8 @@ object LlmQueries {
       """WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e,
         |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
         |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cluster, e AS ce, vsq AS cesq FROM v
-        |  WHERE vec_id < 8),
+        |c0 AS (SELECT vec_id AS cluster, e AS ce, vsq AS cesq
+        |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
         |r1 AS (SELECT v.vec_id, v.e, c0.cluster,
         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
         |      v.vsq - 2.0 * list_dot_product(v.e, c0.ce) + c0.cesq,

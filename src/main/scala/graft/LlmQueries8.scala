@@ -25,7 +25,12 @@ object LlmQueries8 {
     * (&lt;/&gt;/&quot; before &amp; — the standard order so "&amp;lt;"
     * doesn't double-decode), collapse whitespace. Fixture text contains
     * no '<' or '&', so extraction is exactly invertible on the planted
-    * payload — the md5 compare proves the whole chain byte-for-byte. */
+    * payload — the md5 compare proves the whole chain byte-for-byte.
+    * Block patterns carry `(?s)` (DOTALL, same inline flag in Java and
+    * RE2): real crawl HTML has multi-line script/style bodies, and
+    * without it a script body containing a newline survives stripping
+    * and leaks JS into the "extracted" text. The fixture embeds a
+    * newline inside the script body to pin this. */
   private def extractText(html: Column): Column =
     trim(regexp_replace(
       regexp_replace(
@@ -34,8 +39,8 @@ object LlmQueries8 {
             regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  regexp_replace(html, "<script[^>]*>.*?</script>", " "),
-                  "<style[^>]*>.*?</style>", " "),
+                  regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+                  "(?s)<style[^>]*>.*?</style>", " "),
                 "<[^>]+>", " "),
               "&lt;", "<"),
             "&gt;", ">"),
@@ -56,7 +61,8 @@ object LlmQueries8 {
       val mk =
         """'<html><head><title>Doc ' || doc_id || '</title>' ||
           |  '<style>p{color:red}</style></head><body>' ||
-          |  CASE WHEN doc_id % 3 = 0 THEN '<script>var x=1;</script>' ELSE '' END ||
+          |  CASE WHEN doc_id % 3 = 0
+          |    THEN '<script>var x=1;' || chr(10) || 'var y=2;</script>' ELSE '' END ||
           |  '<h1>' || source || '</h1><p>' || substr(text, 1, 120) || '</p>' ||
           |  CASE WHEN doc_id % 2 = 0
           |    THEN '<div class="nav">home about contact</div>' ELSE '' END ||
@@ -70,8 +76,8 @@ object LlmQueries8 {
          |          regexp_replace(
          |            regexp_replace(
          |              regexp_replace(
-         |                regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
-         |                '<style[^>]*>.*?</style>', ' ', 'g'),
+         |                regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |                '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
          |              '<[^>]+>', ' ', 'g'),
          |            '&lt;', '<', 'g'),
          |          '&gt;', '>', 'g'),
@@ -89,7 +95,7 @@ object LlmQueries8 {
       val html = concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
         lit("</title><style>p{color:red}</style></head><body>"),
-        when(col("doc_id") % 3 === 0, "<script>var x=1;</script>").otherwise(""),
+        when(col("doc_id") % 3 === 0, "<script>var x=1;\nvar y=2;</script>").otherwise(""),
         lit("<h1>"), col("source"), lit("</h1><p>"),
         substring(col("text"), 1, 120), lit("</p>"),
         when(col("doc_id") % 2 === 0, "<div class=\"nav\">home about contact</div>")
@@ -107,25 +113,31 @@ object LlmQueries8 {
     },
 
     // URL canonicalization — the crawl-frontier dedup key: lowercase
-    // scheme+host, strip leading www., drop default ports
+    // scheme+host, strip userinfo (user:pw@ never distinguishes a page
+    // for frontier purposes), strip leading www., drop default ports
     // (https:443 / http:80 — non-default ports survive), keep path
-    // case-sensitive ('' → '/'), drop fragments, drop utm_* tracking
-    // params and SORT the survivors (param order never distinguishes
-    // URLs). URLs are synthesized deterministically from customer keys
-    // with mixed case/scheme/port/query/fragment branches; the
-    // canonical string itself is hash-compared, and n_same_canonical
-    // (count over the canonical key) shows the frontier-dedup power —
-    // at crawl scale this projection is what keeps the frontier set
-    // linear in REAL pages, not in URL spellings.
+    // case-sensitive ('' → '/') but uppercase the hex digits of every
+    // %-escape (%2f → %2F — RFC 3986 §6.2.2.1 case normalization),
+    // drop fragments, drop utm_* tracking params and SORT the survivors
+    // (param order never distinguishes URLs). URLs are synthesized
+    // deterministically from customer keys with mixed case/scheme/
+    // userinfo/port/%-escape/query/fragment branches; the canonical
+    // string itself is hash-compared, and n_same_canonical (count over
+    // the canonical key) shows the frontier-dedup power — at crawl
+    // scale this projection is what keeps the frontier set linear in
+    // REAL pages, not in URL spellings.
     q("q_url_canonicalize", {
       val mk =
         """(CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
           |  '://' ||
+          |  (CASE WHEN c_custkey % 11 = 0 THEN 'u:Pw@' ELSE '' END) ||
           |  (CASE WHEN c_custkey % 6 < 3 THEN 'WWW.' ELSE '' END) ||
           |  'Example' || (c_custkey % 20) || '.COM' ||
           |  (CASE WHEN c_custkey % 4 = 0 THEN ':443'
-          |        WHEN c_custkey % 7 = 0 THEN ':8443' ELSE '' END) ||
+          |        WHEN c_custkey % 7 = 0 THEN ':8443'
+          |        WHEN c_custkey % 10 = 1 THEN ':80' ELSE '' END) ||
           |  '/Path' || (c_custkey % 9) || '/item' ||
+          |  (CASE WHEN c_custkey % 8 = 3 THEN '/a%2fb%3dc' ELSE '' END) ||
           |  (CASE WHEN c_custkey % 3 = 0
           |     THEN '?utm_source=news&id=' || (c_custkey % 50) ||
           |          '&utm_campaign=c' || (c_custkey % 5)
@@ -136,14 +148,19 @@ object LlmQueries8 {
          |p AS (SELECT c_custkey, url,
          |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
          |  regexp_replace(
-         |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+         |    lower(regexp_extract(url, '^[A-Za-z]+://(?:[^/?#@]*@)?([^/:?#@]+)', 1)),
          |    '^www\\.', '') AS host,
-         |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1) AS port,
-         |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+         |  regexp_extract(url, '^[A-Za-z]+://(?:[^/?#@]*@)?[^/:?#]*:([0-9]+)', 1) AS port,
+         |  string_split(regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '%') AS pp,
          |  coalesce(array_to_string(list_sort(list_filter(
          |    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
          |    x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '') AS qs
          |  FROM u),
+         |p2 AS (SELECT c_custkey, scheme, host, port, qs,
+         |  pp[1] || coalesce(array_to_string(list_transform(pp[2:],
+         |    x -> '%' || CASE WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
+         |                THEN upper(x[1:2]) || x[3:] ELSE x END), ''), '') AS path
+         |  FROM p),
          |c AS (SELECT c_custkey,
          |  scheme || '://' || host ||
          |  (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
@@ -151,7 +168,7 @@ object LlmQueries8 {
          |     THEN '' ELSE ':' || port END) ||
          |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
          |  (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
-         |  FROM p)
+         |  FROM p2)
          |SELECT c_custkey, canonical,
          |  count(*) OVER (PARTITION BY canonical)::BIGINT AS n_same_canonical
          |FROM c ORDER BY c_custkey""".stripMargin
@@ -159,10 +176,13 @@ object LlmQueries8 {
       val k = col("c_custkey")
       val url = concat(
         when(k % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+        when(k % 11 === 0, "u:Pw@").otherwise(""),
         when(k % 6 < 3, "WWW.").otherwise(""),
         lit("Example"), (k % 20).cast("string"), lit(".COM"),
-        when(k % 4 === 0, ":443").when(k % 7 === 0, ":8443").otherwise(""),
+        when(k % 4 === 0, ":443").when(k % 7 === 0, ":8443")
+          .when(k % 10 === 1, ":80").otherwise(""),
         lit("/Path"), (k % 9).cast("string"), lit("/item"),
+        when(k % 8 === 3, "/a%2fb%3dc").otherwise(""),
         when(k % 3 === 0, concat(lit("?utm_source=news&id="),
             (k % 50).cast("string"), lit("&utm_campaign=c"), (k % 5).cast("string")))
           .when(k % 3 === 1, concat(lit("?id="), (k % 50).cast("string"), lit("&ref=abc")))
@@ -170,10 +190,20 @@ object LlmQueries8 {
         when(k % 5 === 0, concat(lit("#frag"), k.cast("string"))).otherwise(""))
       val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
       val host = regexp_replace(
-        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)),
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://(?:[^/?#@]*@)?([^/:?#@]+)", 1)),
         "^www\\.", "")
-      val port = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*:([0-9]+)", 1)
-      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1)
+      val port = regexp_extract(col("url"),
+        "^[A-Za-z]+://(?:[^/?#@]*@)?[^/:?#]*:([0-9]+)", 1)
+      // userinfo never contains '/', so the path regex's [^/?#]* swallows
+      // userinfo+host+port unchanged; %-escape hex digits are uppercased
+      // per-fragment after splitting the raw path on '%'
+      val rawPath = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1)
+      val pp = split(col("rawpath"), "%")
+      val path = concat(element_at(pp, 1),
+        array_join(transform(slice(pp, lit(2), size(pp) - 1),
+          x => when(x.rlike("^[0-9a-fA-F]{2}"),
+            concat(lit("%"), upper(substring(x, 1, 2)), substring(x, 3, 1000000)))
+            .otherwise(concat(lit("%"), x))), ""))
       val qs = array_join(array_sort(filter(
         split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
         x => !startswith(x, lit("utm_")) && x =!= "")), "&")
@@ -188,7 +218,8 @@ object LlmQueries8 {
       customer(s, d)
         .select(k, url.as("url"))
         .withColumn("scheme", scheme).withColumn("host", host)
-        .withColumn("port", port).withColumn("path", path).withColumn("qs", qs)
+        .withColumn("port", port).withColumn("rawpath", rawPath)
+        .withColumn("path", path).withColumn("qs", qs)
         .select(k, canonical.as("canonical"))
         // canonical-key window: cardinality ∝ distinct real pages — the
         // key this op exists to make high-cardinality
