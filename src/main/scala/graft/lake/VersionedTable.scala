@@ -29,7 +29,10 @@ import org.apache.spark.sql.types.StructType
   *    place only if version N doesn't exist yet — optimistic concurrency:
   *    the second of two racing writers fails with a conflict, it never
   *    silently clobbers (same guarantee level as Delta on a
-  *    non-transactional object store). Checkpoints are derived and
+  *    non-transactional object store). Blind appends auto-retry on
+  *    conflict by rebasing their already-staged files onto the new head
+  *    (metadata-only; see [[commitAppend]]); rewrites abort loudly
+  *    because their read-set may be stale. Checkpoints are derived and
   *    idempotent — a failed checkpoint write degrades resolution cost,
   *    never correctness;
   *  - appends are schema-checked against the current snapshot
@@ -88,14 +91,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * in full lists too — [[writeCommit]] derives the incremental record.
     */
   private[lake] case class Commit(version: Int, action: String, files: Seq[String],
-                            schemaDdl: String, rows: Long, ts: Long)
+                            schemaDdl: String, rows: Long, ts: Long,
+                            txnApp: String = "", txnVer: Long = -1L)
 
   /** The physical log record: file deltas vs version - 1. `full = true`
     * marks a legacy record (pre-delta log format) whose `add` carries the
     * COMPLETE snapshot file list — applied as replace, not append. */
   private case class DeltaRec(version: Int, action: String, add: Seq[String],
                               remove: Seq[String], schemaDdl: String,
-                              rows: Long, ts: Long, full: Boolean = false)
+                              rows: Long, ts: Long, full: Boolean = false,
+                              txnApp: String = "", txnVer: Long = -1L)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -104,9 +109,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
   private def strField(body: String, p: Path, k: String): String =
+    strFieldOpt(body, k).getOrElse(sys.error(s"bad log record $p: missing $k"))
+  private def strFieldOpt(body: String, k: String): Option[String] =
     s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-      .getOrElse(sys.error(s"bad log record $p: missing $k"))
   private def numField(body: String, p: Path, k: String): Long =
     s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body)
       .map(_.group(1).toLong).getOrElse(sys.error(s"bad log record $p: missing $k"))
@@ -137,7 +143,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val d = DeltaRec(numField(body, p, "version").toInt, strField(body, p, "action"),
         add, remove,
         strField(body, p, "schema"), numField(body, p, "rows"),
-        numField(body, p, "ts"), full = legacy)
+        numField(body, p, "ts"), full = legacy,
+        txnApp = strFieldOpt(body, "txnApp").getOrElse(""),
+        txnVer = s""""txnVer"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong).getOrElse(-1L))
       lastDelta = Some(d)
       d
     }
@@ -292,7 +301,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 
   private def readCommit(v: Int): Commit = {
     val d = readDelta(v)
-    Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts)
+    Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts,
+      d.txnApp, d.txnVer)
   }
 
   private[lake] def writeCommit(c: Commit): Unit = {
@@ -306,10 +316,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val curSet = c.files.toSet
     val add = c.files.filterNot(prevSet)
     val remove = prev.filterNot(curSet)
+    // txnApp/txnVer (Delta's setTransaction): written atomically WITH the
+    // record, so "which batch landed" can never diverge from "what data
+    // landed" — the exactly-once anchor for streaming sinks
+    val txn = if (c.txnApp.isEmpty) ""
+      else s""","txnApp":"${esc(c.txnApp)}","txnVer":${c.txnVer}"""
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
         s""""add":${listJson(add)},"remove":${listJson(remove)},""" +
-        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}}"""
+        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}$txn}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -503,19 +518,107 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     v
   }
 
-  /** Append rows (new version = previous files + new files). */
-  def commitAppend(df: DataFrame, allowNewColumns: Boolean = false): Int = {
+  /** Append rows (new version = previous files + new files).
+    *
+    * Optimistic-concurrency auto-retry: a blind append never logically
+    * conflicts with another append or rewrite — its read-set is empty
+    * and its new files are disjoint by the stage nonce — so on a
+    * `concurrent commit conflict` the already-staged data files are
+    * REUSED and only the commit record is rebuilt against the new head
+    * (re-read log, re-check schema, re-derive prev file list), up to
+    * `maxRetries` times. This is Delta's commit-retry shape: stage once,
+    * rebase the O(1) log record, never re-write data — at 100 TB the
+    * data write is the cost and the retry is metadata-only. Rewrite
+    * commits (delete/update/merge/optimize) deliberately do NOT retry:
+    * their read-set (the files they chose to rewrite) may be invalidated
+    * by the racing commit, so they keep aborting loudly for the caller
+    * to re-run on fresh state. Schema is re-checked per attempt, so an
+    * append racing a schema evolution aborts with the schema error, not
+    * a silent mixed commit.
+    */
+  def commitAppend(df: DataFrame, allowNewColumns: Boolean = false,
+                   maxRetries: Int = 10): Int =
+    appendWithTxn(df, allowNewColumns, maxRetries, "", -1L)
+      .getOrElse(sys.error("unreachable: non-txn append never no-ops"))
+
+  /** Idempotent append for streaming sinks: commits `df` tagged with
+    * (`appId`, `batchId`) — Delta's `txn`/setTransaction action — and
+    * NO-OPS (returns None) when a commit from `appId` with a batch id
+    * ≥ `batchId` is already in the log. `foreachBatch` re-delivers
+    * whole micro-batches on restart/failover; this makes the re-delivery
+    * commit nothing, giving exactly-once lake appends WITHOUT a key
+    * merge (the content-agnostic guarantee: duplicate ROWS in distinct
+    * batches still land — that's [[insertOnlyMerge]]'s job). The batch
+    * marker is written atomically inside the commit record, so a crash
+    * between data-land and marker-land is impossible by construction.
+    * Zombie fencing: if a conflict retry discovers this batchId was
+    * committed by a racing instance of the same query, the loser no-ops
+    * (its staged files become vacuum-able orphans, never duplicates).
+    */
+  def commitAppendIdempotent(df: DataFrame, appId: String, batchId: Long,
+                             allowNewColumns: Boolean = false,
+                             maxRetries: Int = 10): Option[Int] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    if (lastCommittedBatch(appId).exists(_ >= batchId)) None
+    else appendWithTxn(df, allowNewColumns, maxRetries, appId, batchId)
+  }
+
+  /** Latest batch id committed under `appId` (None if the app never
+    * committed). Scans the log backwards from the head, so the cost is
+    * O(commits since the app's last batch) — one bounded probe at query
+    * (re)start for a live sink; only a first-ever batch on a table the
+    * app never wrote pays a full-history walk.
+    */
+  def lastCommittedBatch(appId: String): Option[Long] = {
+    var v = latestVersion().getOrElse(-1)
+    while (v >= 0) {
+      val d = readDelta(v)
+      if (d.txnApp == appId) return Some(d.txnVer)
+      v -= 1
+    }
+    None
+  }
+
+  private def appendWithTxn(df: DataFrame, allowNewColumns: Boolean,
+                            maxRetries: Int, txnApp: String,
+                            txnVer: Long): Option[Int] = {
     checkSchema(df, allowNewColumns)
-    val v = nextVersion
-    val prev = latestVersion().map(readCommit(_).files).getOrElse(Seq.empty)
     val rows = df.count()
-    val files = stage(df, v)
-    val schema = if (allowNewColumns) df.schema.toDDL
-      else latestVersion().map(readCommit(_).schemaDdl).getOrElse(df.schema.toDDL)
-    val prevRows = latestVersion().map(readCommit(_).rows).getOrElse(0L)
-    writeCommit(Commit(v, "append", prev ++ files, schema, prevRows + rows,
-      System.currentTimeMillis()))
-    v
+    val files = stage(df, nextVersion)
+    var attempt = 0
+    var committed: Option[Int] = None
+    var done = false
+    while (!done) {
+      val head = latestVersion()
+      val v = head.map(_ + 1).getOrElse(0)
+      val prevCommit = head.map(readCommit)
+      val schema = if (allowNewColumns) df.schema.toDDL
+        else prevCommit.map(_.schemaDdl).getOrElse(df.schema.toDDL)
+      try {
+        writeCommit(Commit(v, "append",
+          prevCommit.map(_.files).getOrElse(Seq.empty) ++ files, schema,
+          prevCommit.map(_.rows).getOrElse(0L) + rows,
+          System.currentTimeMillis(), txnApp, txnVer))
+        committed = Some(v)
+        done = true
+      } catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit conflict") &&
+              attempt < maxRetries =>
+          attempt += 1
+          // zombie fencing: a racing instance of the same streaming query
+          // may have landed this very batch — then this writer must no-op,
+          // not re-append
+          if (txnApp.nonEmpty && lastCommittedBatch(txnApp).exists(_ >= txnVer))
+            done = true
+          else
+            // rebase: the racing commit may have evolved the schema — the
+            // append must still fit the NEW head before re-attempting
+            checkSchema(df, allowNewColumns)
+      }
+    }
+    committed
   }
 
   /** Snapshot read; `version = None` reads the latest. Time travel =
@@ -794,8 +897,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     import spark.implicits._
     versions().map { v =>
       val c = readCommit(v)
-      (c.version, c.action, c.rows, c.files.length, c.ts)
-    }.toDF("version", "action", "rows", "n_files", "committed_at_ms")
+      // txn_app/txn_batch: the streaming-sink delivery ledger — which
+      // micro-batch landed this version ('' / -1 for non-stream commits)
+      (c.version, c.action, c.rows, c.files.length, c.ts, c.txnApp, c.txnVer)
+    }.toDF("version", "action", "rows", "n_files", "committed_at_ms",
+      "txn_app", "txn_batch")
   }
 }
 

@@ -259,6 +259,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming → versioned lake, exactly-once WITHOUT keys: every
+    * micro-batch lands via [[graft.lake.VersionedTable.commitAppendIdempotent]]
+    * tagged (`appId`, `batchId`). `foreachBatch` re-runs whole batches on
+    * restart/failover with the SAME batchId; the tag is written atomically
+    * inside the commit record (Delta's txn action), so a replayed batch
+    * detects its committed id and commits nothing — no key columns, no
+    * anti-join against the snapshot, no content assumptions. This is the
+    * production medallion Bronze loop: blind appends at event-volume
+    * scale where a per-batch key merge (O(snapshot) read) would be the
+    * bottleneck, with the table's commit log doubling as the
+    * batch-delivery ledger. Use [[writeToVersioned]] when upstream
+    * re-delivers the same ROWS across DIFFERENT batches — that needs the
+    * key merge; this sink makes batch REPLAY exact.
+    */
+  def writeToVersionedExactlyOnce(events: DataFrame, targetPath: String,
+                                  appId: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.lake.VersionedTable(batch.sparkSession, targetPath)
+          .commitAppendIdempotent(batch.toDF(), appId, batchId): Unit
+      }
+      .start()
+
   final case class UserRunningTotals(user_id: Long, n_events: Long,
                                      total_value: Double)
 

@@ -21,7 +21,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_skyline",       // suffix-min over the ≤|size domain| per-size aggregate
     "q_bootstrap_ci",  // rank over the 50-row replicate-mean frame
     "q_kaplan_meier",  // suffix/cumulative windows over the calendar-day-bounded risk table
-    "q_vocab_growth")  // 10-row prefix sum over the decile list (bounded at any corpus size)
+    "q_vocab_growth",  // 10-row prefix sum over the decile list (bounded at any corpus size)
+    "q_stream_lake_sink") // lag over the 3-row commit ledger (historyDF: one row per micro-batch, never corpus rows)
 
   test("no registered query plans an unpartitioned Window outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {

@@ -341,12 +341,15 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(reopened.read(Some(0)).count() == 2)
   }
 
-  test("two racing writers: exactly one wins the version, loser retries cleanly, no lost rows") {
+  test("two racing writers: both appends land (loser auto-rebases), no lost rows") {
     val path = Files.createTempDirectory("graft-vt").toString + "/t"
     VersionedTable(spark, path).commitOverwrite(Seq((0L, "base")).toDF("id", "v"))
     // Two independent handles (as two jobs would have) race commitAppend
     // for version 1. The start latch maximizes the overlap window: both
-    // stage data files before either attempts the log rename.
+    // stage data files before either attempts the log rename. The loser
+    // detects the conflict and rebases its ALREADY-STAGED files onto the
+    // new head inside commitAppend — no caller-side retry, no data
+    // re-write.
     val latch = new java.util.concurrent.CountDownLatch(1)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
     def racer(name: String, rows: Seq[(Long, String)]): Thread = {
@@ -363,22 +366,18 @@ class VersionedTableSpec extends AnyFunSuite {
     val b = racer("b", Seq((2L, "from-b")))
     latch.countDown(); a.join(120000); b.join(120000)
     val outcomes = Seq("a", "b").map(results.get)
-    // exactly one winner at version 1, one clean conflict error
-    assert(outcomes.count(_.isRight) == 1, s"outcomes: $outcomes")
-    assert(outcomes.collect { case Right(v) => v } == Seq(1))
-    val loserErr = outcomes.collectFirst { case Left(e) => e }.get
-    assert(loserErr.getMessage.contains("concurrent commit conflict"))
-    // the loser retries and lands at version 2; nothing was lost or clobbered
-    val (loserName, _) = Seq("a", "b").map(n => n -> results.get(n))
-      .collectFirst { case (n, Left(_)) => (n, ()) }.get
-    val loserRows = if (loserName == "a") Seq((1L, "from-a")) else Seq((2L, "from-b"))
-    assert(VersionedTable(spark, path).commitAppend(loserRows.toDF("id", "v")) == 2)
+    // BOTH succeed: one wins version 1, the other auto-retries to 2
+    assert(outcomes.forall(_.isRight), s"outcomes: $outcomes")
+    assert(outcomes.collect { case Right(v) => v }.sorted == Seq(1, 2))
     val finalRows = VersionedTable(spark, path).read()
       .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
     assert(finalRows == Seq((0L, "base"), (1L, "from-a"), (2L, "from-b")))
-    // history shows the clean chain; the loser's orphaned staging files
-    // (if any) are vacuum-able, not part of any snapshot
+    // history shows the clean chain: base overwrite + two appends, each
+    // row counted exactly once (rebase reused staged files, no dup commit)
     assert(VersionedTable(spark, path).versions() == Seq(0, 1, 2))
+    assert(VersionedTable(spark, path).history().map(_._2) ==
+      Seq("overwrite", "append", "append"))
+    assert(VersionedTable(spark, path).history().last._3 == 3L)
   }
 
   test("state is durable: a fresh handle sees the same log and snapshots") {

@@ -330,6 +330,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == native)
   }
 
+  test("exactly-once lake sink: a replayed batch commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xo-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-xo-ckpt").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-xo-t").toString + "/t"
+    val b0 = Seq(Ev(1, ts(1), 1, 1.0), Ev(2, ts(2), 1, 2.0)).toDF()
+    b0.write.mode("append").parquet(dir)
+    val q1 = EventStreams.writeToVersionedExactlyOnce(
+      spark.readStream.schema(b0.schema).parquet(dir), target, "app-xo", ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    val vt = graft.lake.VersionedTable(spark, target)
+    assert(vt.read().count() == 2)
+    assert(vt.lastCommittedBatch("app-xo").contains(0L))
+
+    // Simulate failover at the worst moment: the sink committed batch 0
+    // to the lake, but the engine crashed BEFORE recording the batch
+    // complete. A restarted driver is a fresh JVM, so clone the
+    // checkpoint to a new path (Spark caches metadata logs per path
+    // in-JVM) and delete the engine's commit marker there — the restart
+    // then re-delivers batch 0 with the SAME batchId.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-xo-ckpt2").toString
+    def copyRec(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyRec(java.nio.file.Paths.get(ckpt), java.nio.file.Paths.get(ckpt2))
+    assert(new java.io.File(new java.io.File(ckpt2, "commits"), "0").delete())
+    // also drop Hadoop's checksum shadow — a stale .0.crc makes the
+    // re-write of commits/0 fail as if another query owned the log
+    new java.io.File(new java.io.File(ckpt2, "commits"), ".0.crc").delete()
+    Seq(Ev(3, ts(3), 1, 3.0)).toDF().write.mode("append").parquet(dir)
+    val q2 = EventStreams.writeToVersionedExactlyOnce(
+      spark.readStream.schema(b0.schema).parquet(dir), target, "app-xo", ckpt2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // replayed batch 0 committed NOTHING; batch 1 landed exactly once
+    assert(vt.read().select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(vt.versions() == Seq(0, 1))
+    assert(vt.lastCommittedBatch("app-xo").contains(1L))
+    // the ledger records which batch landed each version
+    assert(vt.historyDF().orderBy("version")
+      .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
+      Seq(("app-xo", 0L), ("app-xo", 1L)))
+  }
+
   test("restart from checkpoint: the resumed query continues without reprocessing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
