@@ -21,7 +21,7 @@ object LlmQueries {
   /** Shared DuckDB shingle CTEs over a (doc_id, text) source: the exact
     * replay of ShinglesExpr — distinct 3-gram word shingles, whole text
     * when shorter. */
-  private def shingleCtes(src: String): String =
+  private[graft] def shingleCtes(src: String): String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM $src),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(tok) >= 3
@@ -223,6 +223,94 @@ object LlmQueries {
        |  round(sum(n_hits) * 1.0 / (count(*) * 10), 6) AS avg_recall,
        |  round(min(n_hits) / 10.0, 6) AS min_recall
        |FROM r GROUP BY family ORDER BY family""".stripMargin
+
+  /** Operating-curve replay: recall@10 AND candidate-set cost for LSH
+    * bands ∈ {4,8,16} and IVF nProbe ∈ {1,2,4} — the sweep that turns
+    * [[annRecallOracle]]'s single point into the curve bands/nProbe are
+    * actually chosen from. Truth, band buckets, cells, and cosine
+    * ranking replay the exact Spark chain (same plane literal, same
+    * round-6-then-rank contract); recall and candidate counts stay
+    * integers until one final division. */
+  private val annSweepOracle: String = {
+    val cos = "list_dot_product(c.embedding::DOUBLE[], q.qe::DOUBLE[]) / " +
+      s"sqrt(${sumSqSql("c.embedding")} * ${sumSqSql("q.qe")})"
+    def cellSim(v: String) =
+      s"list_dot_product($v::DOUBLE[], c.ce::DOUBLE[]) / " +
+        s"sqrt(${sumSqSql(v)} * ${sumSqSql("c.ce")})"
+    def lshCand(nb: Int) =
+      s"""cand_lsh_$nb AS (SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, b AS band, ${bucketExpr("embedding", nb)} AS bucket
+         |     FROM embeddings, pl, unnest(range(0, $nb)) AS u(b)) cb
+         |  JOIN (SELECT vec_id AS query_id, b AS band,
+         |        ${bucketExpr("embedding", nb)} AS bucket
+         |     FROM embeddings, pl, unnest(range(0, $nb)) AS u(b)
+         |     WHERE vec_id < 10) qb
+         |  USING (band, bucket) WHERE cb.vec_id <> qb.query_id)""".stripMargin
+    def ivfCand(p: Int) =
+      s"""cand_ivf_$p AS (SELECT q.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN (SELECT query_id, centroid_id FROM probed
+         |    WHERE rn <= $p) q USING (centroid_id)
+         |  WHERE a.vec_id <> q.query_id)""".stripMargin
+    def cfg(family: String, param: Int) = {
+      val cand = s"cand_${family}_$param"
+      s"""topk_${family}_$param AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY round($cos, 6) DESC, cd.neighbor_id) AS rn
+         |  FROM $cand cd
+         |   JOIN embeddings c ON c.vec_id = cd.neighbor_id
+         |   JOIN qv q ON q.query_id = cd.query_id) t WHERE rn <= 10),
+         |row_${family}_$param AS (
+         |  SELECT '$family' AS family, $param AS param,
+         |    count(*) AS n_queries,
+         |    round(sum(n_hits) * 1.0 / (count(*) * 10), 6) AS avg_recall,
+         |    round(min(n_hits) / 10.0, 6) AS min_recall,
+         |    round(sum(n_cand) * 1.0 / count(*), 6) AS avg_candidates,
+         |    round(sum(n_cand) * 1.0 /
+         |      (count(*) * (SELECT count(*) - 1 FROM embeddings)), 6) AS scan_frac
+         |  FROM (SELECT qv.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |      coalesce(cc.n_cand, 0) AS n_cand
+         |    FROM qv
+         |    LEFT JOIN (SELECT t.query_id, count(*) AS n_hits FROM truth t
+         |      JOIN topk_${family}_$param k
+         |        ON k.query_id = t.query_id AND k.neighbor_id = t.neighbor_id
+         |      GROUP BY 1) h ON h.query_id = qv.query_id
+         |    LEFT JOIN (SELECT query_id, count(*) AS n_cand FROM $cand
+         |      GROUP BY 1) cc ON cc.query_id = qv.query_id) t)""".stripMargin
+    }
+    val configs = Seq("lsh" -> 4, "lsh" -> 8, "lsh" -> 16,
+      "ivf" -> 1, "ivf" -> 2, "ivf" -> 4)
+    s"""WITH pl AS (SELECT $planesLiteral AS P),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |        q.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.query_id) t
+       |  WHERE rn <= 10),
+       |cent AS (SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id %
+       |    (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+       |     FROM embeddings) = 0),
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e, cent c) t WHERE rn = 1),
+       |probed AS (SELECT query_id, centroid_id, rn FROM (
+       |  SELECT e.vec_id AS query_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) t),
+       |${Seq(4, 8, 16).map(lshCand).mkString(",\n")},
+       |${Seq(1, 2, 4).map(ivfCand).mkString(",\n")},
+       |${configs.map { case (f, p) => cfg(f, p) }.mkString(",\n")}
+       |${configs.map { case (f, p) => s"SELECT * FROM row_${f}_$p" }
+          .mkString("\nUNION ALL ")}
+       |ORDER BY family, param""".stripMargin
+  }
 
   /** Full DuckDB replay of the MinHash+LSH pipeline: 3-gram shingles →
     * md5-int hashes → 32 linear-permutation minhashes → 8 Horner band
@@ -735,6 +823,56 @@ object LlmQueries {
             .as("avg_recall"),
           round(min("n_hits") / lit(10.0), 6).as("min_recall"))
         .orderBy("family")
+    },
+
+    // ANN operating curve: the bands/nProbe decision table. One row per
+    // (family, param) — LSH bands ∈ {4,8,16}, IVF nProbe ∈ {1,2,4} —
+    // with recall@10 against brute-force truth AND the candidate-set
+    // cost that recall was bought with (avg candidates per query +
+    // fraction of the corpus scanned). This is the curve q_ann_recall's
+    // single point gets chosen from: at production scale scan_frac IS
+    // the query-time read cost, so the operating point is the cheapest
+    // param whose recall clears the application's floor. All six
+    // configs share one truth pass and (for IVF) one assignment pass;
+    // candidate/hit counts stay integers until one final division, so
+    // both engines emit bit-identical doubles.
+    q("q_ann_sweep", annSweepOracle) { (s, d) =>
+      val emb = embeddings(s, d)
+      val n = emb.count()
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val truth = Similarity.bruteForceTopK(emb, qs, 10)
+        .select("query_id", "neighbor_id")
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      def stats(family: String, param: Int, scored: DataFrame): DataFrame = {
+        val topk = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("query_id", "neighbor_id")
+        val perQuery = qs.select("query_id")
+          .join(truth.join(topk, Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+            Seq("query_id"), "left")
+          .join(scored.groupBy("query_id").agg(count(lit(1)).as("n_cand")),
+            Seq("query_id"), "left")
+          .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+        perQuery.agg(count(lit(1)).as("n_queries"),
+          round(sum("n_hits") * lit(1.0) / (count(lit(1)) * 10), 6)
+            .as("avg_recall"),
+          round(min("n_hits") / lit(10.0), 6).as("min_recall"),
+          round(sum("n_cand") * lit(1.0) / count(lit(1)), 6)
+            .as("avg_candidates"),
+          round(sum("n_cand") * lit(1.0) / (count(lit(1)) * (n - 1)), 6)
+            .as("scan_frac"))
+          .select(lit(family).as("family"), lit(param).as("param"),
+            col("n_queries"), col("avg_recall"), col("min_recall"),
+            col("avg_candidates"), col("scan_frac"))
+      }
+      val rows =
+        Seq(4, 8, 16).map(b =>
+          stats("lsh", b, Similarity.lshScored(emb, qs, 16, b))) ++
+        Seq(1, 2, 4).map(p =>
+          stats("ivf", p, Similarity.ivfScored(emb, qs, 0, p, n)))
+      rows.reduce(_ unionByName _).orderBy("family", "param")
     },
 
     // Embedding stats: norm per vector, aggregated per label.

@@ -84,6 +84,79 @@ object LlmQueries6 {
             .as("recall"))
     },
 
+    // Audit-cost scaling proof: the claim "truth cost shrinks with the
+    // SQUARE of the audit fraction" (q_dedup_recall's scale story)
+    // MEASURED instead of asserted — the exact-truth shingle join runs
+    // at two nested sample moduli (doc_id % 2 and % 4) in one query,
+    // and the output puts the measured pair-count ratio next to the
+    // ratio the square law predicts from the sample sizes. One row:
+    // per-modulus doc/pair/truth counts + measured vs predicted cost
+    // ratio. The % 4 sample nests inside % 2, so both engines derive
+    // the small side by filtering the larger pair set (the measurement
+    // is pair COUNTS, which that sharing doesn't change). At corpus
+    // scale this is the dial an audit budget is set by: halve the
+    // fraction, quarter the quadratic truth work.
+    q("q_dedup_cost_scaling", {
+      s"""WITH ${LlmQueries.shingleCtes("documents")},
+         |sw AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+         |  WHERE doc_id % 2 = 0),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sw GROUP BY 1),
+         |i2 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ov
+         |  FROM sw a JOIN sw b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j2 AS (SELECT id1, id2,
+         |    (ov * 1.0 / (z1.sz + z2.sz - ov) >= 0.7)::BIGINT AS is_truth
+         |  FROM i2 JOIN sz z1 ON z1.doc_id = i2.id1
+         |    JOIN sz z2 ON z2.doc_id = i2.id2),
+         |s2 AS (SELECT count(*)::BIGINT AS n_pairs_m2,
+         |  coalesce(sum(is_truth), 0)::BIGINT AS n_truth_m2 FROM j2),
+         |s4 AS (SELECT count(*)::BIGINT AS n_pairs_m4,
+         |  coalesce(sum(is_truth), 0)::BIGINT AS n_truth_m4 FROM j2
+         |  WHERE id1 % 4 = 0 AND id2 % 4 = 0),
+         |d2 AS (SELECT count(*)::BIGINT AS n_docs_m2 FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |d4 AS (SELECT count(*)::BIGINT AS n_docs_m4 FROM documents
+         |  WHERE doc_id % 4 = 0)
+         |SELECT n_docs_m2, n_pairs_m2, n_truth_m2,
+         |  n_docs_m4, n_pairs_m4, n_truth_m4,
+         |  round(n_pairs_m2 * 1.0 / greatest(n_pairs_m4, 1), 6)
+         |    AS measured_cost_ratio,
+         |  round((n_docs_m2 * 1.0 / n_docs_m4) * (n_docs_m2 * 1.0 / n_docs_m4), 6)
+         |    AS predicted_cost_ratio
+         |FROM d2, d4, s2, s4""".stripMargin
+    }) { (s, d) =>
+      val sw = documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      val sizes = sw.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val judged = sw.select(col("doc_id").as("id1"), col("s"))
+        .join(sw.select(col("doc_id").as("id2"), col("s")), Seq("s"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("ov"))
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+        .withColumn("is_truth",
+          (col("ov") * lit(1.0) /
+            (col("sz1") + col("sz2") - col("ov")) >= 0.7).cast("long"))
+      val s2 = judged.agg(count(lit(1)).as("n_pairs_m2"),
+        coalesce(sum("is_truth"), lit(0L)).as("n_truth_m2"))
+      val s4 = judged.filter(col("id1") % 4 === 0 && col("id2") % 4 === 0)
+        .agg(count(lit(1)).as("n_pairs_m4"),
+          coalesce(sum("is_truth"), lit(0L)).as("n_truth_m4"))
+      val d2 = documents(s, d).filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_docs_m2"))
+      val d4 = documents(s, d).filter(col("doc_id") % 4 === 0)
+        .agg(count(lit(1)).as("n_docs_m4"))
+      // 1-row × 1-row broadcast combines — never data-sized
+      d2.crossJoin(broadcast(d4)).crossJoin(broadcast(s2)).crossJoin(broadcast(s4))
+        .select(col("n_docs_m2"), col("n_pairs_m2"), col("n_truth_m2"),
+          col("n_docs_m4"), col("n_pairs_m4"), col("n_truth_m4"),
+          round(col("n_pairs_m2") * lit(1.0) /
+            greatest(col("n_pairs_m4"), lit(1L)), 6).as("measured_cost_ratio"),
+          round((col("n_docs_m2") * lit(1.0) / col("n_docs_m4")) *
+            (col("n_docs_m2") * lit(1.0) / col("n_docs_m4")), 6)
+            .as("predicted_cost_ratio"))
+    },
+
     // Threshold operating curve: pair volume and affected-doc volume at
     // each candidate Jaccard cutoff, from ONE banding+verify pass at
     // the loosest threshold (0.5) — how a pipeline picks its dedup τ

@@ -105,6 +105,22 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Long = 0, nProbe: Int = 2,
               corpusSize: Long = 0): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    ivfScored(corpus, queries, centroidEvery, nProbe, corpusSize)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  /** IVF candidate set WITH exact cosine (pre-top-k): every (query,
+    * corpus-vector) pair sharing a probed cell. Exposed separately so
+    * the operating-curve sweep (q_ann_sweep) can measure the candidate
+    * cost each nProbe buys — at production scale this count IS the
+    * query-time read cost, and recall-per-candidate is the number the
+    * sweep exists to produce.
+    */
+  def ivfScored(corpus: DataFrame, queries: DataFrame,
+                centroidEvery: Long = 0, nProbe: Int = 2,
+                corpusSize: Long = 0): DataFrame = {
     // corpusSize > 0 skips the count job — callers that already know N
     // (or iterate over the same corpus) shouldn't pay a scan per call.
     val stride =
@@ -133,14 +149,11 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qe"), col("qsq"), col("centroid_id"))
 
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     assigned.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("embedding"), col("qe")) / sqrt(col("vsq") * col("qsq")), 6)
           .as("cosine"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rn")
   }
 
   /** LSH-bucketed ANN top-k: candidates = corpus∩query band collisions
@@ -150,6 +163,20 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 16, bands: Int = 2, dim: Int = 64): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    lshScored(corpus, queries, numPlanes, bands, dim)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  /** LSH candidate set WITH exact cosine (pre-top-k): corpus∩query band
+    * collisions, deduped. Exposed separately for the operating-curve
+    * sweep (q_ann_sweep): candidate count per query is the re-rank cost
+    * a band count buys, traded against the recall it delivers.
+    */
+  def lshScored(corpus: DataFrame, queries: DataFrame,
+                numPlanes: Int = 16, bands: Int = 2,
+                dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val corpusBanded = corpus
       .select(col("vec_id"), col("embedding"),
@@ -159,19 +186,16 @@ object Similarity {
       .select(col("query_id"), col("qe"),
         posexplode(bandedSignature(col("qe"), planes, bands))
           .as(Seq("band", "bucket")))
-    val candidates = corpusBanded
+    corpusBanded
       .join(queryBanded, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("embedding"), col("qe"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    candidates
       .withColumn("cosine",
         round(dot(col("embedding"), col("qe")) /
           sqrt(sumSq(col("embedding")) * sumSq(col("qe"))), 6))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rn")
+      .select("query_id", "neighbor_id", "cosine")
   }
 
   /** Product-quantization ANN top-k via ADC (asymmetric distance

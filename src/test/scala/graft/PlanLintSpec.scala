@@ -157,6 +157,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_vocab_growth",          // 1-row max-doc-id broadcast for decile bucketing
     "q_length_buckets",        // 1-row global (max, count, sum) broadcast for the no-bucketing baseline
     "q_cluster_incremental",   // k-row centroid broadcast (as q_kmeans) + two 1-row total broadcasts
+    "q_ann_sweep",             // composes q_ann_recall's allowlisted broadcasts; 6 1-row config stats cross-combined
+    "q_dedup_cost_scaling",    // four 1-row audit-scalar broadcasts (docs/pairs per modulus) cross-combined
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
