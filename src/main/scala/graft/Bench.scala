@@ -128,12 +128,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Measurement-only knobs (unset in driver runs → default behavior):
+    // SPARK_GRAFT_BENCH_SUBSET = comma-separated query names restricts
+    // the battery (memory-pressure rehearsals on the heavy tail);
+    // SPARK_GRAFT_MEM_FRACTION overrides spark.memory.fraction (0.6
+    // default) to force the spill paths a 100-TB executor lives in.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val memFraction = sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    memFraction.foreach(f => builder.config("spark.memory.fraction", f))
+    val spark = builder.getOrCreate()
+    // Spill accounting for memory-pressure rehearsals: totals printed at
+    // the end prove the constrained run actually exercised the spill
+    // paths (completion alone can't distinguish "spilled gracefully"
+    // from "fit after all").
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val spillDiskBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spillBytes.addAndGet(m.memoryBytesSpilled)
+            spillDiskBytes.addAndGet(m.diskBytesSpilled): Unit
+          }
+        }
+      })
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
     // A headline name missing from the registry (rename, drop) must be
@@ -159,7 +185,10 @@ object Bench {
     def releaseCaches(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-    val names = all.keys.toSeq.sorted
+    val names = subset match {
+      case Some(ss) => all.keys.toSeq.filter(ss).sorted
+      case None     => all.keys.toSeq.sorted
+    }
     names.foreach { name =>
       try all(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
@@ -230,7 +259,13 @@ object Bench {
         s""""timed":${results.length},"total":${fmt(results.map(_._2).sum)},""" +
         s""""errors":$errJson,"queries":$m}"""
     }
-    try Files.writeString(Paths.get(repo, f"BENCH_FULL_r$round%02d.json"), fullJson)
+    // A subset or non-default-memory run is a rehearsal, never the
+    // committed record — write it under a name the round record can't
+    // collide with.
+    val fullName =
+      if (subset.isEmpty && memFraction.isEmpty) f"BENCH_FULL_r$round%02d.json"
+      else f"BENCH_REHEARSAL_r$round%02d.json"
+    try Files.writeString(Paths.get(repo, fullName), fullJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-timings write failed: ${e.getMessage}")
     }
@@ -253,6 +288,9 @@ object Bench {
       keep = keep.dropRight(1); out = line(keep)
     }
     println(out)
+    System.err.println(
+      s"[bench] spill totals: memory=${spillBytes.get / (1 << 20)} MiB " +
+        s"disk=${spillDiskBytes.get / (1 << 20)} MiB")
     spark.stop()
   }
 }
