@@ -186,8 +186,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     val names = subset match {
-      case Some(ss) => all.keys.toSeq.filter(ss).sorted
-      case None     => all.keys.toSeq.sorted
+      case Some(ss) =>
+        // unknown subset names must be LOUD — a typo or renamed query
+        // would otherwise shrink a rehearsal silently and its record
+        // would still look green
+        val unknown = ss.filterNot(all.contains)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] MISSING subset queries: ${unknown.toSeq.sorted.mkString(",")}")
+        all.keys.toSeq.filter(ss).sorted
+      case None => all.keys.toSeq.sorted
     }
     names.foreach { name =>
       try all(name)(spark, sfDir).count()

@@ -511,10 +511,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   /** Replace the table contents (a new version; history is preserved). */
   def commitOverwrite(df: DataFrame): Int = {
     val v = nextVersion
-    val rows = df.count()
     val files = stage(df, v)
-    writeCommit(Commit(v, "overwrite", files, df.schema.toDDL, rows,
-      System.currentTimeMillis()))
+    // footer-exact row count — no second evaluation of the input
+    writeCommit(Commit(v, "overwrite", files, df.schema.toDDL,
+      stagedRowCount(files), System.currentTimeMillis()))
     v
   }
 
@@ -583,42 +583,64 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                             maxRetries: Int, txnApp: String,
                             txnVer: Long): Option[Int] = {
     checkSchema(df, allowNewColumns)
-    val rows = df.count()
     val files = stage(df, nextVersion)
+    // Row count from the staged parquet footers — exact, metadata-only,
+    // and spares EVERY append the separate df.count() action (a full
+    // second evaluation of the input; on a streaming sink that was
+    // re-reading each micro-batch twice).
+    val rows = stagedRowCount(files)
     var attempt = 0
     var committed: Option[Int] = None
     var done = false
     while (!done) {
       val head = latestVersion()
-      val v = head.map(_ + 1).getOrElse(0)
-      val prevCommit = head.map(readCommit)
-      val schema = if (allowNewColumns) df.schema.toDDL
-        else prevCommit.map(_.schemaDdl).getOrElse(df.schema.toDDL)
-      try {
-        writeCommit(Commit(v, "append",
-          prevCommit.map(_.files).getOrElse(Seq.empty) ++ files, schema,
-          prevCommit.map(_.rows).getOrElse(0L) + rows,
-          System.currentTimeMillis(), txnApp, txnVer))
-        committed = Some(v)
+      // Zombie fencing, checked against EVERY head we attempt, not just
+      // inside the conflict catch: a racing instance of the same
+      // streaming query that committed this batch while we were staging
+      // moves the head WITHOUT causing a version conflict — the scan
+      // from `head` either sees its marker here, or the racer committed
+      // after the scan and necessarily occupies head+1, which makes our
+      // writeCommit conflict and re-enter this check. No interleaving
+      // commits the batch twice.
+      if (txnApp.nonEmpty && lastCommittedBatch(txnApp).exists(_ >= txnVer)) {
         done = true
-      } catch {
-        case e: RuntimeException
-            if e.getMessage != null &&
-              e.getMessage.contains("concurrent commit conflict") &&
-              attempt < maxRetries =>
-          attempt += 1
-          // zombie fencing: a racing instance of the same streaming query
-          // may have landed this very batch — then this writer must no-op,
-          // not re-append
-          if (txnApp.nonEmpty && lastCommittedBatch(txnApp).exists(_ >= txnVer))
-            done = true
-          else
+      } else {
+        val v = head.map(_ + 1).getOrElse(0)
+        val prevCommit = head.map(readCommit)
+        val schema = if (allowNewColumns) df.schema.toDDL
+          else prevCommit.map(_.schemaDdl).getOrElse(df.schema.toDDL)
+        try {
+          writeCommit(Commit(v, "append",
+            prevCommit.map(_.files).getOrElse(Seq.empty) ++ files, schema,
+            prevCommit.map(_.rows).getOrElse(0L) + rows,
+            System.currentTimeMillis(), txnApp, txnVer))
+          committed = Some(v)
+          done = true
+        } catch {
+          case e: RuntimeException
+              if e.getMessage != null &&
+                e.getMessage.contains("concurrent commit conflict") &&
+                attempt < maxRetries =>
+            attempt += 1
             // rebase: the racing commit may have evolved the schema — the
             // append must still fit the NEW head before re-attempting
             checkSchema(df, allowNewColumns)
+        }
       }
     }
     committed
+  }
+
+  /** Exact row count of staged files from their parquet footers —
+    * O(files) metadata reads, zero data scanned. */
+  private def stagedRowCount(files: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$tablePath/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Snapshot read; `version = None` reads the latest. Time travel =
@@ -645,7 +667,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       case None => Some(commitOverwrite(source))
       case Some(_) =>
         val candidates = Merge.insertCandidates(source, read(), keys)
-        if (candidates.isEmpty) None else Some(commitAppend(candidates))
+        // maxRetries = 0: the candidate set is a READ-SET decision (keys
+        // absent from the snapshot we read) — a racing commit may have
+        // inserted those keys, so rebasing the append would silently
+        // break key uniqueness. Abort loudly; the caller re-runs the
+        // merge on fresh state and the anti-join drops the dupes.
+        if (candidates.isEmpty) None
+        else Some(commitAppend(candidates, maxRetries = 0))
     }
 
   /** Change data feed: row-level changes in versions
@@ -807,7 +835,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         checkSchema(source, allowNewColumns = false)
         val c = readCommit(v0)
         if (c.files.isEmpty) {
-          if (source.isEmpty) None else Some(commitAppend(source))
+          // append degenerates from a MERGE decision (no rows to match)
+          // — read-set-dependent, so conflicts abort loudly (see
+          // insertOnlyMerge)
+          if (source.isEmpty) None
+          else Some(commitAppend(source, maxRetries = 0))
         } else {
           val srcKeys = source.select(keys.map(source.col): _*).distinct()
           // `_metadata` is a scan-level column: project it BEFORE the
@@ -819,7 +851,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             .select("_graft_file").distinct()
             .collect().map(r => new Path(r.getString(0)).getName).toSeq
           if (affected.isEmpty) {
-            if (source.isEmpty) None else Some(commitAppend(source))
+            // "no keys matched" is a read-set decision too — no rebase
+            if (source.isEmpty) None
+            else Some(commitAppend(source, maxRetries = 0))
           } else {
             val before = readFiles(affected)
             val rewritten = Merge.upsert(before, source, keys)
