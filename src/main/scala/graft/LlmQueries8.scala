@@ -228,6 +228,126 @@ object LlmQueries8 {
         .orderBy("c_custkey")
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion — the RAG/search-stack
+    // composition of the engine's two ranking families: per query doc
+    // (doc_id < 10), a LEXICAL top-20 (BM25 k1=1.2 b=0.75 over the
+    // query's first 3 tokens — the q_bm25 scorer generalized from fixed
+    // terms to per-query terms) and a SEMANTIC top-20 (exact cosine over
+    // the embedding table, the q_sim_topk ranking) fuse as
+    // rrf = Σ 1/(60 + rank) (Cormack et al. 2009), top-10 per query.
+    // Missing-side ranks emit -1 (never null — keeps the cross-engine
+    // hash compare on integer columns). Plan shape: the lexical side is
+    // a scan-local projection against a 10-row broadcast query table
+    // (per-pair tf via higher-order filters — no explode, no (doc,term)
+    // shuffle) + a 10-row per-query stats aggregate; the semantic side
+    // is the documented brute baseline (its scale path is the LSH/IVF
+    // candidate ranking — at corpus scale RRF fuses the ANN lists, same
+    // fusion arithmetic over bounded inputs). All ranks integer; rrf is
+    // a fixed-order sum of two rationals, so both engines emit
+    // bit-identical doubles before the round.
+    q("q_hybrid_retrieval", {
+      def contrib(i: Int) =
+        s"ln((st.n_docs - st.df$i + 0.5) / (st.df$i + 0.5) + 1) * " +
+          s"(p.tf$i * 2.2) / (p.tf$i + 0.3 + 0.9 * p.dl * st.n_docs / st.sum_dl)"
+      s"""WITH q AS (SELECT doc_id AS query_id,
+         |    coalesce(string_split(text,' ')[1],'') AS t0,
+         |    coalesce(string_split(text,' ')[2],'') AS t1,
+         |    coalesce(string_split(text,' ')[3],'') AS t2
+         |  FROM documents WHERE doc_id < 10),
+         |d AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
+         |pair AS (SELECT q.query_id, d.doc_id,
+         |    len(d.tok)::BIGINT AS dl,
+         |    len(list_filter(d.tok, x -> x = q.t0))::BIGINT AS tf0,
+         |    len(list_filter(d.tok, x -> x = q.t1))::BIGINT AS tf1,
+         |    len(list_filter(d.tok, x -> x = q.t2))::BIGINT AS tf2
+         |  FROM d CROSS JOIN q WHERE d.doc_id <> q.query_id),
+         |st AS (SELECT query_id, count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |    sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+         |    sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+         |    sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END)::BIGINT AS df2
+         |  FROM pair GROUP BY 1),
+         |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+         |  SELECT p.query_id, p.doc_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round(${contrib(0)} + ${contrib(1)} + ${contrib(2)}, 6)
+         |        DESC, p.doc_id) AS lex_rank
+         |  FROM pair p JOIN st ON st.query_id = p.query_id
+         |  WHERE p.tf0 + p.tf1 + p.tf2 > 0) t WHERE lex_rank <= 20),
+         |sem AS (SELECT query_id, neighbor_id AS doc_id, rn AS sem_rank FROM (
+         |  SELECT qv.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qv.query_id ORDER BY
+         |      round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |        qv.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN (SELECT vec_id AS query_id,
+         |      embedding AS qe FROM embeddings WHERE vec_id < 10) qv
+         |  WHERE e.vec_id <> qv.query_id) t WHERE rn <= 20),
+         |fused AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    coalesce(l.lex_rank, -1) AS lex_rank,
+         |    coalesce(s.sem_rank, -1) AS sem_rank,
+         |    round(coalesce(1.0/(60 + l.lex_rank), 0)
+         |        + coalesce(1.0/(60 + s.sem_rank), 0), 6) AS rrf
+         |  FROM lex l FULL JOIN sem s
+         |    ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rn FROM fused) t
+         |WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.llm.Similarity
+      val toks = split(col("text"), " ")
+      val q10 = documents(s, d).filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          coalesce(element_at(toks, 1), lit("")).as("t0"),
+          coalesce(element_at(toks, 2), lit("")).as("t1"),
+          coalesce(element_at(toks, 3), lit("")).as("t2"))
+      val pair = documents(s, d).select(col("doc_id"), toks.as("tok"))
+        .crossJoin(broadcast(q10))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(Seq(col("query_id"), col("doc_id"),
+          size(col("tok")).cast("long").as("dl")) ++
+          (0 to 2).map(i =>
+            size(filter(col("tok"), x => x === col(s"t$i")))
+              .cast("long").as(s"tf$i")): _*)
+      val st = pair.groupBy("query_id").agg(
+        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+      def contrib(i: Int) = {
+        val tf = col(s"tf$i"); val df = col(s"df$i")
+        log((col("n_docs") - df + 0.5) / (df + 0.5) + 1) *
+          (tf * 2.2) / (tf + 0.3 + lit(0.9) * col("dl") * col("n_docs") / col("sum_dl"))
+      }
+      val wLex = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val lex = pair.join(broadcast(st), "query_id")
+        .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+        .select(col("query_id"), col("doc_id"),
+          round(contrib(0) + contrib(1) + contrib(2), 6).as("bm25"))
+        .withColumn("lex_rank", row_number().over(wLex))
+        .filter(col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+      val emb = embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rn").as("sem_rank"))
+      val wFuse = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(-1)).as("sem_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6)
+            .as("rrf"))
+        .withColumn("rn", row_number().over(wFuse)).filter(col("rn") <= 10)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf")
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    },
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims with a
     // measured distortion profile: each vector is projected through a
     // fixed-seed gaussian plane matrix (a literal in both engines — the
