@@ -301,14 +301,18 @@ object LlmQueries8 {
           coalesce(element_at(toks, 1), lit("")).as("t0"),
           coalesce(element_at(toks, 2), lit("")).as("t1"),
           coalesce(element_at(toks, 3), lit("")).as("t2"))
-      val pair = documents(s, d).select(col("doc_id"), toks.as("tok"))
-        .crossJoin(broadcast(q10))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(Seq(col("query_id"), col("doc_id"),
-          size(col("tok")).cast("long").as("dl")) ++
-          (0 to 2).map(i =>
-            size(filter(col("tok"), x => x === col(s"t$i")))
-              .cast("long").as(s"tf$i")): _*)
+      // cut: the per-(query,doc) tf projection feeds BOTH the corpus
+      // stats and the ranking — without it the 10×corpus token-filter
+      // pass runs twice (measured 27.9 s → 11.0 s at sf1)
+      val pair = graft.CheckpointStrategy.cut(
+        documents(s, d).select(col("doc_id"), toks.as("tok"))
+          .crossJoin(broadcast(q10))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select(Seq(col("query_id"), col("doc_id"),
+            size(col("tok")).cast("long").as("dl")) ++
+            (0 to 2).map(i =>
+              size(filter(col("tok"), x => x === col(s"t$i")))
+                .cast("long").as(s"tf$i")): _*))
       val st = pair.groupBy("query_id").agg(
         count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
         sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),

@@ -140,13 +140,18 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val (add, remove) =
         if (legacy) (listField(body, p, "files"), Seq.empty[String])
         else (listField(body, p, "add"), listField(body, p, "remove"))
+      // txn probes only when the record carries a marker — readDelta is
+      // the per-record hot path of every snapshot resolution
+      val hasTxn = body.contains("\"txnApp\"")
       val d = DeltaRec(numField(body, p, "version").toInt, strField(body, p, "action"),
         add, remove,
         strField(body, p, "schema"), numField(body, p, "rows"),
         numField(body, p, "ts"), full = legacy,
-        txnApp = strFieldOpt(body, "txnApp").getOrElse(""),
-        txnVer = s""""txnVer"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body)
-          .map(_.group(1).toLong).getOrElse(-1L))
+        txnApp = if (hasTxn) strFieldOpt(body, "txnApp").getOrElse("") else "",
+        txnVer = if (hasTxn)
+          s""""txnVer"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toLong).getOrElse(-1L)
+        else -1L)
       lastDelta = Some(d)
       d
     }
