@@ -341,6 +341,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(reopened.read(Some(0)).count() == 2)
   }
 
+  test("idempotent batch-tagged append: replays no-op, ledger records batch per version") {
+    val t = freshTable()
+    assert(t.commitAppendIdempotent(Seq((1L, "a")).toDF("id", "v"), "app", 0L)
+      .contains(0))
+    // re-delivery of batch 0 (restart/failover) commits NOTHING
+    assert(t.commitAppendIdempotent(Seq((1L, "a")).toDF("id", "v"), "app", 0L)
+      .isEmpty)
+    assert(t.commitAppendIdempotent(Seq((2L, "b")).toDF("id", "v"), "app", 1L)
+      .contains(1))
+    // an OLDER batch id replayed after newer ones also no-ops
+    assert(t.commitAppendIdempotent(Seq((1L, "a")).toDF("id", "v"), "app", 0L)
+      .isEmpty)
+    assert(t.lastCommittedBatch("app").contains(1L))
+    assert(t.lastCommittedBatch("other").isEmpty)
+    // a different app's batch numbering is independent
+    assert(t.commitAppendIdempotent(Seq((3L, "c")).toDF("id", "v"), "other", 0L)
+      .contains(2))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // the ledger is SQL-queryable and survives a fresh handle
+    val reopened = VersionedTable(spark, t.tablePath)
+    assert(reopened.historyDF().orderBy("version")
+      .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
+      Seq(("app", 0L), ("app", 1L), ("other", 0L)))
+    assert(reopened.lastCommittedBatch("app").contains(1L))
+  }
+
   test("two racing writers: both appends land (loser auto-rebases), no lost rows") {
     val path = Files.createTempDirectory("graft-vt").toString + "/t"
     VersionedTable(spark, path).commitOverwrite(Seq((0L, "base")).toDF("id", "v"))
