@@ -237,14 +237,21 @@ object LlmQueries8 {
     // rrf = Σ 1/(60 + rank) (Cormack et al. 2009), top-10 per query.
     // Missing-side ranks emit -1 (never null — keeps the cross-engine
     // hash compare on integer columns). Plan shape: the lexical side is
-    // a scan-local projection against a 10-row broadcast query table
-    // (per-pair tf via higher-order filters — no explode, no (doc,term)
-    // shuffle) + a 10-row per-query stats aggregate; the semantic side
-    // is the documented brute baseline (its scale path is the LSH/IVF
-    // candidate ranking — at corpus scale RRF fuses the ANN lists, same
-    // fusion arithmetic over bounded inputs). All ranks integer; rrf is
-    // a fixed-order sum of two rationals, so both engines emit
-    // bit-identical doubles before the round.
+    // the INVERTED-INDEX formulation — one exploded-token corpus scan
+    // probed against the ≤30 distinct query terms (broadcast hash semi
+    // before the shuffle), so only matching postings ever shuffle; tf,
+    // per-term df, and the per-query BM25 stats all derive from that
+    // one postings projection plus a scalar corpus aggregate. Cost is
+    // O(corpus tokens + matched postings), independent of the query
+    // count — the production shape when the query batch grows (the
+    // earlier query-at-a-time cross-join re-filtered the whole corpus
+    // per query). The semantic side is the documented brute baseline
+    // (its scale path is the LSH/IVF candidate ranking — at corpus
+    // scale RRF fuses the ANN lists, same fusion arithmetic over
+    // bounded inputs). All ranks integer; rrf is a fixed-order sum of
+    // two rationals, so both engines emit bit-identical doubles before
+    // the round. The oracle keeps the direct per-pair formulation —
+    // the hash compare is the proof the two formulations coincide.
     q("q_hybrid_retrieval", {
       def contrib(i: Int) =
         s"ln((st.n_docs - st.df$i + 0.5) / (st.df$i + 0.5) + 1) * " +
@@ -296,28 +303,70 @@ object LlmQueries8 {
     }) { (s, d) =>
       import graft.llm.Similarity
       val toks = split(col("text"), " ")
+      def qt(i: Int) = coalesce(element_at(toks, i + 1), lit(""))
       val q10 = documents(s, d).filter(col("doc_id") < 10)
-        .select(col("doc_id").as("query_id"),
-          coalesce(element_at(toks, 1), lit("")).as("t0"),
-          coalesce(element_at(toks, 2), lit("")).as("t1"),
-          coalesce(element_at(toks, 3), lit("")).as("t2"))
-      // cut: the per-(query,doc) tf projection feeds BOTH the corpus
-      // stats and the ranking — without it the 10×corpus token-filter
-      // pass runs twice (measured 27.9 s → 11.0 s at sf1)
-      val pair = graft.CheckpointStrategy.cut(
-        documents(s, d).select(col("doc_id"), toks.as("tok"))
-          .crossJoin(broadcast(q10))
-          .filter(col("doc_id") =!= col("query_id"))
-          .select(Seq(col("query_id"), col("doc_id"),
-            size(col("tok")).cast("long").as("dl")) ++
-            (0 to 2).map(i =>
-              size(filter(col("tok"), x => x === col(s"t$i")))
-                .cast("long").as(s"tf$i")): _*))
-      val st = pair.groupBy("query_id").agg(
-        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
-        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
-        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+        .select(Seq(col("doc_id").as("query_id"),
+          size(toks).cast("long").as("q_dl")) ++
+          (0 to 2).map(i => qt(i).as(s"t$i")) ++
+          // the query doc's own term membership, read off its token
+          // array here — saves the global df correction a third pass
+          // over the postings index
+          (0 to 2).map(i =>
+            array_contains(toks, qt(i)).cast("long").as(s"has$i")): _*)
+      // ≤30 distinct probe terms — the broadcast side of the postings
+      // semi-join; the explode never shuffles a non-matching token
+      val qterms = q10
+        .select(explode(array(col("t0"), col("t1"), col("t2"))).as("term"))
+        .distinct()
+      // the inverted index, restricted to probe terms: one corpus scan,
+      // shuffle keyed on (doc_id, term) over matched postings only.
+      // cut: postings feed both the tf assembly and the global df —
+      // one materialization, two cheap readers
+      val postings = graft.CheckpointStrategy.cut(
+        documents(s, d)
+          .select(col("doc_id"), size(toks).cast("long").as("dl"),
+            explode(toks).as("term"))
+          .join(broadcast(qterms), "term")
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"), first("dl").as("dl")))
+      // scalar corpus stats (one streaming agg): pair-formulation
+      // equivalents are n_docs = N-1 and sum_dl = total - the query
+      // doc's own length (the cross join excluded only the self pair)
+      val tot = documents(s, d).agg(
+        count(lit(1)).as("n_total"),
+        sum(size(toks).cast("long")).as("dl_total"))
+      // per-term global document frequency from the postings index;
+      // the self-correction subtracts the query doc's own membership
+      val dfGlobal = postings.groupBy("term")
+        .agg(count(lit(1)).as("df_g"))
+      val slots = (0 to 2).map(i =>
+          q10.select(col("query_id"), col(s"t$i").as("term"),
+            lit(i).as("slot"), col(s"has$i").as("self_has")))
+        .reduce(_ unionAll _)
+      val st = slots
+        .join(dfGlobal, Seq("term"), "left")
+        .select(col("query_id"), col("slot"),
+          (coalesce(col("df_g"), lit(0L)) - col("self_has")).as("df"))
+        .groupBy("query_id")
+        .agg(sum(when(col("slot") === 0, col("df"))).as("df0"),
+          sum(when(col("slot") === 1, col("df"))).as("df1"),
+          sum(when(col("slot") === 2, col("df"))).as("df2"))
+        .join(q10.select(col("query_id"), col("q_dl")), "query_id")
+        .crossJoin(broadcast(tot))
+        .select(col("query_id"),
+          (col("n_total") - 1L).as("n_docs"),
+          (col("dl_total") - col("q_dl")).as("sum_dl"),
+          col("df0"), col("df1"), col("df2"))
+      // per-(query, doc) tf assembly: postings × 30 slot rows, pivoted
+      // to the tf0/tf1/tf2 shape the scorer shares with the oracle
+      val tfs = postings
+        .join(broadcast(slots), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(first("dl").as("dl"),
+          (0 to 2).map(i =>
+            coalesce(sum(when(col("slot") === i, col("tf"))), lit(0L))
+              .as(s"tf$i")): _*)
       def contrib(i: Int) = {
         val tf = col(s"tf$i"); val df = col(s"df$i")
         log((col("n_docs") - df + 0.5) / (df + 0.5) + 1) *
@@ -325,8 +374,7 @@ object LlmQueries8 {
       }
       val wLex = Window.partitionBy("query_id")
         .orderBy(col("bm25").desc, col("doc_id"))
-      val lex = pair.join(broadcast(st), "query_id")
-        .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+      val lex = tfs.join(broadcast(st), "query_id")
         .select(col("query_id"), col("doc_id"),
           round(contrib(0) + contrib(1) + contrib(2), 6).as("bm25"))
         .withColumn("lex_rank", row_number().over(wLex))
