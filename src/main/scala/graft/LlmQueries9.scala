@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ninth LLM-curation tranche (round 12): the back end of the pipeline —
+  * what happens after curation decides what to keep. Three ops a
+  * production training-data stack runs on every export:
+  *
+  *  - a deterministic shard manifest (the audit artifact that makes a
+  *    100-TB export verifiable: per-shard counts, token/byte totals and
+  *    an order-independent content checksum);
+  *  - a k-anonymity audit over quasi-identifiers (the privacy
+  *    release-gate companion to ops/Pii's scrubbing — scrubbing removes
+  *    direct identifiers, this measures re-identification risk from the
+  *    columns that remain);
+  *  - a rerank stage over ANN candidates (the cross-encoder slot in a
+  *    retrieval stack, with a deterministic relevance×quality blend
+  *    standing in for the model — the plumbing is the contract: bounded
+  *    candidate set, feature join, window re-rank).
+  *
+  * All three follow the registry determinism conventions (QueryDef.scala)
+  * and the md5Int cross-engine hash family (llm/Dedup.scala:97).
+  */
+object LlmQueries9 {
+  import Tables._
+  import graft.llm.{Dedup, Similarity}
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Export-shard manifest: docs deterministically sharded by an
+    // independent hash (md5 bytes [4,8) — disjoint from q_split_assign's
+    // split bytes, so shard and split assignments are uncorrelated), one
+    // manifest row per shard with doc/token/byte totals and a content
+    // checksum (SUM of per-doc md5Int — commutative, so any partition
+    // order and any re-run produce the identical value; a reader
+    // re-hashing a shard catches truncation or corruption without
+    // re-reading the rest of the export). Plan: one projection + one
+    // keyed groupBy with map-side combine → O(shards) rows. At 100 TB
+    // the same plan holds with shard count scaled to target file sizes.
+    q("q_export_shards",
+      """WITH t AS (SELECT
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 16 AS shard_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    n_chars,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS n_tokens,
+        |  sum(n_chars)::BIGINT AS n_bytes,
+        |  sum(h)::BIGINT AS checksum
+        |FROM t GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val shard = pmod(Dedup.md5Int(col("doc_id").cast("string"), 4), lit(16L))
+      documents(s, d)
+        .select(shard.as("shard_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"),
+          Dedup.md5Int(col("text")).as("h"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_bytes"), sum("h").as("checksum"))
+        .orderBy("shard_id")
+    },
+
+    // k-anonymity audit: equivalence classes over the quasi-identifier
+    // tuple (nation, market segment, account-balance band), summarized
+    // as the class-size histogram — n_classes and n_rows per size, with
+    // sizes below k=5 flagged. The histogram IS the release decision
+    // input: min class size = the dataset's k; `below_k` rows = the
+    // re-identifiable population. Two keyed aggregations (QI tuple,
+    // then class size), both map-side combinable; output is bounded by
+    // the largest class size, never by the corpus.
+    q("q_k_anonymity",
+      """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000)::BIGINT AS bal_band FROM customer),
+        |cls AS (SELECT count(*)::BIGINT AS class_size FROM qi
+        |  GROUP BY c_nationkey, c_mktsegment, bal_band)
+        |SELECT class_size, count(*) AS n_classes,
+        |  sum(class_size)::BIGINT AS n_rows,
+        |  CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS below_k
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy("class_size")
+        .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"))
+        .withColumn("below_k", when(col("class_size") < 5, 1).otherwise(0))
+        .orderBy("class_size")
+    },
+
+    // Rerank stage: the exact-cosine top-20 candidates per query
+    // (q_sim_topk's ranking, queries = vec_id < 10) re-scored by a
+    // deterministic relevance×quality blend — 0.8·cosine +
+    // 0.2·quality, where quality is q_quality_score's documented
+    // composite (length saturation + content-word ratio + alphabetic
+    // density). The blend stands in for a cross-encoder; the contract
+    // is the plumbing: the candidate set is bounded (queries×20) and
+    // broadcast, the feature join streams the corpus past it keyed on
+    // doc_id, and the re-rank window runs over ≤20 rows per query.
+    // Swapping the blend for a real model score changes one projection,
+    // not the plan. Both cosine and quality are rounded to 6 before the
+    // blend, so both engines blend identical doubles.
+    q("q_rerank",
+      """WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+        |    FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT query_id, neighbor_id AS doc_id, cosine,
+        |    rn AS ann_rank FROM (
+        |  SELECT qv.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qv.qe::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY qv.query_id ORDER BY
+        |      round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |        qv.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN qv
+        |  WHERE e.vec_id <> qv.query_id) t WHERE rn <= 20),
+        |ql AS (SELECT doc_id, round(
+        |     least(1.0, length(text) / 500.0) * 0.5
+        |   + (1.0 - len(list_filter(string_split(text,' '),
+        |         x -> x IN ('the','a'))) * 1.0
+        |       / len(string_split(text,' '))) * 0.3
+        |   + (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+        |       / length(text)) * 0.2
+        |   , 6) AS quality FROM documents),
+        |r AS (SELECT c.query_id, c.doc_id, c.ann_rank, c.cosine,
+        |    round(0.8 * c.cosine + 0.2 * ql.quality, 6) AS score
+        |  FROM cand c JOIN ql ON ql.doc_id = c.doc_id)
+        |SELECT query_id, doc_id, ann_rank, cosine, score, rerank_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rerank_rank FROM r) t
+        |WHERE rerank_rank <= 10 ORDER BY query_id, rerank_rank""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d)
+      val cands = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine"), col("rn").as("ann_rank"))
+      val tok = split(col("text"), " ")
+      val stops = filter(tok, x => x === "the" || x === "a")
+      val quality = documents(s, d).select(col("doc_id"), round(
+          least(lit(1.0), length(col("text")) / 500.0) * 0.5 +
+          (lit(1.0) - size(stops) * lit(1.0) / size(tok)) * 0.3 +
+          (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
+            length(col("text"))) * 0.2, 6).as("quality"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      quality.join(broadcast(cands), "doc_id")
+        .select(col("query_id"), col("doc_id"), col("ann_rank"), col("cosine"),
+          round(lit(0.8) * col("cosine") + lit(0.2) * col("quality"), 6)
+            .as("score"))
+        .withColumn("rerank_rank", row_number().over(w))
+        .filter(col("rerank_rank") <= 10)
+        .select("query_id", "doc_id", "ann_rank", "cosine", "score", "rerank_rank")
+        .orderBy("query_id", "rerank_rank")
+    }
+  )
+}

@@ -159,7 +159,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_cluster_incremental",   // k-row centroid broadcast (as q_kmeans) + two 1-row total broadcasts
     "q_ann_sweep",             // composes q_ann_recall's allowlisted broadcasts; 6 1-row config stats cross-combined
     "q_dedup_cost_scaling",    // four 1-row audit-scalar broadcasts (docs/pairs per modulus) cross-combined
-    "q_hybrid_retrieval",      // 10-row broadcast query table (lexical tf projection) + the q_sim_topk brute baseline
+    "q_hybrid_retrieval",      // 1-row corpus-stats broadcast (inverted-index BM25 stats) + the q_sim_topk brute baseline
+    "q_rerank",                // the q_sim_topk brute candidate pass (corpus × 10 queries); the feature join itself is equi on doc_id
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
