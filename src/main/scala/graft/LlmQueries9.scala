@@ -94,6 +94,96 @@ object LlmQueries9 {
         .orderBy("class_size")
     },
 
+    // Distributed BPE tokenizer training, 3 unrolled merge rounds —
+    // the tokenizer-training stage itself (q_bpe_pairs only counts one
+    // round's pairs). Each round is (a) an adjacent-pair count over the
+    // current tokenization — explode + one keyed shuffle, the map-side
+    // combinable shape; (b) the argmax merge rule (count DESC, pair ASC
+    // — a 1-row TakeOrdered, broadcast into (c)); (c) greedy
+    // left-to-right merge application as a scan-local string pass. The
+    // representation is the double-space-joined form ('  '-separated,
+    // '  ' sentinels): plain non-regex `replace` of ' a  b ' with
+    // ' ab ' then consumes one boundary space from each side, so
+    // adjacent merge sites keep their separators and non-overlapping
+    // left-to-right replacement IS greedy BPE ("a a a" under (a,a) →
+    // ["aa","a"]) — identical semantics in both engines with no regex
+    // escaping of data-dependent tokens. Rounds chain through cut()
+    // so round N's corpus is materialized once, not re-folded by every
+    // downstream reader. Cost: rounds × (scan + pair shuffle) — the
+    // real distributed-BPE cost model; vocabulary-scale training runs
+    // the same loop with more rounds.
+    q("q_bpe_train", {
+      def pairs(src: String, dst: String) =
+        s"""$dst AS (SELECT u.pa AS pa, u.pb AS pb, count(*) AS cnt FROM (
+           |    SELECT unnest([{'pa': t[i], 'pb': t[i+1]}
+           |        for i in range(1, len(t))]) AS u
+           |    FROM (SELECT string_split(trim(s), '  ') AS t FROM $src))
+           |  GROUP BY 1, 2)""".stripMargin
+      def rule(src: String, dst: String) =
+        s"$dst AS (SELECT pa, pb, cnt FROM $src ORDER BY cnt DESC, pa, pb LIMIT 1)"
+      def merge(src: String, r: String, dst: String) =
+        s"""$dst AS (SELECT doc_id,
+           |  replace(s, ' '||$r.pa||'  '||$r.pb||' ', ' '||$r.pa||$r.pb||' ') AS s
+           |  FROM $src, $r)""".stripMargin
+      def ntok(src: String, dst: String) =
+        s"""$dst AS (SELECT sum(len(string_split(trim(s), '  ')))::BIGINT
+           |  AS n_tokens_after FROM $src)""".stripMargin
+      def outRow(i: Int) =
+        s"""SELECT $i AS round, r$i.pa AS tok_a, r$i.pb AS tok_b,
+           |  r$i.cnt AS pair_count, n${i + 1}.n_tokens_after
+           |FROM r$i, n${i + 1}""".stripMargin
+      s"""WITH d0 AS (SELECT doc_id,
+         |    '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents),
+         |${pairs("d0", "p0")}, ${rule("p0", "r0")},
+         |${merge("d0", "r0", "d1")}, ${ntok("d1", "n1")},
+         |${pairs("d1", "p1")}, ${rule("p1", "r1")},
+         |${merge("d1", "r1", "d2")}, ${ntok("d2", "n2")},
+         |${pairs("d2", "p2")}, ${rule("p2", "r2")},
+         |${merge("d2", "r2", "d3")}, ${ntok("d3", "n3")}
+         |${outRow(0)} UNION ALL ${outRow(1)} UNION ALL ${outRow(2)}
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      def toksOf(c: org.apache.spark.sql.Column) = split(trim(c), "  ")
+      def pairCounts(df: DataFrame): DataFrame = {
+        val t = toksOf(col("s"))
+        val prs = zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (x, y) => struct(x.as("pa"), y.as("pb")))
+        df.select(explode(prs).as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      // the argmax rule — 1 row, cut so the two readers (merge
+      // application, output row) don't each redo the pair shuffle
+      def topRule(df: DataFrame): DataFrame =
+        graft.CheckpointStrategy.cut(
+          df.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1))
+      // cut only when the merged corpus has 2 readers (next round's pair
+      // count + the token total); the final round's corpus is read once
+      def applyMerge(df: DataFrame, r: DataFrame, last: Boolean = false): DataFrame = {
+        val merged = df.crossJoin(broadcast(r))
+          .select(col("doc_id"), replace(col("s"),
+            concat(lit(" "), col("pa"), lit("  "), col("pb"), lit(" ")),
+            concat(lit(" "), col("pa"), col("pb"), lit(" "))).as("s"))
+        if (last) merged else graft.CheckpointStrategy.cut(merged)
+      }
+      def nTokens(df: DataFrame): DataFrame =
+        df.agg(sum(size(toksOf(col("s")))).cast("long").as("n_tokens_after"))
+      val d0 = documents(s, d).select(col("doc_id"),
+        concat(lit("  "), replace(col("text"), lit(" "), lit("  ")), lit("  "))
+          .as("s"))
+      val r0 = topRule(pairCounts(d0)); val d1 = applyMerge(d0, r0)
+      val r1 = topRule(pairCounts(d1)); val d2 = applyMerge(d1, r1)
+      val r2 = topRule(pairCounts(d2)); val d3 = applyMerge(d2, r2, last = true)
+      def outRow(i: Int, r: DataFrame, dNext: DataFrame): DataFrame =
+        r.crossJoin(broadcast(nTokens(dNext)))
+          .select(lit(i).as("round"), col("pa").as("tok_a"),
+            col("pb").as("tok_b"), col("cnt").as("pair_count"),
+            col("n_tokens_after"))
+      outRow(0, r0, d1).unionAll(outRow(1, r1, d2)).unionAll(outRow(2, r2, d3))
+        .orderBy("round")
+    },
+
     // Rerank stage: the exact-cosine top-20 candidates per query
     // (q_sim_topk's ranking, queries = vec_id < 10) re-scored by a
     // deterministic relevance×quality blend — 0.8·cosine +
