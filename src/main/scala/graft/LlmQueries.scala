@@ -917,20 +917,11 @@ object LlmQueries {
     // thresholds on (weights are illustrative; the contract is the
     // pure-projection scoring shape).
     q("q_quality_score",
-      """SELECT doc_id, round(
-        |   least(1.0, length(text) / 500.0) * 0.5
-        | + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) * 1.0
-        |       / len(string_split(text,' '))) * 0.3
-        | + (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.2
-        | , 6) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tok = split(col("text"), " ")
-      val stops = filter(tok, x => x === "the" || x === "a")
-      documents(s, d).select(col("doc_id"), round(
-          least(lit(1.0), length(col("text")) / 500.0) * 0.5 +
-          (lit(1.0) - size(stops) * lit(1.0) / size(tok)) * 0.3 +
-          (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
-            length(col("text"))) * 0.2, 6).as("quality"))
+      s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     },
 

@@ -304,7 +304,11 @@ object LlmQueries8 {
       import graft.llm.Similarity
       val toks = split(col("text"), " ")
       def qt(i: Int) = coalesce(element_at(toks, i + 1), lit(""))
-      val q10 = documents(s, d).filter(col("doc_id") < 10)
+      // q10 has ~5 readers but is deliberately NOT cut: each re-read is
+      // a row-group-pruned 10-row scan, and a cut's synchronous
+      // write+read job barrier measured ~0.4 s SLOWER at both sf0.1
+      // (2.71→2.94) and sf1 (8.7→9.3)
+      val q10 = (documents(s, d).filter(col("doc_id") < 10)
         .select(Seq(col("doc_id").as("query_id"),
           size(toks).cast("long").as("q_dl")) ++
           (0 to 2).map(i => qt(i).as(s"t$i")) ++
@@ -312,7 +316,7 @@ object LlmQueries8 {
           // array here — saves the global df correction a third pass
           // over the postings index
           (0 to 2).map(i =>
-            array_contains(toks, qt(i)).cast("long").as(s"has$i")): _*)
+            array_contains(toks, qt(i)).cast("long").as(s"has$i")): _*))
       // ≤30 distinct probe terms — the broadcast side of the postings
       // semi-join; the explode never shuffles a non-matching token
       val qterms = q10

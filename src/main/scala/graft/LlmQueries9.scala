@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries9 {
   import Tables._
-  import graft.llm.{Dedup, Similarity}
+  import graft.llm.{Dedup, Similarity, TextAnalysis}
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
@@ -46,23 +46,26 @@ object LlmQueries9 {
       """WITH t AS (SELECT
         |    ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 16 AS shard_id,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |    n_chars,
+        |    strlen(text)::BIGINT AS n_bytes,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
         |  FROM documents)
         |SELECT shard_id, count(*) AS n_docs,
         |  sum(n_tokens)::BIGINT AS n_tokens,
-        |  sum(n_chars)::BIGINT AS n_bytes,
+        |  sum(n_bytes)::BIGINT AS n_bytes,
         |  sum(h)::BIGINT AS checksum
         |FROM t GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, d) =>
       val shard = pmod(Dedup.md5Int(col("doc_id").cast("string"), 4), lit(16L))
       documents(s, d)
         .select(shard.as("shard_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          col("n_chars"),
+          // UTF-8 octets (Spark octet_length ≡ DuckDB strlen), not
+          // chars — a reader verifies downloaded shard sizes against
+          // this, and bytes ≠ chars on any non-ASCII doc
+          octet_length(col("text")).cast("long").as("n_bytes"),
           Dedup.md5Int(col("text")).as("h"))
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
-          sum("n_chars").as("n_bytes"), sum("h").as("checksum"))
+          sum("n_bytes").as("n_bytes"), sum("h").as("checksum"))
         .orderBy("shard_id")
     },
 
@@ -197,7 +200,7 @@ object LlmQueries9 {
     // not the plan. Both cosine and quality are rounded to 6 before the
     // blend, so both engines blend identical doubles.
     q("q_rerank",
-      """WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
         |    FROM embeddings WHERE vec_id < 10),
         |cand AS (SELECT query_id, neighbor_id AS doc_id, cosine,
         |    rn AS ann_rank FROM (
@@ -209,14 +212,8 @@ object LlmQueries9 {
         |        qv.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN qv
         |  WHERE e.vec_id <> qv.query_id) t WHERE rn <= 20),
-        |ql AS (SELECT doc_id, round(
-        |     least(1.0, length(text) / 500.0) * 0.5
-        |   + (1.0 - len(list_filter(string_split(text,' '),
-        |         x -> x IN ('the','a'))) * 1.0
-        |       / len(string_split(text,' '))) * 0.3
-        |   + (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
-        |       / length(text)) * 0.2
-        |   , 6) AS quality FROM documents),
+        |ql AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")}
+        |    AS quality FROM documents),
         |r AS (SELECT c.query_id, c.doc_id, c.ann_rank, c.cosine,
         |    round(0.8 * c.cosine + 0.2 * ql.quality, 6) AS score
         |  FROM cand c JOIN ql ON ql.doc_id = c.doc_id)
@@ -231,13 +228,8 @@ object LlmQueries9 {
           k = 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("cosine"), col("rn").as("ann_rank"))
-      val tok = split(col("text"), " ")
-      val stops = filter(tok, x => x === "the" || x === "a")
-      val quality = documents(s, d).select(col("doc_id"), round(
-          least(lit(1.0), length(col("text")) / 500.0) * 0.5 +
-          (lit(1.0) - size(stops) * lit(1.0) / size(tok)) * 0.3 +
-          (length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0) /
-            length(col("text"))) * 0.2, 6).as("quality"))
+      val quality = documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id"))
       quality.join(broadcast(cands), "doc_id")

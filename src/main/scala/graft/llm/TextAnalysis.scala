@@ -12,6 +12,34 @@ object TextAnalysis {
 
   private val tokens = (c: Column) => split(c, " ")
 
+  /** THE quality composite — length saturation (0.5) + content-word
+    * ratio (0.3) + alphabetic density (0.2), rounded to 6. Single
+    * definition shared by q_quality_score and q_rerank so the blend
+    * weights, the stoplist, and the density regex cannot drift apart;
+    * [[qualityScoreSql]] is the same expression rendered for the
+    * DuckDB oracle side.
+    */
+  def qualityScore(text: Column): Column = {
+    val tok = tokens(text)
+    val stops = filter(tok, x => x === "the" || x === "a")
+    round(
+      least(lit(1.0), length(text) / 500.0) * 0.5 +
+      (lit(1.0) - size(stops) * lit(1.0) / size(tok)) * 0.3 +
+      (length(regexp_replace(text, "[^a-z]", "")) * lit(1.0) /
+        length(text)) * 0.2, 6)
+  }
+
+  /** DuckDB rendering of [[qualityScore]] over text expression `c` —
+    * keep term order and shapes identical so both engines emit the
+    * same doubles before the round. */
+  def qualityScoreSql(c: String): String =
+    s"""round(
+       |   least(1.0, length($c) / 500.0) * 0.5
+       | + (1.0 - len(list_filter(string_split($c,' '), x -> x IN ('the','a'))) * 1.0
+       |       / len(string_split($c,' '))) * 0.3
+       | + (length(regexp_replace($c, '[^a-z]', '', 'g')) * 1.0 / length($c)) * 0.2
+       | , 6)""".stripMargin
+
   /** Whitespace token count + a BPE-ish regex token count + stopword
     * signals — the quality-scoring feature row.
     */
