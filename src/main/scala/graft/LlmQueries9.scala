@@ -187,6 +187,49 @@ object LlmQueries9 {
         .orderBy("round")
     },
 
+    // Hard-negative mining for embedding-model training: per query
+    // vector, the top-5 CLOSE-BUT-NOT-DUPLICATE neighbors — cosine
+    // ranking with an exclusion band (cosine ≥ 0.95 is a near-dup, not
+    // a negative; self excluded). These are the pairs contrastive
+    // training actually needs: similar enough to be informative, far
+    // enough to be true negatives. The exclusion must apply BEFORE the
+    // rank window (a near-dup must not consume a slot), which is why
+    // this is its own query and not a filter over q_sim_topk's output.
+    // Plan: the documented brute baseline scores (corpus × 10 broadcast
+    // queries, scan-local), one per-query top-k window — at corpus
+    // scale the candidate generator swaps to the LSH/IVF pass, same
+    // exclusion-then-rank shape over bounded candidates.
+    q("q_hard_negatives",
+      """WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+        |    FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT qv.query_id, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qv.qe::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id)
+        |SELECT query_id, doc_id, cosine, hn_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id) AS hn_rank
+        |  FROM scored WHERE cosine < 0.95) t
+        |WHERE hn_rank <= 5 ORDER BY query_id, hn_rank""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d)
+        .withColumn("csq", Similarity.sumSq(col("embedding")))
+      val q10 = embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qsq", Similarity.sumSq(col("qe")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("doc_id"))
+      emb.crossJoin(broadcast(q10))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(Similarity.dot(col("embedding"), col("qe")) /
+            sqrt(col("csq") * col("qsq")), 6).as("cosine"))
+        .filter(col("cosine") < 0.95)
+        .withColumn("hn_rank", row_number().over(w))
+        .filter(col("hn_rank") <= 5)
+        .select("query_id", "doc_id", "cosine", "hn_rank")
+        .orderBy("query_id", "hn_rank")
+    },
+
     // Rerank stage: the exact-cosine top-20 candidates per query
     // (q_sim_topk's ranking, queries = vec_id < 10) re-scored by a
     // deterministic relevance×quality blend — 0.8·cosine +
