@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries9 {
   import Tables._
-  import graft.llm.{Dedup, Similarity, TextAnalysis}
+  import graft.llm.{Dedup, Similarity, TextAnalysis, Tokenize}
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
     QueryDef(name, fn, Some(oracle))
@@ -146,35 +146,9 @@ object LlmQueries9 {
          |${outRow(0)} UNION ALL ${outRow(1)} UNION ALL ${outRow(2)}
          |ORDER BY round""".stripMargin
     }) { (s, d) =>
-      def toksOf(c: org.apache.spark.sql.Column) = split(trim(c), "  ")
-      def pairCounts(df: DataFrame): DataFrame = {
-        val t = toksOf(col("s"))
-        val prs = zip_with(slice(t, lit(1), size(t) - 1),
-          slice(t, lit(2), size(t) - 1),
-          (x, y) => struct(x.as("pa"), y.as("pb")))
-        df.select(explode(prs).as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      // the argmax rule — 1 row, cut so the two readers (merge
-      // application, output row) don't each redo the pair shuffle
-      def topRule(df: DataFrame): DataFrame =
-        graft.CheckpointStrategy.cut(
-          df.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1))
-      // cut only when the merged corpus has 2 readers (next round's pair
-      // count + the token total); the final round's corpus is read once
-      def applyMerge(df: DataFrame, r: DataFrame, last: Boolean = false): DataFrame = {
-        val merged = df.crossJoin(broadcast(r))
-          .select(col("doc_id"), replace(col("s"),
-            concat(lit(" "), col("pa"), lit("  "), col("pb"), lit(" ")),
-            concat(lit(" "), col("pa"), col("pb"), lit(" "))).as("s"))
-        if (last) merged else graft.CheckpointStrategy.cut(merged)
-      }
-      def nTokens(df: DataFrame): DataFrame =
-        df.agg(sum(size(toksOf(col("s")))).cast("long").as("n_tokens_after"))
-      val d0 = documents(s, d).select(col("doc_id"),
-        concat(lit("  "), replace(col("text"), lit(" "), lit("  ")), lit("  "))
-          .as("s"))
+      import Tokenize._
+      val d0 = documents(s, d)
+        .select(col("doc_id"), encode(col("text")).as("s"))
       val r0 = topRule(pairCounts(d0)); val d1 = applyMerge(d0, r0)
       val r1 = topRule(pairCounts(d1)); val d2 = applyMerge(d1, r1)
       val r2 = topRule(pairCounts(d2)); val d3 = applyMerge(d2, r2, last = true)
