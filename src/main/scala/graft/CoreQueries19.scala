@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Nineteenth core tranche (round 12): storage-level co-location — the
+  * fact-to-fact join technique the brief names alongside broadcast and
+  * salting. A 100-TB warehouse cannot broadcast `orders` into
+  * `lineitem`; it pre-buckets BOTH facts on the join key at ingest so
+  * every subsequent join is bucket-to-bucket with NO shuffle of either
+  * side (Spark reads bucket i of each table into the same task). The
+  * layout cost is paid once per table write; every downstream join,
+  * every day, skips two corpus-sized exchanges.
+  *
+  * The oracle is the plain relational join — bucketing must be
+  * invisible in results. The shuffle-free plan shape is asserted
+  * separately in BucketedJoinSpec (broadcast disabled there so the
+  * sort-merge path is forced; at fixture scale the registry run may
+  * legitimately plan a broadcast instead, which is also shuffle-free).
+  */
+object CoreQueries19 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  /** Write `df` as a bucketed, per-bucket-sorted table at a fresh
+    * scratch path. 8 buckets on the join key — the count both sides
+    * must share for bucket-to-bucket reads.
+    */
+  def writeBucketed(s: SparkSession, df: DataFrame, table: String,
+                    key: String, path: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .bucketBy(8, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Bucketed co-located join through the CORRECTNESS board: orders
+    // and lineitem are both written bucketed by their order key (the
+    // one-time ingest layout), then joined and aggregated. The timed
+    // cost is the honest end-to-end path: two bucketed writes + the
+    // co-located join + the (necessarily shuffled) final rollup. Only
+    // the tiny priority rollup exchanges rows; the fact-to-fact join
+    // itself moves nothing across the cluster.
+    q("q_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val root = graft.lake.Scratch.dir("graft-bucketed")
+      writeBucketed(s, orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", "o_orderkey", root + "/orders")
+      writeBucketed(s, lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_bkt_lineitem", "l_orderkey", root + "/lineitem")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

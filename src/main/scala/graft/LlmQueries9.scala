@@ -217,46 +217,120 @@ object LlmQueries9 {
     // not the plan. Both cosine and quality are rounded to 6 before the
     // blend, so both engines blend identical doubles.
     q("q_rerank",
-      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
-        |    FROM embeddings WHERE vec_id < 10),
-        |cand AS (SELECT query_id, neighbor_id AS doc_id, cosine,
-        |    rn AS ann_rank FROM (
-        |  SELECT qv.query_id, e.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      qv.qe::DOUBLE[]), 6) AS cosine,
-        |    row_number() OVER (PARTITION BY qv.query_id ORDER BY
-        |      round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |        qv.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
-        |  FROM embeddings e CROSS JOIN qv
-        |  WHERE e.vec_id <> qv.query_id) t WHERE rn <= 20),
-        |ql AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")}
-        |    AS quality FROM documents),
-        |r AS (SELECT c.query_id, c.doc_id, c.ann_rank, c.cosine,
-        |    round(0.8 * c.cosine + 0.2 * ql.quality, 6) AS score
-        |  FROM cand c JOIN ql ON ql.doc_id = c.doc_id)
+      s"""WITH $rerankCtes
         |SELECT query_id, doc_id, ann_rank, cosine, score, rerank_rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS rerank_rank FROM r) t
-        |WHERE rerank_rank <= 10 ORDER BY query_id, rerank_rank""".stripMargin) { (s, d) =>
-      val emb = embeddings(s, d)
-      val cands = Similarity.bruteForceTopK(emb,
-          emb.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-          k = 20)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("cosine"), col("rn").as("ann_rank"))
-      val quality = documents(s, d).select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("doc_id"))
-      quality.join(broadcast(cands), "doc_id")
-        .select(col("query_id"), col("doc_id"), col("ann_rank"), col("cosine"),
-          round(lit(0.8) * col("cosine") + lit(0.2) * col("quality"), 6)
-            .as("score"))
-        .withColumn("rerank_rank", row_number().over(w))
-        .filter(col("rerank_rank") <= 10)
-        .select("query_id", "doc_id", "ann_rank", "cosine", "score", "rerank_rank")
-        .orderBy("query_id", "rerank_rank")
+        |FROM top10 ORDER BY query_id, rerank_rank""".stripMargin) { (s, d) =>
+      rerankedTop10(s, d).orderBy("query_id", "rerank_rank")
+    },
+
+    // Ranking-quality eval of the rerank stage: nDCG@10 and MRR of the
+    // reranked list against relevance graded by the BASE cosine rank
+    // (rel 3 for ann_rank ≤ 2, 2 for ≤ 5, 1 for ≤ 10, 0 beyond) — the
+    // standard rerank ablation: how much does the quality blend perturb
+    // pure-relevance order, per query? (Absolute cosine thresholds
+    // would be degenerate here — fixture max cosines are ~0.35–0.49 —
+    // so grades come from ranks, which also makes the eval scale-free.)
+    // Gains 2^rel−1 ∈ {0,1,3,7} are exact integers; log2 discounts are
+    // ln(r+1)/ln(2) with identical shapes on both engines; DCG and
+    // IDCG are 10-element sums rounded after the divide. IDCG's ideal
+    // order ties break by rerank_rank — the denominator is
+    // tie-invariant, the assignment deterministic. MRR counts the
+    // first rel ≥ 2 item; a list with none scores 0. Plan: the rerank
+    // pipeline (bounded) + two windows and one agg over ≤10 rows per
+    // query — eval cost is O(queries), never corpus-scale.
+    q("q_rank_eval",
+      s"""WITH $rerankCtes,
+        |ev AS (SELECT query_id, rerank_rank,
+        |    CASE WHEN ann_rank <= 2 THEN 3 WHEN ann_rank <= 5 THEN 2
+        |         WHEN ann_rank <= 10 THEN 1 ELSE 0 END AS rel
+        |  FROM top10),
+        |g AS (SELECT query_id, rerank_rank, rel,
+        |    (CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1
+        |      ELSE 0 END)::DOUBLE AS gain,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1
+        |        ELSE 0 END DESC, rerank_rank) AS ideal_rank
+        |  FROM ev)
+        |SELECT query_id,
+        |  round(sum(gain / (ln(rerank_rank + 1) / ln(2)))
+        |    / nullif(sum(gain / (ln(ideal_rank + 1) / ln(2))), 0), 6)
+        |    AS ndcg10,
+        |  round(coalesce(1.0 / min(CASE WHEN rel >= 2
+        |    THEN rerank_rank END), 0), 6) AS mrr
+        |FROM g GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      val rel = when(col("ann_rank") <= 2, 3)
+        .when(col("ann_rank") <= 5, 2)
+        .when(col("ann_rank") <= 10, 1).otherwise(0)
+      val gain = when(col("rel") === 3, 7.0).when(col("rel") === 2, 3.0)
+        .when(col("rel") === 1, 1.0).otherwise(0.0)
+      val wIdeal = Window.partitionBy("query_id")
+        .orderBy(col("gain").desc, col("rerank_rank"))
+      def disc(rank: org.apache.spark.sql.Column) =
+        log(rank + 1) / log(lit(2.0))
+      rerankedTop10(s, d)
+        .withColumn("rel", rel).withColumn("gain", gain)
+        .withColumn("ideal_rank", row_number().over(wIdeal))
+        .groupBy("query_id")
+        .agg(sum(col("gain") / disc(col("rerank_rank"))).as("dcg"),
+          sum(col("gain") / disc(col("ideal_rank"))).as("idcg"),
+          min(when(col("rel") >= 2, col("rerank_rank"))).as("first_hit"))
+        .select(col("query_id"),
+          round(col("dcg") / when(col("idcg") =!= 0, col("idcg")), 6)
+            .as("ndcg10"),
+          round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"))
+        .orderBy("query_id")
     }
   )
+
+  /** Shared rerank pipeline CTEs (qv → cand → ql → r → top10) — ONE
+    * definition used by both q_rerank's and q_rank_eval's oracles, so
+    * the candidate generation, blend, and tie-breaks cannot drift
+    * between the stage and its eval.
+    */
+  private lazy val rerankCtes: String =
+    s"""qv AS (SELECT vec_id AS query_id, embedding AS qe
+       |    FROM embeddings WHERE vec_id < 10),
+       |cand AS (SELECT query_id, neighbor_id AS doc_id, cosine,
+       |    rn AS ann_rank FROM (
+       |  SELECT qv.query_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      qv.qe::DOUBLE[]), 6) AS cosine,
+       |    row_number() OVER (PARTITION BY qv.query_id ORDER BY
+       |      round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |        qv.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN qv
+       |  WHERE e.vec_id <> qv.query_id) t WHERE rn <= 20),
+       |ql AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")}
+       |    AS quality FROM documents),
+       |r AS (SELECT c.query_id, c.doc_id, c.ann_rank, c.cosine,
+       |    round(0.8 * c.cosine + 0.2 * ql.quality, 6) AS score
+       |  FROM cand c JOIN ql ON ql.doc_id = c.doc_id),
+       |top10 AS (SELECT query_id, doc_id, ann_rank, cosine, score,
+       |    rerank_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rerank_rank FROM r) t
+       |  WHERE rerank_rank <= 10)""".stripMargin
+
+  /** The Spark side of the shared pipeline: top-10 reranked rows per
+    * query (unordered — callers add their own final sort). */
+  private def rerankedTop10(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cands = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine"), col("rn").as("ann_rank"))
+    val quality = documents(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    quality.join(broadcast(cands), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("ann_rank"), col("cosine"),
+        round(lit(0.8) * col("cosine") + lit(0.2) * col("quality"), 6)
+          .as("score"))
+      .withColumn("rerank_rank", row_number().over(w))
+      .filter(col("rerank_rank") <= 10)
+      .select("query_id", "doc_id", "ann_rank", "cosine", "score", "rerank_rank")
+  }
 }

@@ -163,6 +163,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_rerank",                // the q_sim_topk brute candidate pass (corpus × 10 queries); the feature join itself is equi on doc_id
     "q_bpe_train",             // 3 unrolled 1-row merge-rule broadcasts + 3 1-row token-total broadcasts (the per-round BPE argmax)
     "q_hard_negatives",        // the q_sim_topk brute scoring pass (corpus × 10 broadcast queries) with the near-dup exclusion band
+    "q_rank_eval",             // composes q_rerank's allowlisted brute candidate pass; the eval itself is O(queries)
   )
 
   test("no registered query plans an accidental nested-loop join outside the allowlist") {
