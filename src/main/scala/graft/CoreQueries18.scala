@@ -51,16 +51,25 @@ object CoreQueries18 {
       val appId = "graft-bronze"
       val ev = events(s, d).select("event_id", "user_id", "value")
       def slice(i: Int): DataFrame = ev.filter(col("event_id") % 3 === i)
+      // Each slice lands as ONE file: the running stream triggers on its
+      // own whenever the directory listing changes, so a multi-file
+      // append can become visible mid-write and split one slice into
+      // two micro-batches (observed once at sf1: 4 commits for 3
+      // slices). A single file appears atomically (task-commit rename),
+      // so a trigger sees the whole slice or nothing — exactly one
+      // batch per slice by construction.
+      def drop(i: Int): Unit =
+        slice(i).coalesce(1).write.mode("append").parquet(src)
       // slice 0 is on disk before the stream starts → batch 0; each
       // subsequent drop + processAllAvailable is exactly one micro-batch
-      slice(0).write.mode("append").parquet(src)
+      drop(0)
       val query = graft.streaming.EventStreams.writeToVersionedExactlyOnce(
         s.readStream.schema(ev.schema).parquet(src), target, appId, ckpt)
       try {
         query.processAllAvailable()
-        slice(1).write.mode("append").parquet(src)
+        drop(1)
         query.processAllAvailable()
-        slice(2).write.mode("append").parquet(src)
+        drop(2)
         query.processAllAvailable()
       } finally query.stop()
       val vt = graft.lake.VersionedTable(s, target)
