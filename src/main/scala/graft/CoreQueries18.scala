@@ -58,8 +58,17 @@ object CoreQueries18 {
       // slices). A single file appears atomically (task-commit rename),
       // so a trigger sees the whole slice or nothing — exactly one
       // batch per slice by construction.
-      def drop(i: Int): Unit =
-        slice(i).coalesce(1).write.mode("append").parquet(src)
+      def drop(i: Int): Unit = {
+        val out = slice(i).coalesce(1).cache()
+        // an empty slice would still commit a ledger row (n_rows=0) that
+        // the oracle's GROUP BY never emits — fail HERE with a clear
+        // message instead of surfacing as a confusing hash mismatch on
+        // some sparse future fixture
+        if (out.isEmpty)
+          sys.error(s"q_stream_lake_sink: fixture slice $i (event_id % 3) is empty")
+        out.write.mode("append").parquet(src)
+        out.unpersist()
+      }
       // slice 0 is on disk before the stream starts → batch 0; each
       // subsequent drop + processAllAvailable is exactly one micro-batch
       drop(0)

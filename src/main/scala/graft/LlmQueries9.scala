@@ -97,24 +97,28 @@ object LlmQueries9 {
         .orderBy("class_size")
     },
 
-    // Distributed BPE tokenizer training, 3 unrolled merge rounds —
-    // the tokenizer-training stage itself (q_bpe_pairs only counts one
-    // round's pairs). Each round is (a) an adjacent-pair count over the
-    // current tokenization — explode + one keyed shuffle, the map-side
-    // combinable shape; (b) the argmax merge rule (count DESC, pair ASC
-    // — a 1-row TakeOrdered, broadcast into (c)); (c) greedy
-    // left-to-right merge application as a scan-local string pass. The
-    // representation is the double-space-joined form ('  '-separated,
-    // '  ' sentinels): plain non-regex `replace` of ' a  b ' with
-    // ' ab ' then consumes one boundary space from each side, so
-    // adjacent merge sites keep their separators and non-overlapping
-    // left-to-right replacement IS greedy BPE ("a a a" under (a,a) →
-    // ["aa","a"]) — identical semantics in both engines with no regex
-    // escaping of data-dependent tokens. Rounds chain through cut()
-    // so round N's corpus is materialized once, not re-folded by every
-    // downstream reader. Cost: rounds × (scan + pair shuffle) — the
-    // real distributed-BPE cost model; vocabulary-scale training runs
-    // the same loop with more rounds.
+    // Distributed BPE tokenizer training, 3 merge rounds through the
+    // Tokenize.trainMerges LOOP (round 13: the unrolled form became the
+    // general train API; this query pins the loop against the unchanged
+    // unrolled oracle). Each round is ONE corpus job: an adjacent-pair
+    // count (explode + keyed map-side-combinable shuffle) whose single
+    // aggregation row carries the argmax rule (count DESC, pair ASC via
+    // min_by over (-cnt, pa, pb)) AND the total adjacency count — the
+    // current token total is then exact arithmetic (Σ pairs + n_docs),
+    // so the separate per-round nTokens corpus scan of the r12 unrolled
+    // version is gone. The merge applies as a scan-local literal string
+    // pass over the double-space-joined form ('  '-separated, '  '
+    // sentinels): plain non-regex replace of ' a  b ' with ' ab '
+    // consumes one boundary space per side, so adjacent merge sites
+    // keep their separators and left-to-right non-overlapping
+    // replacement IS greedy BPE ("a a a" under (a,a) → ["aa","a"]) —
+    // identical semantics in both engines with no regex escaping of
+    // data-dependent tokens. The per-round rule is a 1-row driver value
+    // (distributed Lloyd's argmax shape, O(1)/round driver traffic);
+    // lineage cuts every checkpointEvery rounds. Cost: rounds × (scan +
+    // pair shuffle) — vocabulary-scale training runs the SAME loop with
+    // more rounds (see TokenizeSpec's convergence round-trip and
+    // SCALE.md's 12-round sf1 measurement).
     q("q_bpe_train", {
       def pairs(src: String, dst: String) =
         s"""$dst AS (SELECT u.pa AS pa, u.pb AS pb, count(*) AS cnt FROM (
@@ -146,18 +150,14 @@ object LlmQueries9 {
          |${outRow(0)} UNION ALL ${outRow(1)} UNION ALL ${outRow(2)}
          |ORDER BY round""".stripMargin
     }) { (s, d) =>
-      import Tokenize._
+      import s.implicits._
       val d0 = documents(s, d)
-        .select(col("doc_id"), encode(col("text")).as("s"))
-      val r0 = topRule(pairCounts(d0)); val d1 = applyMerge(d0, r0)
-      val r1 = topRule(pairCounts(d1)); val d2 = applyMerge(d1, r1)
-      val r2 = topRule(pairCounts(d2)); val d3 = applyMerge(d2, r2, last = true)
-      def outRow(i: Int, r: DataFrame, dNext: DataFrame): DataFrame =
-        r.crossJoin(broadcast(nTokens(dNext)))
-          .select(lit(i).as("round"), col("pa").as("tok_a"),
-            col("pb").as("tok_b"), col("cnt").as("pair_count"),
-            col("n_tokens_after"))
-      outRow(0, r0, d1).unionAll(outRow(1, r1, d2)).unionAll(outRow(2, r2, d3))
+        .select(col("doc_id"), Tokenize.encode(col("text")).as("s"))
+      // minCount=1 mirrors the oracle's unconditional 3 unrolled rounds
+      val trained = Tokenize.trainMerges(d0, maxMerges = 3, minCount = 1L)
+      trained.merges
+        .map(m => (m.round, m.pa, m.pb, m.cnt, m.nTokensAfter))
+        .toDF("round", "tok_a", "tok_b", "pair_count", "n_tokens_after")
         .orderBy("round")
     },
 

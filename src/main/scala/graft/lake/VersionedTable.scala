@@ -31,8 +31,12 @@ import org.apache.spark.sql.types.StructType
   *    silently clobbers (same guarantee level as Delta on a
   *    non-transactional object store). Blind appends auto-retry on
   *    conflict by rebasing their already-staged files onto the new head
-  *    (metadata-only; see [[commitAppend]]); rewrites abort loudly
-  *    because their read-set may be stale. Checkpoints are derived and
+  *    (metadata-only; see [[commitAppend]]); rewrites validate their
+  *    FILE-LEVEL READ-SET against the racing commits and rebase when
+  *    every racer touched disjoint files — only genuine overlap (or a
+  *    table replacement / schema change) aborts, loudly naming both
+  *    commits (see [[rebaseTarget]] — Delta's serializable conflict
+  *    rules). Checkpoints are derived and
   *    idempotent — a failed checkpoint write degrades resolution cost,
   *    never correctness;
   *  - appends are schema-checked against the current snapshot
@@ -41,8 +45,11 @@ import org.apache.spark.sql.types.StructType
   *  - `optimize` rewrites the data compacted WITHOUT changing content
   *    (a new version; time travel to pre-optimize versions still works);
   *  - `vacuum` deletes data files unreferenced by the retained versions
-  *    (older snapshots stop being readable — Delta semantics). It never
-  *    touches `_graft_log`, so checkpoint + tail resolution of retained
+  *    (older snapshots stop being readable — Delta semantics) and
+  *    records the retention horizon; time travel / restore / change
+  *    feeds below it fail loudly with the boundary in the message
+  *    instead of a raw missing-file scan error. It never touches
+  *    `_graft_log`, so checkpoint + tail resolution of retained
   *    versions survives any vacuum.
   *
   * Scale notes: snapshot reads hand Spark an explicit file list, so
@@ -236,6 +243,46 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       s"(resolution falls back to more tail records): ${e.getMessage}")
   }
 
+  // ---- vacuum horizon (time-travel interlock) --------------------------
+
+  /** Earliest version whose data files vacuum still guarantees —
+    * everything below it is contractually dead even if some of its files
+    * happen to survive (e.g. because a later RESTORE re-references
+    * them). Written by [[vacuum]] (monotonic, tmp+rename); reads below
+    * it fail LOUDLY with the boundary in the message instead of a raw
+    * missing-file error from deep inside a scan — the Delta-style
+    * "time travel below the retention horizon" contract. A missing or
+    * torn horizon file reads as "no vacuum ever ran" (the pre-interlock
+    * behavior: stranded reads fail at scan time). */
+  private val vacuumHorizonPath = new Path(logDir, "_vacuum_horizon")
+
+  private def vacuumHorizon(): Int = try {
+    if (!fs.exists(vacuumHorizonPath)) -1
+    else numField(readBody(vacuumHorizonPath), vacuumHorizonPath, "horizon").toInt
+  } catch { case _: Throwable => -1 }
+
+  private def writeVacuumHorizon(h: Int): Unit = try {
+    if (vacuumHorizon() >= h) return // monotonic
+    val tmp = new Path(logDir, s".tmp-vachorizon-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      s"""{"horizon":$h,"ts":${System.currentTimeMillis()}}""".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(vacuumHorizonPath, false)
+    if (!fs.rename(tmp, vacuumHorizonPath)) fs.delete(tmp, false)
+  } catch { case e: Throwable =>
+    System.err.println(s"[lake] _vacuum_horizon write failed (stranded " +
+      s"time travel will fail at scan time instead of loudly): ${e.getMessage}")
+  }
+
+  private def checkVacuumHorizon(v: Int, what: String): Unit = {
+    val h = vacuumHorizon()
+    if (v < h) sys.error(
+      s"$what version $v is below the vacuum horizon v$h — its data files " +
+        s"were vacuumed; earliest readable version is v$h " +
+        s"(vacuum retention decides the horizon)")
+  }
+
   // ---- snapshot resolution ---------------------------------------------
 
   /** Last resolved (version, files) — commits and ascending history walks
@@ -304,7 +351,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def pointerServes(v: Int): Boolean =
     lastCheckpointVersion().exists(p => p <= v && v - p <= checkpointInterval)
 
-  private def readCommit(v: Int): Commit = {
+  private[lake] def readCommit(v: Int): Commit = {
     val d = readDelta(v)
     Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts,
       d.txnApp, d.txnVer)
@@ -483,6 +530,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                 version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion())
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    version.foreach(checkVacuumHorizon(_, "time travel to"))
     val keep = candidateFiles(predicate, Some(v))
     if (keep.isEmpty) {
       val schema = StructType.fromDDL(readCommit(v).schemaDdl)
@@ -534,10 +582,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * `maxRetries` times. This is Delta's commit-retry shape: stage once,
     * rebase the O(1) log record, never re-write data — at 100 TB the
     * data write is the cost and the retry is metadata-only. Rewrite
-    * commits (delete/update/merge/optimize) deliberately do NOT retry:
-    * their read-set (the files they chose to rewrite) may be invalidated
-    * by the racing commit, so they keep aborting loudly for the caller
-    * to re-run on fresh state. Schema is re-checked per attempt, so an
+    * commits (delete/update/merge/optimize) retry through the same
+    * stage-once shape, but only after [[commitRewrite]] validates their
+    * file-level read-set against every racing commit; genuine overlap
+    * aborts loudly. Schema is re-checked per attempt, so an
     * append racing a schema evolution aborts with the schema error, not
     * a silent mixed commit.
     */
@@ -637,10 +685,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   }
 
   /** Exact row count of staged files from their parquet footers —
-    * O(files) metadata reads, zero data scanned. */
+    * O(files) metadata reads, zero data scanned. Footers open in
+    * parallel: on an object store each open is a remote round-trip, and
+    * a many-file append paying them serially on the driver would undo
+    * the win over the old distributed `df.count()` this replaced. */
   private def stagedRowCount(files: Seq[String]): Long = {
+    import scala.collection.parallel.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
+    files.par.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$tablePath/$f"), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -654,6 +706,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def read(version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion())
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    version.foreach(checkVacuumHorizon(_, "time travel to"))
     val c = readCommit(v)
     if (c.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -705,6 +758,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     */
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    // Reading version v's changes touches its removed files, which live
+    // in snapshot v-1 — so the whole range needs fromVersion at or above
+    // the vacuum horizon (h <= 0 means no stranding vacuum ever ran).
+    val h = vacuumHorizon()
+    if (h > 0 && fromVersion < h) sys.error(
+      s"change feed from version $fromVersion is below the vacuum horizon " +
+        s"v$h — replaced files of vacuumed versions are gone; earliest " +
+        s"readable change range starts at v$h")
     def tagged(names: Seq[String], v: Int, change: String): DataFrame =
       readFiles(names)
         .withColumn("_commit_version", lit(v))
@@ -767,14 +828,77 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     spark.read.option("mergeSchema", "true")
       .parquet(names.map(f => s"$tablePath/$f"): _*)
 
-  private def commitRewrite(action: String, c: Commit, affected: Seq[String],
-                            rewritten: DataFrame, newRows: Long): Int = {
-    val v = nextVersion
-    val files = stage(rewritten, v)
-    val untouched = c.files.filterNot(affected.toSet)
-    writeCommit(Commit(v, action, untouched ++ files, c.schemaDdl, newRows,
-      System.currentTimeMillis()))
-    v
+  /** Serializable-style conflict check for a rewrite based on snapshot
+    * `base` whose file-level read-set is `readSet` (the files it chose
+    * to rewrite): walk every commit that landed after `base`, and
+    *  - a racing commit whose removed files intersect the read-set
+    *    invalidated the rewrite's inputs → abort loudly, naming BOTH
+    *    commits (Delta's ConcurrentDeleteReadException shape);
+    *  - a full table replacement (overwrite / legacy full record) or a
+    *    schema change aborts likewise (Delta's metadata-conflict rule);
+    *  - anything else — blind appends, rewrites of DISJOINT files —
+    *    is logically compatible: this rewrite serializes BEFORE the
+    *    racing commit, so it rebases onto the new head (racing files
+    *    carry through untouched). Returns the head commit to rebase on.
+    */
+  private def rebaseTarget(action: String, base: Commit,
+                           readSet: Set[String]): Commit = {
+    val head = latestVersion()
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    ((base.version + 1) to head).foreach { v =>
+      val d = readDelta(v)
+      if (d.full || d.action == "overwrite") sys.error(
+        s"rewrite conflict: this $action (based on v${base.version}) lost " +
+          s"to racing commit v$v (${d.action}), which replaced the whole " +
+          s"table — re-run against the fresh snapshot")
+      val overlap = d.remove.toSet.intersect(readSet)
+      if (overlap.nonEmpty) sys.error(
+        s"rewrite conflict: this $action (based on v${base.version}) read " +
+          s"file(s) [${overlap.toSeq.sorted.take(3).mkString(", ")}] that " +
+          s"racing commit v$v (${d.action}) rewrote — re-run against the " +
+          s"fresh snapshot")
+    }
+    val headC = readCommit(head)
+    if (headC.schemaDdl != base.schemaDdl) sys.error(
+      s"rewrite conflict: this $action (based on v${base.version}) raced a " +
+        s"schema change (now at v$head) — re-run against the fresh snapshot")
+    headC
+  }
+
+  /** Commit a copy-on-write rewrite with file-level read-set validation
+    * (the round-13 upgrade from abort-on-any-conflict): data files stage
+    * ONCE; on a version conflict the already-staged files rebase onto
+    * the new head exactly like [[commitAppend]]'s metadata-only retry —
+    * but only after [[rebaseTarget]] proves every racing commit touched
+    * a DISJOINT file set. A delete racing a blind append (the common
+    * production race: Bronze ingest vs retention job) now lands both;
+    * genuine overlap still aborts loudly. Row accounting rebases
+    * additively: racing commits changed disjoint rows, so the head's
+    * count plus this rewrite's delta is exact.
+    */
+  private[lake] def commitRewrite(action: String, c: Commit, affected: Seq[String],
+                            rewritten: DataFrame, newRows: Long,
+                            maxRetries: Int = 10): Int = {
+    val files = stage(rewritten, nextVersion)
+    val readSet = affected.toSet
+    val rowDelta = newRows - c.rows
+    var attempt = 0
+    while (true) {
+      val headC = rebaseTarget(action, c, readSet) // throws on real overlap
+      val untouched = headC.files.filterNot(readSet)
+      try {
+        writeCommit(Commit(headC.version + 1, action, untouched ++ files,
+          c.schemaDdl, headC.rows + rowDelta, System.currentTimeMillis()))
+        return headC.version + 1
+      } catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit conflict") &&
+              attempt < maxRetries =>
+          attempt += 1 // next loop re-validates against the newer head
+      }
+    }
+    -1 // unreachable
   }
 
   /** DELETE WHERE: drops rows matching `condition` (null ⇒ kept, SQL
@@ -872,21 +996,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * unchanged — a pure layout version; older versions still readable).
     */
   def optimize(targetRowsPerFile: Long): Int = {
-    val df = read()
-    val rows = df.count()
-    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    val v = nextVersion
-    val files = stage(df.repartition(nFiles), v)
-    writeCommit(Commit(v, "optimize", files,
-      readCommit(latestVersion().get).schemaDdl, rows, System.currentTimeMillis()))
-    v
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    // row count from the maintained commit metadata (footer-exact by
+    // protocol) — no full count scan before the rewrite
+    val nFiles = math.max(1, math.ceil(c.rows.toDouble / targetRowsPerFile).toInt)
+    val compacted =
+      if (c.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(c.schemaDdl))
+      else readFiles(c.files).repartition(nFiles)
+    // read-set = the whole snapshot (optimize rewrites everything), so a
+    // racing append rebases cleanly while a racing rewrite aborts
+    commitRewrite("optimize", c, c.files, compacted, c.rows)
   }
 
-  /** Delete data files referenced ONLY by versions older than the last
-    * `retainVersions` (plus staging orphans). Time travel past the
-    * horizon stops working — Delta vacuum semantics. Returns the number
-    * of files deleted.
-    */
   /** Restore the table to an earlier version's contents as a NEW commit
     * (Delta RESTORE semantics): metadata-only — the commit re-references
     * the old version's files, so no data is copied or rewritten and the
@@ -897,6 +1021,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def restore(version: Int): Int = {
     require(versions().contains(version),
       s"restore: version $version does not exist at $tablePath")
+    checkVacuumHorizon(version, "restore of")
     val c = readCommit(version)
     val missing = c.files.filterNot(f => fs.exists(new Path(s"$tablePath/$f")))
     if (missing.nonEmpty) sys.error(
@@ -908,17 +1033,40 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     v
   }
 
-  def vacuum(retainVersions: Int = 2): Int = {
+  /** Delete data files referenced ONLY by versions older than the last
+    * `retainVersions` (plus staging leftovers). Versions below the
+    * resulting horizon stop being readable — and now fail LOUDLY with
+    * the boundary in the message ([[checkVacuumHorizon]]) instead of a
+    * raw missing-file scan error. Returns the number of files deleted.
+    *
+    * `minAgeMs` is Delta's retention-window defense for files that are
+    * staged (or committed-by-rename) but not yet visible to this
+    * vacuum's log read: a racing append's staged files and a retrying
+    * rebase's already-staged files are younger than any sane window, so
+    * they survive. The default 0 keeps vacuum exact for the
+    * single-writer offline case; run a CONCURRENT vacuum only with
+    * `minAgeMs` comfortably above the longest plausible
+    * stage-to-commit window (Delta defaults to 7 days).
+    */
+  def vacuum(retainVersions: Int = 2, minAgeMs: Long = 0L): Int = {
     val vs = versions()
     val keep = vs.takeRight(retainVersions)
     val referenced = keep.flatMap(readCommit(_).files).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val deletable = fs.listStatus(new Path(tablePath))
+      .filter(_.getModificationTime <= cutoff)
       .map(_.getPath).filter { p =>
         val n = p.getName
         (n.endsWith(".parquet") && !referenced.contains(n)) ||
           n.startsWith("_stage-")
       }
     deletable.foreach(p => fs.delete(p, true))
+    // Record the horizon whenever older versions fall out of retention:
+    // below it, reads are contractually dead (even if a file happens to
+    // survive via a later restore's re-reference) — the loud-failure
+    // contract beats "works until a scan 404s".
+    keep.headOption.filter(_ => keep.size < vs.size)
+      .foreach(writeVacuumHorizon)
     deletable.length
   }
 

@@ -407,6 +407,144 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable(spark, path).history().last._3 == 3L)
   }
 
+  test("rewrite read-set validation: a delete racing a DISJOINT append rebases — both land") {
+    val t = freshTable()
+    // coalesce(1): exactly ONE data file so the read-set below is total
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // v0: file A
+    val base = t.readCommit(0)
+    val fileA = base.files.head
+    assert(base.files.size == 1)
+    // the delete's read-set (file A) is computed against v0, then a
+    // racing append lands v1 BEFORE the delete commits
+    t.commitAppend(Seq((10L, "x")).toDF("id", "v"))              // v1: file B
+    val kept = t.read(Some(0)).where(col("id") =!= 1L)
+    val v = t.commitRewrite("delete", base, Seq(fileA), kept, base.rows - 1)
+    // the rewrite rebased onto the appended head: nothing lost, no abort
+    assert(v == 2)
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (10L, "x")))
+    // row accounting rebased additively (2 - 1 deleted + 1 appended)
+    assert(t.history().last._3 == 2L)
+    assert(t.history().map(_._2) == Seq("overwrite", "append", "delete"))
+  }
+
+  test("rewrite read-set validation: racing OVERLAPPING rewrite aborts naming both commits") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // v0: file A
+    val base = t.readCommit(0)
+    val fileA = base.files.head
+    assert(base.files.size == 1)
+    // a racing update rewrites file A (v1) after our delete read it
+    assert(t.update(col("id") === 2L, Map("v" -> lit("B"))).contains(1))
+    val kept = t.read(Some(0)).where(col("id") =!= 1L)
+    val err = intercept[RuntimeException] {
+      t.commitRewrite("delete", base, Seq(fileA), kept, base.rows - 1)
+    }
+    // the abort names BOTH sides: our action+base and the racing commit
+    assert(err.getMessage.contains("delete") &&
+      err.getMessage.contains("v0") && err.getMessage.contains("v1") &&
+      err.getMessage.contains("update"), err.getMessage)
+    // a racing OVERWRITE (table replacement) likewise aborts
+    val t2 = freshTable()
+    t2.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    val base2 = t2.readCommit(0)
+    t2.commitOverwrite(Seq((9L, "z")).toDF("id", "v"))
+    val err2 = intercept[RuntimeException] {
+      t2.commitRewrite("delete", base2, base2.files,
+        t2.read(Some(0)).limit(0), 0L)
+    }
+    assert(err2.getMessage.contains("replaced the whole table"), err2.getMessage)
+  }
+
+  test("delete and append race end-to-end through the public API: both always land") {
+    val path = Files.createTempDirectory("graft-vt").toString + "/t"
+    VersionedTable(spark, path)
+      .commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Option[Int]]]()
+    def run(name: String)(body: VersionedTable => Option[Int]): Thread = {
+      val th = new Thread(() => {
+        val h = VersionedTable(spark, path)
+        latch.await()
+        results.put(name,
+          try Right(body(h)) catch { case e: Throwable => Left(e) })
+      })
+      th.start(); th
+    }
+    // the append's files are always disjoint from the delete's read-set,
+    // so EVERY interleaving must commit both (the delete either sees the
+    // append and serializes after it, or rebases across it)
+    val a = run("del")(h => h.delete(col("id") === 1L))
+    val b = run("app")(h => Some(h.commitAppend(Seq((10L, "x")).toDF("id", "v"))))
+    latch.countDown(); a.join(120000); b.join(120000)
+    val outcomes = Seq("del", "app").map(results.get)
+    assert(outcomes.forall(_.isRight), s"outcomes: $outcomes")
+    val t = VersionedTable(spark, path)
+    assert(t.versions() == Seq(0, 1, 2))
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (10L, "x")))
+    assert(t.history().last._3 == 2L)
+  }
+
+  test("optimize rebases across a racing append (compaction never drops fresh rows)") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))
+    val base = t.readCommit(1)
+    // racing append lands between optimize's snapshot read and commit
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v")) // v2: disjoint file
+    val v = t.commitRewrite("optimize", base, base.files,
+      t.read(Some(1)).repartition(1), base.rows)
+    assert(v == 3)
+    // compacted old files + the racing append's file, no row lost
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(t.history().last._3 == 3L)
+  }
+
+  test("vacuum horizon: reads/restore/change-feed below the boundary fail loudly, naming it") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))  // v0
+    t.commitOverwrite(Seq((2L, "b")).toDF("id", "v"))  // v1
+    t.commitOverwrite(Seq((3L, "c")).toDF("id", "v"))  // v2
+    t.vacuum(retainVersions = 2)                       // horizon = v1
+    // time travel below the horizon: loud, names the boundary version
+    val e1 = intercept[RuntimeException](t.read(Some(0)))
+    assert(e1.getMessage.contains("vacuum horizon v1") &&
+      e1.getMessage.contains("version 0"), e1.getMessage)
+    // the horizon version itself and later remain readable
+    assert(t.read(Some(1)).select("v").as[String].head() == "b")
+    // restore below the horizon: same loud contract
+    val e2 = intercept[RuntimeException](t.restore(0))
+    assert(e2.getMessage.contains("vacuum horizon v1"), e2.getMessage)
+    // change feed reaching below the horizon: loud too
+    val e3 = intercept[RuntimeException](t.changesBetween(0, 2))
+    assert(e3.getMessage.contains("vacuum horizon v1"), e3.getMessage)
+    assert(t.changesBetween(1, 2).count() >= 1)
+    // readWhere is guarded like read
+    val e4 = intercept[RuntimeException](t.readWhere(col("id") === 1L, Some(0)))
+    assert(e4.getMessage.contains("vacuum horizon"), e4.getMessage)
+    // the horizon survives a fresh handle (it's a log-dir artifact)
+    val reopened = VersionedTable(spark, t.tablePath)
+    val e5 = intercept[RuntimeException](reopened.read(Some(0)))
+    assert(e5.getMessage.contains("vacuum horizon v1"), e5.getMessage)
+    // vacuum with nothing falling out of retention writes NO horizon
+    val t2 = freshTable()
+    t2.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t2.vacuum(retainVersions = 5)
+    assert(t2.read(Some(0)).count() == 1)
+  }
+
+  test("vacuum minAgeMs: young unreferenced files survive (retry/stage race defense)") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitOverwrite(Seq((2L, "b")).toDF("id", "v")) // v0's file now unreferenced
+    // everything here is seconds old — a 1h window deletes nothing
+    assert(t.vacuum(retainVersions = 1, minAgeMs = 3600L * 1000) == 0)
+    // age 0 collects it
+    assert(t.vacuum(retainVersions = 1) >= 1)
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))

@@ -71,4 +71,65 @@ class TokenizeSpec extends AnyFunSuite {
     assert(Tokenize.nTokens(merged).as[Long].head() == 2L)
     assert(tokensAfter(merged) == Seq(Seq("aa", "aa")))
   }
+
+  // ---- the train() loop API (round 13) --------------------------------
+
+  private val fixtureTexts = Seq(
+    "the cat sat on the mat",
+    "the cat ran to the mat",
+    "a cat and the cat sat",
+    "the mat the cat the hat",
+    "on the mat sat a cat")
+
+  test("trainMerges: each round's rule equals the per-round primitives' argmax") {
+    // replay the loop with topRule/applyMerge by hand and compare
+    val c0 = corpus(fixtureTexts: _*)
+    val loop = Tokenize.trainMerges(c0, maxMerges = 3, minCount = 1L)
+    var cur = c0
+    val expected = (0 until 3).map { _ =>
+      val r = Tokenize.topRule(Tokenize.pairCounts(cur))
+        .as[(String, String, Long)].head()
+      cur = Tokenize.applyMerge(cur, rule(r._1, r._2), last = true)
+      r
+    }
+    assert(loop.merges.map(m => (m.pa, m.pb, m.cnt)) == expected)
+    // token accounting: nTokensAfter of each merge matches a direct count
+    assert(loop.merges.last.nTokensAfter ==
+      Tokenize.nTokens(cur).as[Long].head())
+    assert(!loop.converged)
+  }
+
+  test("trainMerges converges: stops when no pair reaches minCount") {
+    // every adjacency distinct → all counts 1 → minCount=2 accepts nothing
+    val res = Tokenize.trainMerges(corpus("u v w", "x y z"), maxMerges = 10,
+      minCount = 2L)
+    assert(res.merges.isEmpty && res.converged)
+    // "the cat" repeats 5×; train until dry at minCount=2 — must stop
+    // before maxMerges with every accepted rule's count ≥ 2
+    val dry = Tokenize.trainMerges(corpus(fixtureTexts: _*), maxMerges = 100,
+      minCount = 2L)
+    assert(dry.converged && dry.merges.nonEmpty && dry.merges.size < 100)
+    assert(dry.merges.forall(_.cnt >= 2L))
+    // monotone compression: token totals strictly decrease round-over-round
+    val totals = dry.merges.map(_.nTokensAfter)
+    assert(totals == totals.sorted.reverse && totals.distinct == totals)
+  }
+
+  test("train(vocabSize) round-trips: re-applying the merges table reproduces the trained corpus") {
+    val c0 = corpus(fixtureTexts: _*)
+    // distinct base tokens: the cat sat on mat ran to a and hat
+    val base = 10
+    val res = Tokenize.train(c0, vocabSize = base + 4, minCount = 1L,
+      checkpointEvery = 2)
+    assert(res.baseVocabSize == base)
+    assert(res.merges.size == 4)
+    val reapplied = Tokenize.applyMergesTo(c0, res.merges)
+    assert(tokensAfter(reapplied) == tokensAfter(res.corpus))
+    // the merges table IS the tokenizer: applying it to unseen text uses
+    // learned units ("the cat" was merged during training)
+    val firstMerge = res.merges.head
+    val unseen = Tokenize.applyMergesTo(
+      corpus(s"${firstMerge.pa} ${firstMerge.pb} q"), res.merges)
+    assert(tokensAfter(unseen).head.contains(firstMerge.pa + firstMerge.pb))
+  }
 }
