@@ -110,29 +110,55 @@ object LlmQueries {
        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
-  /** Full DuckDB replay of the IVF ANN top-k: centroids = every 50th
-    * vector, nearest-centroid assignment (tie → lower centroid_id),
-    * 2-cell probe per query, exact re-rank within probed cells. */
+  /** Shared DuckDB replay of the TRAINED IVF coarse quantizer
+    * ([[Similarity.ivfCentroids]]): k-means with nlist = ⌊√N⌋,
+    * k-smallest-vec_id init, one Lloyd update with FLOAT-QUANTIZED means
+    * (the [[Clustering]] determinism contract — both engines' ~1e-15
+    * avg() skew collapses to identical 24-bit values). Ends in
+    * `cents(centroid_id, ce, cesq)` plus the prepped corpus
+    * `v(vec_id, e, vsq)`. */
+  private def ivfCentroidCtes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
+       |  FROM embeddings),
+       |ivfnl AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |ivfc0 AS (SELECT vec_id AS cluster, e AS ce, vsq AS cesq FROM (
+       |    SELECT v.*, row_number() OVER (ORDER BY vec_id) AS rn FROM v) t
+       |  WHERE rn <= (SELECT k FROM ivfnl)),
+       |ivfr1 AS (SELECT v.vec_id, v.e, c0.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      v.vsq - 2.0 * list_dot_product(v.e, c0.ce) + c0.cesq,
+       |      c0.cluster) AS rn
+       |  FROM v CROSS JOIN ivfc0 c0),
+       |ivfa1 AS (SELECT vec_id, e, cluster FROM ivfr1 WHERE rn = 1),
+       |ivfm1 AS (SELECT cluster, j, CAST(CAST(avg(e[j]) AS FLOAT) AS DOUBLE) AS m
+       |  FROM ivfa1, unnest(range(1, 65)) AS u(j) GROUP BY 1, 2),
+       |ivfc1 AS (SELECT cluster, array_agg(m ORDER BY j) AS ce FROM ivfm1 GROUP BY 1),
+       |cents AS MATERIALIZED (SELECT cluster AS centroid_id, ce,
+       |    list_sum(list_transform(ce, x -> x * x)) AS cesq FROM ivfc1)""".stripMargin
+
+  /** L2² distance to a centroid row `c` — the k-means training metric,
+    * operand order mirroring Clustering.d2 / Similarity.ivfScoredWith. */
+  private def ivfD2(vec: String, vsq: String): String =
+    s"$vsq - 2.0 * list_dot_product($vec, c.ce) + c.cesq"
+
+  /** Full DuckDB replay of the IVF ANN top-k over the TRAINED quantizer:
+    * argmin-L2² assignment (tie → lower centroid_id), nProbe=2 L2²
+    * probes per query, exact cosine re-rank within probed cells. */
   private val ivfOracle: String = {
-    def cellSim(v: String) =
-      s"list_dot_product($v::DOUBLE[], c.ce::DOUBLE[]) / " +
-        s"sqrt(${sumSqSql(v)} * ${sumSqSql("c.ce")})"
-    val cos = "list_dot_product(a.embedding::DOUBLE[], q.qe::DOUBLE[]) / " +
-      s"sqrt(${sumSqSql("a.embedding")} * ${sumSqSql("q.qe")})"
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
-       |  FROM embeddings WHERE vec_id %
-       |    (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
-       |     FROM embeddings) = 0),
-       |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
-       |  SELECT e.vec_id, e.embedding, c.centroid_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
-       |  FROM embeddings e, cent c) WHERE rn = 1),
-       |probes AS (SELECT query_id, qe, centroid_id FROM (
-       |  SELECT e.vec_id AS query_id, e.embedding AS qe, c.centroid_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
-       |  FROM embeddings e, cent c WHERE e.vec_id < 10) WHERE rn <= 2),
+    val cos = "list_dot_product(a.e, q.qe) / sqrt(a.vsq * q.qsq)"
+    s"""WITH $ivfCentroidCtes,
+       |assigned AS (SELECT vec_id, e, vsq, centroid_id FROM (
+       |  SELECT v.vec_id, v.e, v.vsq, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN cents c) t WHERE rn = 1),
+       |probes AS (SELECT query_id, qe, qsq, centroid_id FROM (
+       |  SELECT v.vec_id AS query_id, v.e AS qe, v.vsq AS qsq, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN cents c WHERE v.vec_id < 10) t WHERE rn <= 2),
        |scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
        |    round($cos, 6) AS cosine
        |  FROM assigned a JOIN probes q USING (centroid_id)
@@ -234,9 +260,6 @@ object LlmQueries {
   private val annSweepOracle: String = {
     val cos = "list_dot_product(c.embedding::DOUBLE[], q.qe::DOUBLE[]) / " +
       s"sqrt(${sumSqSql("c.embedding")} * ${sumSqSql("q.qe")})"
-    def cellSim(v: String) =
-      s"list_dot_product($v::DOUBLE[], c.ce::DOUBLE[]) / " +
-        s"sqrt(${sumSqSql(v)} * ${sumSqSql("c.ce")})"
     def lshCand(nb: Int) =
       s"""cand_lsh_$nb AS (SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
          |  FROM (SELECT vec_id, b AS band, ${bucketExpr("embedding", nb)} AS bucket
@@ -290,20 +313,17 @@ object LlmQueries {
        |        q.qe::DOUBLE[]), 6) DESC, e.vec_id) AS rn
        |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.query_id) t
        |  WHERE rn <= 10),
-       |cent AS (SELECT vec_id AS centroid_id, embedding AS ce
-       |  FROM embeddings WHERE vec_id %
-       |    (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
-       |     FROM embeddings) = 0),
+       |$ivfCentroidCtes,
        |assigned AS (SELECT vec_id, centroid_id FROM (
-       |  SELECT e.vec_id, c.centroid_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
-       |  FROM embeddings e, cent c) t WHERE rn = 1),
+       |  SELECT v.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN cents c) t WHERE rn = 1),
        |probed AS (SELECT query_id, centroid_id, rn FROM (
-       |  SELECT e.vec_id AS query_id, c.centroid_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cellSim("e.embedding")} DESC, c.centroid_id) AS rn
-       |  FROM embeddings e, cent c WHERE e.vec_id < 10) t),
+       |  SELECT v.vec_id AS query_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN cents c WHERE v.vec_id < 10) t),
        |${Seq(4, 8, 16).map(lshCand).mkString(",\n")},
        |${Seq(1, 2, 4).map(ivfCand).mkString(",\n")},
        |${configs.map { case (f, p) => cfg(f, p) }.mkString(",\n")}
@@ -598,10 +618,12 @@ object LlmQueries {
         .orderBy("query_id", "rn")
     },
 
-    // IVF-style ANN: coarse quantizer cells + nProbe probing — the
-    // deterministic sample quantizer makes the whole assign/probe/rerank
-    // pipeline oracle-replayable; cosine consistency vs brute force
-    // additionally asserted in LlmSpec.
+    // IVF-style ANN: TRAINED coarse quantizer (k-means, nlist = ⌊√N⌋,
+    // float-quantized Lloyd update — round 13, replacing the r9-12
+    // deterministic sample) + argmin-L2² cells + nProbe probing. The
+    // Clustering determinism contract makes the whole
+    // train/assign/probe/rerank pipeline oracle-replayable; cosine
+    // consistency vs brute force additionally asserted in LlmSpec.
     q("q_sim_ivf", ivfOracle) { (s, d) =>
       Similarity.ivfTopK(
           embeddings(s, d),
@@ -867,11 +889,15 @@ object LlmQueries {
             col("n_queries"), col("avg_recall"), col("min_recall"),
             col("avg_candidates"), col("scan_frac"))
       }
+      // ONE quantizer training shared by every nProbe config (the cut
+      // inside ivfCentroids) — the sweep varies the probe count, not
+      // the codebook, exactly like a production parameter sweep
+      val cents = Similarity.ivfCentroids(emb, n)
       val rows =
         Seq(4, 8, 16).map(b =>
           stats("lsh", b, Similarity.lshScored(emb, qs, 16, b))) ++
         Seq(1, 2, 4).map(p =>
-          stats("ivf", p, Similarity.ivfScored(emb, qs, 0, p, n)))
+          stats("ivf", p, Similarity.ivfScoredWith(emb, qs, cents, p)))
       rows.reduce(_ unionByName _).orderBy("family", "param")
     },
 

@@ -90,17 +90,20 @@ object Similarity {
     * to its nearest centroid; queries probe their `nProbe` nearest
     * centroid cells and re-rank exactly within them.
     *
-    * Centroids here are a deterministic corpus sample (every
-    * `centroidEvery`-th vector) — production would run k-means offline;
-    * the engine contract is the assignment/probe join shape, which is
-    * what scales: assignment is a broadcast map-side pass (no shuffle of
-    * the corpus), probing shuffles only candidate cells.
+    * The default quantizer (round 13) is TRAINED: [[ivfCentroids]] runs
+    * [[Clustering.kmeansCentroids]] with nlist = ⌊√N⌋ — the standard IVF
+    * balance — and cell membership follows the k-means metric (argmin
+    * L2²). Trained cells track the data distribution, so at a given
+    * nProbe the probed cells hold more of the true neighbors than the
+    * round-9..12 deterministic-sample cells did (the recall shift is
+    * measured in q_ann_sweep / SCALE.md). `centroidEvery > 0` keeps the
+    * untrained √N-strided sample variant (cosine cells) for comparison.
     *
-    * `centroidEvery <= 0` (the default) derives the stride as ⌊√N⌋, so
-    * nlist ∝ √N — the standard IVF balance. A FIXED stride makes nlist
-    * grow as N/stride and the broadcast assignment pass do N²/stride
-    * work: measured 20× wall on a 10× corpus in the round-9 scale
-    * rehearsal (SCALE.md) before this was made adaptive.
+    * Scale shape (unchanged): centroids are a √N-row broadcast;
+    * assignment is a broadcast map-side pass (the corpus never shuffles
+    * for it); probing shuffles only candidate cells. Training adds two
+    * more broadcast passes and one (cluster, dim)-keyed aggregation —
+    * the same N·√N family as assignment itself.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Long = 0, nProbe: Int = 2,
@@ -111,25 +114,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
 
+  /** The trained IVF coarse quantizer: k-means centroids
+    * (`centroid_id`, `ce`, `cesq`) with nlist = ⌊√N⌋, 2 Lloyd rounds,
+    * float-quantized means (the [[Clustering]] determinism contract, so
+    * the DuckDB oracle replays training bit-for-bit). Lineage-cut: the
+    * result is √N rows read by both the corpus-assignment and the
+    * query-probe passes — without the cut each reader would redo the
+    * training's corpus-wide aggregation. */
+  def ivfCentroids(corpus: DataFrame, corpusSize: Long = 0): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else corpus.count()
+    val k = math.max(1L, math.sqrt(n.toDouble).toLong).toInt
+    graft.CheckpointStrategy.cut(
+      Clustering.kmeansCentroids(corpus, k, rounds = 2)
+        .select(col("cluster").as("centroid_id"), col("ce"), col("cesq")))
+  }
+
+  /** IVF candidate set WITH exact cosine (pre-top-k) over an EXPLICIT
+    * centroid set — every (query, corpus-vector) pair sharing a probed
+    * cell. Cell assignment and probing use argmin L2² (ties to the
+    * lower centroid id) — the k-means training metric, mirrored exactly
+    * by [[Clustering.assign]]; the re-rank inside candidates stays
+    * exact cosine. Exposed so the operating-curve sweep (q_ann_sweep)
+    * trains ONCE and probes at several nProbe values. */
+  def ivfScoredWith(corpus: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    // same operand order as Clustering.d2 — distances bit-identical
+    def d2(v: Column, vsq: Column) =
+      vsq - lit(2.0) * dot(v, col("ce")) + col("cesq")
+
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2c"), col("centroid_id"))
+    val assigned = corpus.withColumn("vsq", sumSq(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2c", d2(col("embedding"), col("vsq")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("vsq"), col("centroid_id"))
+
+    val wProbe = Window.partitionBy("query_id").orderBy(col("d2c"), col("centroid_id"))
+    val probes = queries.withColumn("qsq", sumSq(col("qe")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2c", d2(col("qe"), col("qsq")))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qsq"), col("centroid_id"))
+
+    assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("embedding"), col("qe")) / sqrt(col("vsq") * col("qsq")), 6)
+          .as("cosine"))
+  }
+
   /** IVF candidate set WITH exact cosine (pre-top-k): every (query,
-    * corpus-vector) pair sharing a probed cell. Exposed separately so
-    * the operating-curve sweep (q_ann_sweep) can measure the candidate
-    * cost each nProbe buys — at production scale this count IS the
-    * query-time read cost, and recall-per-candidate is the number the
-    * sweep exists to produce.
+    * corpus-vector) pair sharing a probed cell. Default path trains the
+    * quantizer ([[ivfCentroids]]); `centroidEvery > 0` selects the
+    * legacy √N-strided sample with cosine cells.
     */
   def ivfScored(corpus: DataFrame, queries: DataFrame,
                 centroidEvery: Long = 0, nProbe: Int = 2,
                 corpusSize: Long = 0): DataFrame = {
-    // corpusSize > 0 skips the count job — callers that already know N
-    // (or iterate over the same corpus) shouldn't pay a scan per call.
-    val stride =
-      if (centroidEvery > 0) centroidEvery
-      else {
-        val n = if (corpusSize > 0) corpusSize else corpus.count()
-        math.max(1L, math.sqrt(n.toDouble).toLong)
-      }
-    val centroids = corpus.filter(col("vec_id") % stride === 0)
+    if (centroidEvery <= 0)
+      return ivfScoredWith(corpus, queries,
+        ivfCentroids(corpus, corpusSize), nProbe)
+    // ---- legacy sampled quantizer (comparison baseline) ---------------
+    val centroids = corpus.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
         sumSq(col("embedding")).as("cesq"))
     def cellSim(v: Column, vsq: Column) =
