@@ -238,6 +238,8 @@ object Bench {
       (cc :+ s""""heap_mb":${heap.getUsed / (1 << 20)}""").mkString("{", ",", "}")
     }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // name → max bytes spilled (memory+disk) in any single sweep
+    val querySpill = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val repoForCal = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
     val load1 = try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
     val cal = BenchCalibration.resolve(repoForCal, () => canarySec(),
@@ -250,9 +252,16 @@ object Bench {
     def sweep(pass: String, list: Seq[String]): Map[String, Double] = list.flatMap { name =>
       releaseCaches()
       val t0 = System.nanoTime()
+      val spill0 = spillBytes.get + spillDiskBytes.get
       try {
         all(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // Per-query spill attribution for memory-pressure rehearsals:
+        // queries run strictly sequentially, so the listener-counter
+        // delta over the query's window is its spill (max across
+        // sweeps — the worst pressure observed).
+        val dSpill = spillBytes.get + spillDiskBytes.get - spill0
+        if (dSpill > 0) { querySpill.merge(name, dSpill, (a, b) => math.max(a, b)); () }
         if (debug) System.err.println(f"[bench] p$pass%-3s $name%-28s ${dt}%6.2fs  ${jitStats()}")
         Some(name -> dt)
       } catch {
@@ -299,8 +308,19 @@ object Bench {
     val fullJson = {
       val m = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // per-query spill lands in the record only when a memory-pressure
+      // rehearsal is running (it's the rehearsal's deliverable; default
+      // runs rarely spill and the totals print on stderr regardless)
+      val spillJson =
+        if (memFraction.isEmpty) ""
+        else {
+          import scala.jdk.CollectionConverters._
+          val entries = querySpill.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => "\"" + k + "\":" + (v / (1 << 20)) }
+          s""""spill_mb":${entries.mkString("{", ",", "}")},"""
+        }
       s"""{"round":$round,"sf":"$sfDir","unit":"sec","protocol":"$protocol",""" +
-        s""""calibration":$calJson,"jit":$jitField,""" +
+        s""""calibration":$calJson,"jit":$jitField,$spillJson""" +
         s""""timed":${results.length},"total":${fmt(results.map(_._2).sum)},""" +
         s""""errors":$errJson,"queries":$m}"""
     }
