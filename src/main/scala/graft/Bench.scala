@@ -116,6 +116,69 @@ object Bench {
     }
     Seq(once(), once(), once()).min
   }
+  /** Width-dependent CPU canary (round 13): the same xorshift work as
+    * [[canarySec]] run on EVERY core at once; reported as the ratio of
+    * the slowest thread's wall to the single-thread canary. On truly
+    * dedicated vCPUs this sits near 1.0; on a host with invisible
+    * oversubscription it rises — and a 32-thread Spark battery inflates
+    * by roughly that factor UNIFORMLY while the single-thread canary
+    * stays flat. Measured during round-13's drift investigation: four
+    * same-code clean-canary runs drifted 38.0→45.0 s (headline) with
+    * single-thread canaries flat at ~0.32 and a 1.21× wide-canary
+    * ratio captured at the drifted end — the r12 driver-vs-builder
+    * "uniform ~1.13× across touched and untouched queries" signature,
+    * finally attributable from inside the record. */
+  private def canaryWideSec(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def once(): Double = {
+      val threads = (0 until n).map { _ =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42) System.err.println("")
+        })
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  /** Disk-side canary (round 13): min-of-3 of a fixed
+    * 24×256KB write+fsync+read+delete cycle in the same filesystem the
+    * lake queries' scratch lives in. Motivation: three same-code r13
+    * runs had FLAT CPU canaries (0.319/0.339/0.332 vs ref ~0.32) while
+    * their file-I/O-heavy queries (lake_*, dedup stores) drifted
+    * 8-13% — storage-side ambient variance the pure-CPU canary cannot
+    * see. No clean-flag coupling yet (no per-host I/O reference
+    * exists); the record carries `io_pre`/`io_post` so a reader can
+    * adjudicate an I/O-flavored drift from the JSON alone, exactly as
+    * `jit` adjudicates code-cache pressure. */
+  private def ioCanarySec(): Double = {
+    def once(): Double = {
+      val dir = Files.createTempDirectory("graft-iocanary")
+      val buf = new Array[Byte](256 * 1024)
+      java.util.Arrays.fill(buf, 7.toByte)
+      val t0 = System.nanoTime()
+      (0 until 24).foreach { i =>
+        val p = dir.resolve(s"f$i")
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(buf)); ch.force(true) }
+        finally ch.close()
+        Files.readAllBytes(p)
+        Files.delete(p)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Files.delete(dir)
+      dt
+    }
+    Seq(once(), once(), once()).min
+  }
+
   private def loadavg(): String =
     try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
@@ -246,6 +309,8 @@ object Bench {
       load1, Runtime.getRuntime.availableProcessors())
     val canaryRefSec = cal.refSec
     val (canaryPre, loadPre) = (canarySec(), loadavg())
+    val ioPre = ioCanarySec()
+    val widePre = canaryWideSec()
     BenchCalibration.warning("pre-sweep", canaryPre, canaryRefSec, loadPre)
       .foreach(System.err.println)
     val jitPostWarm = jitJson()
@@ -284,6 +349,8 @@ object Bench {
       (sweep("h1", headlineNames), sweep("h2", headlineNames))
     val jitPostHeadline = jitJson()
     val (canaryPost, loadPost) = (canarySec(), loadavg())
+    val ioPost = ioCanarySec()
+    val widePost = canaryWideSec()
     BenchCalibration.warning("post-sweep", canaryPost, canaryRefSec, loadPost)
       .foreach(System.err.println)
     val results = names.flatMap { n =>
@@ -301,6 +368,10 @@ object Bench {
     val calJson =
       s"""{"ref":${fmt(canaryRefSec)},"ref_source":"${cal.source}",""" +
         s""""pre":${fmt(canaryPre)},"post":${fmt(canaryPost)},""" +
+        s""""io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},""" +
+        s""""wide_pre":${fmt(widePre)},"wide_post":${fmt(widePost)},""" +
+        s""""wide_ratio_pre":${fmt(widePre / canaryPre)},""" +
+        s""""wide_ratio_post":${fmt(widePost / canaryPost)},""" +
         s""""loadavg_pre":"$loadPre","loadavg_post":"$loadPost","clean":$clean}"""
     // Full per-query record: every registered query, committed in-repo.
     val repo = repoForCal
