@@ -209,6 +209,62 @@ object LlmQueries {
        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Full DuckDB replay of IVF-PQ (IVFADC): the trained-quantizer cell
+    * restriction composed with the PQ codebook/LUT chains — candidates
+    * are probed-cell members only, scored purely from codes. CTE names
+    * prefixed pq* so the block composes with [[ivfCentroidCtes]]
+    * without collisions. */
+  private val ivfPqOracle: String = {
+    def l2sq(v: String) =
+      s"list_sum(list_transform($v::DOUBLE[], x -> x * x)) " +
+        s"- 2.0 * list_dot_product($v::DOUBLE[], c.csub::DOUBLE[]) + c.csq"
+    s"""WITH $ivfCentroidCtes,
+       |cells AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT v.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN cents c) t WHERE rn = 1),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |  SELECT v.vec_id AS query_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN cents c WHERE v.vec_id < 10) t WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, cl.vec_id
+       |  FROM cells cl JOIN probes p USING (centroid_id)
+       |  WHERE cl.vec_id <> p.query_id),
+       |pqn AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride
+       |  FROM embeddings),
+       |pqcb AS MATERIALIZED (SELECT e.vec_id AS code, j,
+       |    e.embedding[j*16+1 : j*16+16] AS csub,
+       |    ${sumSqSql("e.embedding[j*16+1 : j*16+16]")} AS csq
+       |  FROM embeddings e, pqn, unnest(range(0, 4)) AS u(j)
+       |  WHERE e.vec_id % pqn.stride = 0),
+       |pqvs AS (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS vsub
+       |  FROM embeddings, unnest(range(0, 4)) AS u(j)),
+       |pqcodes AS MATERIALIZED (SELECT vec_id, j, code FROM (
+       |  SELECT vv.vec_id, vv.j, c.code,
+       |    row_number() OVER (PARTITION BY vv.vec_id, vv.j
+       |      ORDER BY ${l2sq("vv.vsub")}, c.code) AS rn
+       |  FROM pqvs vv JOIN pqcb c USING (j)) t WHERE rn = 1),
+       |pqlut AS (SELECT q.vec_id AS query_id, q.j, c.code, ${l2sq("q.qsub")} AS pd
+       |  FROM (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS qsub
+       |        FROM embeddings, unnest(range(0, 4)) AS u(j) WHERE vec_id < 10) q
+       |  JOIN pqcb c USING (j)),
+       |adc AS (SELECT cd.query_id, a.vec_id AS neighbor_id,
+       |    round(sum(CASE WHEN a.j = 0 THEN pd END)
+       |        + sum(CASE WHEN a.j = 1 THEN pd END)
+       |        + sum(CASE WHEN a.j = 2 THEN pd END)
+       |        + sum(CASE WHEN a.j = 3 THEN pd END), 6) AS adc
+       |  FROM cand cd JOIN pqcodes a ON a.vec_id = cd.vec_id
+       |  JOIN pqlut l ON l.query_id = cd.query_id AND l.j = a.j
+       |    AND l.code = a.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS rn FROM adc) t
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Recall@10 of every ANN family against the brute-force ground
     * truth — the self-evaluation number a 100-TB pipeline tunes
     * bands/nProbe/m by. Because all four families are deterministic
@@ -806,6 +862,25 @@ object LlmQueries {
 
     q("q_sim_pq", pqOracle) { (s, d) =>
       Similarity.pqTopK(
+          embeddings(s, d),
+          embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 10)
+        .orderBy("query_id", "rn")
+    },
+
+    // IVF-PQ (IVFADC, round 13): the composition the component
+    // families exist for — the TRAINED coarse quantizer restricts
+    // candidates to each query's nProbe cells, PQ-ADC scores ONLY
+    // those candidates from their m subspace codes. At scale the two
+    // savings multiply: scan_frac of the corpus touched (IVF) × codes
+    // instead of raw vectors read (PQ) — the standard billion-vector
+    // operating point. Fully oracle-replayed (training chain + cells +
+    // codebooks + LUT + candidate-restricted ADC); ADC equality with
+    // the flat-scan q_sim_pq on shared candidates is asserted in
+    // LlmSpec.
+    q("q_sim_ivfpq", ivfPqOracle) { (s, d) =>
+      Similarity.ivfPqTopK(
           embeddings(s, d),
           embeddings(s, d).filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),

@@ -244,6 +244,90 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** IVF-PQ ANN top-k — the composition the two component families
+    * exist for (Jégou et al.'s IVFADC): the TRAINED IVF coarse
+    * quantizer ([[ivfCentroids]]) restricts the candidate set to the
+    * query's `nProbe` cells, and PQ-ADC scores ONLY those candidates
+    * from their subspace codes. At production scale this multiplies
+    * the two savings: the scan touches `scan_frac` of the corpus (IVF)
+    * and reads m-byte codes instead of raw vectors (PQ) — the standard
+    * billion-vector memory/recall operating point.
+    *
+    * Plan shape: centroids and codebooks are √N-row broadcasts; cell
+    * assignment and code assignment are broadcast map-side passes over
+    * the corpus; the candidate restriction is a keyed join of the
+    * per-cell membership against the broadcast probe list; ADC is the
+    * same (query, vector)-keyed aggregation as [[pqTopK]], in FIXED
+    * subspace order so both engines sum identically. Ranking is ADC
+    * ascending (L2² proxy), ties to the lower neighbor id.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 4, dim: Int = 64, nProbe: Int = 2,
+                corpusSize: Long = 0): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val sub = dim / m
+    val n = if (corpusSize > 0) corpusSize else corpus.count()
+    val stride = math.max(1L, math.sqrt(n.toDouble).toLong)
+    val cents = ivfCentroids(corpus, n)
+    def d2(v: Column, vsq: Column) =
+      vsq - lit(2.0) * dot(v, col("ce")) + col("cesq")
+
+    // cell membership (argmin L2², ties low) + query probes — exactly
+    // ivfScoredWith's shape, but carrying only ids (codes replace
+    // vectors downstream; the raw embedding never reaches the ADC join)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2c"), col("centroid_id"))
+    val cells = corpus.withColumn("vsq", sumSq(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", d2(col("embedding"), col("vsq")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("d2c"), col("centroid_id"))
+    val probes = queries.withColumn("qsq", sumSq(col("qe")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", d2(col("qe"), col("qsq")))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val cand = cells.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+
+    // PQ codes + per-query LUT — pqTopK's chains verbatim
+    def subSlices(v: Column) =
+      array((0 until m).map(j => slice(v, j * sub + 1, sub)): _*)
+    val codebook = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("code"),
+        posexplode(subSlices(col("embedding"))).as(Seq("j", "csub")))
+      .withColumn("csq", sumSq(col("csub")))
+    def l2sq(v: Column, vsq: Column) =
+      vsq - lit(2.0) * dot(v, col("csub")) + col("csq")
+    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("code"))
+    val codes = corpus
+      .select(col("vec_id"), posexplode(subSlices(col("embedding"))).as(Seq("j", "vsub")))
+      .withColumn("vsq", sumSq(col("vsub")))
+      .join(broadcast(codebook), "j")
+      .withColumn("d2", l2sq(col("vsub"), col("vsq")))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("code"))
+    val lut = queries
+      .select(col("query_id"), posexplode(subSlices(col("qe"))).as(Seq("j", "qsub")))
+      .withColumn("qsq", sumSq(col("qsub")))
+      .join(broadcast(codebook), "j")
+      .withColumn("pd", l2sq(col("qsub"), col("qsq")))
+      .select(col("query_id"), col("j"), col("code"), col("pd"))
+
+    // ADC over candidates only: codes restricted to probed-cell members
+    // BEFORE the LUT join, so scoring work is O(candidates · m)
+    val parts = (0 until m).map(j => sum(when(col("j") === j, col("pd"))).as(s"p$j"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("adc", round((0 until m).map(j => col(s"p$j")).reduce(_ + _), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "adc", "rn")
+  }
+
   /** Product-quantization ANN top-k via ADC (asymmetric distance
     * computation) — the third standard ANN family next to LSH buckets
     * and IVF cells, and the memory-scale path: each corpus vector is

@@ -113,6 +113,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_cross_join",            // the explicit bounded dim×dim product
     "q_sim_topk",              // brute-force baseline: corpus × 10 queries
     "q_sim_ivf",               // broadcast centroid assignment
+    "q_sim_ivfpq",             // broadcast centroid/codebook assignment (√N-row builds)
     "q_dedup_embedding_exact", // bounded all-pairs ground truth (id1<id2)
     "q_dedup_jaccard",         // bounded ground truth (inequality self-join)
     "q_fuzzy_match",           // bounded edit-distance ground truth (inequality self-join)

@@ -82,6 +82,25 @@ class LlmSpec extends AnyFunSuite {
     ivf.foreach { case (q, n, c) => assert(math.abs(brute((q, n)) - c) < 1e-9) }
   }
 
+  test("IVF-PQ: ADC scores equal the flat PQ scan on every shared (query, neighbor)") {
+    // the cell restriction changes WHICH pairs are scored, never their
+    // score: codebooks, code assignment, and LUT are shared chains
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val flat = Similarity.pqTopK(corpus, queries, k = 500)
+      .select("query_id", "neighbor_id", "adc").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, k = 10)
+      .select("query_id", "neighbor_id", "adc").as[(Long, Long, Double)].collect()
+    assert(ivfpq.nonEmpty)
+    val shared = ivfpq.filter { case (q, n, _) => flat.contains((q, n)) }
+    assert(shared.nonEmpty, "no candidate overlap with the flat PQ top-500")
+    shared.foreach { case (q, n, a) =>
+      assert(math.abs(flat((q, n)) - a) < 1e-9, s"ADC mismatch at ($q,$n)")
+    }
+  }
+
   test("PQ ANN: ADC scores are non-negative, ranked ascending, and never self-matches") {
     val corpus = Tables.embeddings(spark, sf)
     val queries = corpus.filter(col("vec_id") < 5)
