@@ -122,6 +122,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q22_inactive_customers",  // 1-row global-average broadcast
     "q_scalar_subquery",       // scalar subquery broadcast
     "q_tfidf_topterms",        // 1-row corpus-size (N) broadcast for the idf
+    "q_dsir_weights",          // 1-row model-totals (tr/tt/V) broadcast
     "q_source_overlap",        // vocab self-join has an equi key; pairs filter is < (kept below)
     "q_domain_mix",            // 1-row corpus-total broadcast
     "q_pmi_cooccur",           // 1-row corpus-size broadcast (pair join itself is equi on doc_id)
