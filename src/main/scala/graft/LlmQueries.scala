@@ -117,7 +117,7 @@ object LlmQueries {
     * avg() skew collapses to identical 24-bit values). Ends in
     * `cents(centroid_id, ce, cesq)` plus the prepped corpus
     * `v(vec_id, e, vsq)`. */
-  private def ivfCentroidCtes: String =
+  private[graft] def ivfCentroidCtes: String =
     s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e,
        |    list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vsq
        |  FROM embeddings),
@@ -140,7 +140,7 @@ object LlmQueries {
 
   /** L2² distance to a centroid row `c` — the k-means training metric,
     * operand order mirroring Clustering.d2 / Similarity.ivfScoredWith. */
-  private def ivfD2(vec: String, vsq: String): String =
+  private[graft] def ivfD2(vec: String, vsq: String): String =
     s"$vsq - 2.0 * list_dot_product($vec, c.ce) + c.cesq"
 
   /** Full DuckDB replay of the IVF ANN top-k over the TRAINED quantizer:

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Eleventh LLM-curation tranche (round 13): retrieval and cleaning ops
+  * beyond the token-level families already covered —
+  *
+  *  - **positional phrase search**: exact multi-word phrase matching via
+  *    a positional postings list — the inverted-index op the
+  *    q_hybrid_retrieval lexical side (bag-of-words BM25) cannot
+  *    express, and the standard way contamination scans look for exact
+  *    benchmark strings inside a crawl.
+  *  - **filtered ANN**: metadata-constrained vector search (the
+  *    vector-DB "filtered search" problem) — top-k within the probed
+  *    IVF cells RESTRICTED to candidates whose label matches the
+  *    query's, the pre-filter formulation that keeps recall when the
+  *    constraint is selective.
+  *  - **intra-document repetition strip**: remove repeated segments
+  *    WITHIN each document keeping first occurrences (the C4
+  *    "three-sentence dedup" granularity below q_boilerplate_strip's
+  *    cross-document pass) — deliberately zero-shuffle: the whole op is
+  *    scan-local array HOFs, proving cleaned bytes without a single
+  *    exchange.
+  *
+  * Conventions as per QueryDef.scala: identical aliases both sides,
+  * deterministic ORDER BY, floats rounded in-query, md5-int hashes for
+  * byte-exactness proofs.
+  */
+object LlmQueries11 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  private val SegWords = 4
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Positional phrase search: the phrase set is the first 3 tokens of
+    // each query doc (doc_id < 8) — a ≤24-row broadcast. The corpus side
+    // is ONE positional-postings scan (doc_id, pos, tok); joining it to
+    // the broadcast term table keeps only postings of phrase terms, so
+    // the only shuffled rows are matching postings — O(corpus tokens)
+    // scanned, O(matching postings) shuffled, independent of corpus
+    // size beyond the scan, same scale shape as the inverted-index BM25
+    // pass (PLANS.md). A phrase occurs at anchor a iff slot i matched at
+    // position a+i for ALL slots: group by (query, doc, anchor = pos -
+    // slot) and demand count(DISTINCT slot) = 3 — repeated tokens inside
+    // a phrase ("a X a") just contribute postings to several anchors.
+    q("q_phrase_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |  q AS (SELECT doc_id AS query_id,
+        |      array_to_string(ws[1:3], ' ') AS phrase,
+        |      ws[1] AS t0, ws[2] AS t1, ws[3] AS t2
+        |    FROM d WHERE doc_id < 8 AND len(ws) >= 3),
+        |  terms AS (SELECT query_id, phrase, 0 AS slot, t0 AS tok FROM q
+        |    UNION ALL SELECT query_id, phrase, 1, t1 FROM q
+        |    UNION ALL SELECT query_id, phrase, 2, t2 FROM q),
+        |  p AS (SELECT doc_id, i AS pos, ws[i+1] AS tok
+        |    FROM d, unnest(range(0, len(ws))) AS r(i)),
+        |  anchors AS (SELECT t.query_id, t.phrase, p.doc_id,
+        |      p.pos - t.slot AS anchor
+        |    FROM p JOIN terms t USING (tok)
+        |    GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT t.slot) = 3)
+        |SELECT query_id, phrase, doc_id,
+        |  count(*)::BIGINT AS n_hits, min(anchor)::BIGINT AS first_pos
+        |FROM anchors GROUP BY 1, 2, 3
+        |ORDER BY query_id, doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val terms = docs.filter(col("doc_id") < 8 && size(col("ws")) >= 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(col("ws"), 1, 3), " ").as("phrase"),
+          posexplode(slice(col("ws"), 1, 3)).as(Seq("slot", "tok")))
+      val postings = docs.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "tok")))
+      postings.join(broadcast(terms), "tok")
+        .groupBy(col("query_id"), col("phrase"), col("doc_id"),
+          (col("pos") - col("slot")).as("anchor"))
+        .agg(count_distinct(col("slot")).as("ns"))
+        .filter(col("ns") === 3)
+        .groupBy("query_id", "phrase", "doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("anchor").cast("long").as("first_pos"))
+        .orderBy("query_id", "doc_id")
+    },
+
+    // Filtered ANN: queries vec_id < 10, constraint = same label as the
+    // query. The corpus's label rides the IVF assignment pass itself
+    // (ivfScoredWith keep=label) — constrained search never re-joins the
+    // candidate set against the corpus-sized table to recover metadata;
+    // the filter lands BEFORE the per-query top-k window, so the window
+    // ranks only eligible candidates (pre-filter semantics: k results
+    // that genuinely satisfy the constraint, not k unconstrained hits
+    // minus the violators). Oracle replays the full trained quantizer
+    // via the shared ivfCentroidCtes block (LlmQueries.scala).
+    q("q_ann_filtered", {
+      val cos = "list_dot_product(a.e, q.qe) / sqrt(a.vsq * q.qsq)"
+      s"""WITH ${LlmQueries.ivfCentroidCtes},
+         |assigned AS (SELECT vec_id, e, vsq, centroid_id FROM (
+         |  SELECT v.vec_id, v.e, v.vsq, c.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${LlmQueries.ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+         |  FROM v CROSS JOIN cents c) t WHERE rn = 1),
+         |probes AS (SELECT query_id, qe, qsq, centroid_id FROM (
+         |  SELECT v.vec_id AS query_id, v.e AS qe, v.vsq AS qsq, c.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${LlmQueries.ivfD2("v.e", "v.vsq")}, c.centroid_id) AS rn
+         |  FROM v CROSS JOIN cents c WHERE v.vec_id < 10) t WHERE rn <= 2),
+         |scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    el.label AS label, round($cos, 6) AS cosine
+         |  FROM assigned a JOIN probes q USING (centroid_id)
+         |  JOIN embeddings el ON el.vec_id = a.vec_id
+         |  JOIN embeddings ql ON ql.vec_id = q.query_id
+         |  WHERE a.vec_id <> q.query_id AND el.label = ql.label),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+         |SELECT query_id, neighbor_id, label, cosine, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+      val emb = embeddings(s, d)
+      val n = emb.count()
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val qLabels = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val cents = Similarity.ivfCentroids(emb, n)
+      val scored = Similarity.ivfScoredWith(emb, qs, cents, nProbe = 2,
+        keep = Seq("label"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.join(broadcast(qLabels), "query_id")
+        .filter(col("label") === col("qlabel"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    },
+
+    // Intra-doc repetition strip: zero-shuffle by construction — the
+    // segment list, the keep-first fold (aggregate HOF accumulating the
+    // first-occurrence set; O(segments²) per doc worst case, bounded by
+    // document length, never by corpus size), the rebuild, and the md5
+    // proof are all scan-local expressions inside one projection. The
+    // oracle proves the same semantics through the exploded
+    // min(seg_idx)-per-segment formulation; equality pins that the fold
+    // keeps exactly the first occurrence of every distinct segment in
+    // order.
+    q("q_selfrep_strip",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |    FROM documents WHERE strlen(text) > 0),
+        |  segs AS (SELECT doc_id, i AS seg_idx,
+        |      array_to_string(ws[i*$SegWords+1 : i*$SegWords+$SegWords], ' ') AS seg
+        |    FROM d, unnest(range(0, (len(ws)+${SegWords - 1})//$SegWords)) AS r(i)),
+        |  firsts AS (SELECT doc_id, seg, min(seg_idx) AS first_idx,
+        |      count(*)::BIGINT AS cnt
+        |    FROM segs GROUP BY 1, 2),
+        |  rebuilt AS (SELECT doc_id,
+        |      sum(cnt)::BIGINT AS n_segs,
+        |      sum(cnt - 1)::BIGINT AS n_dupes,
+        |      string_agg(seg, ' ' ORDER BY first_idx) AS clean
+        |    FROM firsts GROUP BY doc_id)
+        |SELECT doc_id, n_segs, n_dupes,
+        |  strlen(clean)::BIGINT AS n_bytes_clean,
+        |  ('0x' || substr(md5(clean), 1, 8))::BIGINT AS h_clean
+        |FROM rebuilt ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = split(col("text"), " ")
+      val nSegs = ((size(ws) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
+      val segList = transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(ws, i * SegWords + 1, lit(SegWords)), " "))
+      val kept = aggregate(segList,
+        array().cast("array<string>"),
+        (acc, seg) => when(array_contains(acc, seg), acc)
+          .otherwise(concat(acc, array(seg))))
+      documents(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          size(segList).cast("long").as("n_segs"),
+          (size(segList) - size(kept)).cast("long").as("n_dupes"),
+          array_join(kept, " ").as("clean"))
+        .select(col("doc_id"), col("n_segs"), col("n_dupes"),
+          octet_length(col("clean")).cast("long").as("n_bytes_clean"),
+          Dedup.md5Int(col("clean")).as("h_clean"))
+        .orderBy("doc_id")
+    }
+  )
+}

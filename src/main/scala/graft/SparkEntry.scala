@@ -23,7 +23,7 @@ object SparkEntry {
       LlmQueries.all ++ LlmQueries2.all ++ LlmQueries3.all ++
       LlmQueries4.all ++ LlmQueries5.all ++ LlmQueries6.all ++
       LlmQueries7.all ++ LlmQueries8.all ++ LlmQueries9.all ++
-      LlmQueries10.all
+      LlmQueries10.all ++ LlmQueries11.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's Gold-layer window aggregation (SURVEY §3.1) — clean,

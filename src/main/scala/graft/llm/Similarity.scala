@@ -135,9 +135,16 @@ object Similarity {
     * lower centroid id) — the k-means training metric, mirrored exactly
     * by [[Clustering.assign]]; the re-rank inside candidates stays
     * exact cosine. Exposed so the operating-curve sweep (q_ann_sweep)
-    * trains ONCE and probes at several nProbe values. */
+    * trains ONCE and probes at several nProbe values.
+    *
+    * `keep` names extra corpus columns carried through assignment to the
+    * output (e.g. a metadata label for FILTERED search, q_ann_filtered):
+    * the payload rides the corpus's own map-side assignment pass, so
+    * constrained search never re-joins candidates against the
+    * corpus-sized table to recover metadata. */
   def ivfScoredWith(corpus: DataFrame, queries: DataFrame,
-                    centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+                    centroids: DataFrame, nProbe: Int = 2,
+                    keep: Seq[String] = Nil): DataFrame = {
     // same operand order as Clustering.d2 — distances bit-identical
     def d2(v: Column, vsq: Column) =
       vsq - lit(2.0) * dot(v, col("ce")) + col("cesq")
@@ -147,7 +154,7 @@ object Similarity {
       .crossJoin(broadcast(centroids))
       .withColumn("d2c", d2(col("embedding"), col("vsq")))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("vsq"), col("centroid_id"))
+      .select((Seq("vec_id", "embedding", "vsq", "centroid_id") ++ keep).map(col): _*)
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("d2c"), col("centroid_id"))
     val probes = queries.withColumn("qsq", sumSq(col("qe")))
@@ -158,9 +165,9 @@ object Similarity {
 
     assigned.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(Seq(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("embedding"), col("qe")) / sqrt(col("vsq") * col("qsq")), 6)
-          .as("cosine"))
+          .as("cosine")) ++ keep.map(col): _*)
   }
 
   /** IVF candidate set WITH exact cosine (pre-top-k): every (query,

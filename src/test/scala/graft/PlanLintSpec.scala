@@ -114,6 +114,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_sim_topk",              // brute-force baseline: corpus × 10 queries
     "q_sim_ivf",               // broadcast centroid assignment
     "q_sim_ivfpq",             // broadcast centroid/codebook assignment (√N-row builds)
+    "q_ann_filtered",          // q_sim_ivf's broadcast centroid assignment + 10-row query-label broadcast
     "q_dedup_embedding_exact", // bounded all-pairs ground truth (id1<id2)
     "q_dedup_jaccard",         // bounded ground truth (inequality self-join)
     "q_fuzzy_match",           // bounded edit-distance ground truth (inequality self-join)
