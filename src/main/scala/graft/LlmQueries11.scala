@@ -181,6 +181,55 @@ object LlmQueries11 {
           octet_length(col("clean")).cast("long").as("n_bytes_clean"),
           Dedup.md5Int(col("clean")).as("h_clean"))
         .orderBy("doc_id")
+    },
+
+    // Range-partitioned sorted export: K shards such that concatenating
+    // shard 0..K-1 yields a globally length-ordered corpus — WITHOUT a
+    // global sort. The trick: shard boundaries come from the LENGTH
+    // HISTOGRAM, whose cardinality is bounded by the max document
+    // length, never by corpus size — so the prefix-sum window runs over
+    // a bounded input (PlanLint-allowlisted, the q_vocab_growth class)
+    // and the (length → shard) map broadcasts at any scale. A doc's
+    // shard is floor(K·|docs shorter than it| / N): monotone in length
+    // (the order proof is visible in the manifest: hi_chars of shard i
+    // ≤ lo_chars of shard i+1), ties share a shard, sizes stay ~N/K.
+    // This is Spark's repartitionByRange made deterministic — sampled
+    // range boundaries can't be oracle-replayed; exact histogram
+    // boundaries can. Per-shard checksum = the commutative per-doc md5
+    // sum (the q_export_shards manifest contract).
+    q("q_range_export",
+      """WITH docs AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents),
+        |  hist AS (SELECT n_chars, count(*)::BIGINT AS cnt FROM docs GROUP BY 1),
+        |  tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM hist),
+        |  mapped AS (SELECT n_chars,
+        |      CAST(floor(8 * coalesce(sum(cnt) OVER (ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        / (SELECT n_total FROM tot)) AS BIGINT) AS shard_id
+        |    FROM hist)
+        |SELECT m.shard_id, count(*)::BIGINT AS n_docs,
+        |  min(d.n_chars)::BIGINT AS lo_chars, max(d.n_chars)::BIGINT AS hi_chars,
+        |  sum(d.h)::BIGINT AS checksum
+        |FROM docs d JOIN mapped m USING (n_chars)
+        |GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("n_chars"), Dedup.md5Int(col("text")).as("h"))
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val tot = hist.agg(sum("cnt").as("n_total"))
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mapped = hist
+        .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("n_chars"),
+          floor(lit(8) * col("cum_before") / col("n_total")).as("shard_id"))
+      docs.join(broadcast(mapped), "n_chars")
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").cast("long").as("lo_chars"),
+          max("n_chars").cast("long").as("hi_chars"),
+          sum("h").as("checksum"))
+        .orderBy("shard_id")
     }
   )
 }

@@ -22,6 +22,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_bootstrap_ci",  // rank over the 50-row replicate-mean frame
     "q_kaplan_meier",  // suffix/cumulative windows over the calendar-day-bounded risk table
     "q_vocab_growth",  // 10-row prefix sum over the decile list (bounded at any corpus size)
+    "q_range_export",  // prefix sum over the LENGTH histogram (cardinality ≤ max doc length, never corpus rows)
     "q_stream_lake_sink") // lag over the 3-row commit ledger (historyDF: one row per micro-batch, never corpus rows)
 
   test("no registered query plans an unpartitioned Window outside the allowlist") {
@@ -124,6 +125,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_scalar_subquery",       // scalar subquery broadcast
     "q_tfidf_topterms",        // 1-row corpus-size (N) broadcast for the idf
     "q_dsir_weights",          // 1-row model-totals (tr/tt/V) broadcast
+    "q_range_export",          // 1-row corpus-total (N) broadcast for the shard-boundary map
     "q_source_overlap",        // vocab self-join has an equi key; pairs filter is < (kept below)
     "q_domain_mix",            // 1-row corpus-total broadcast
     "q_pmi_cooccur",           // 1-row corpus-size broadcast (pair join itself is equi on doc_id)
