@@ -99,15 +99,20 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     */
   private[lake] case class Commit(version: Int, action: String, files: Seq[String],
                             schemaDdl: String, rows: Long, ts: Long,
-                            txnApp: String = "", txnVer: Long = -1L)
+                            txnApp: String = "", txnVer: Long = -1L,
+                            dvTargets: Seq[String] = Nil)
 
   /** The physical log record: file deltas vs version - 1. `full = true`
     * marks a legacy record (pre-delta log format) whose `add` carries the
-    * COMPLETE snapshot file list — applied as replace, not append. */
+    * COMPLETE snapshot file list — applied as replace, not append.
+    * `dvTargets` (delete-dv commits only) names the DATA files the
+    * commit's deletion vectors mark rows in — the row-level read-set
+    * racing rewrites validate against without opening the DV parquet. */
   private case class DeltaRec(version: Int, action: String, add: Seq[String],
                               remove: Seq[String], schemaDdl: String,
                               rows: Long, ts: Long, full: Boolean = false,
-                              txnApp: String = "", txnVer: Long = -1L)
+                              txnApp: String = "", txnVer: Long = -1L,
+                              dvTargets: Seq[String] = Nil)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -158,7 +163,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         txnVer = if (hasTxn)
           s""""txnVer"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body)
             .map(_.group(1).toLong).getOrElse(-1L)
-        else -1L)
+        else -1L,
+        dvTargets = if (body.contains("\"dvTargets\""))
+          listField(body, p, "dvTargets") else Nil)
       lastDelta = Some(d)
       d
     }
@@ -354,8 +361,35 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def readCommit(v: Int): Commit = {
     val d = readDelta(v)
     Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts,
-      d.txnApp, d.txnVer)
+      d.txnApp, d.txnVer, d.dvTargets)
   }
+
+  /** Publish `tmp` at `dst` atomically, FAILING (false) if `dst` exists —
+    * the primitive the whole optimistic-concurrency protocol rests on.
+    * Hadoop rename is NOT that primitive on a POSIX local filesystem:
+    * `RawLocalFileSystem.rename` bottoms out in `File.renameTo`, which
+    * silently REPLACES an existing destination — so two writers racing
+    * the same version could both "win", the loser overwriting the
+    * winner's committed record (caught live by the 8-way contention
+    * spec). On `file:` schemes we therefore publish via
+    * `Files.createLink`, whose EEXIST failure is atomic at the syscall
+    * level (the classic O_EXCL-by-hardlink trick); stores whose rename
+    * already refuses an existing destination (HDFS contract) keep the
+    * exists+rename path. */
+  private def publishExclusive(tmp: Path, dst: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        fs.delete(tmp, false) // fs-level: also removes the checksum sidecar
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          !fs.exists(dst) && fs.rename(tmp, dst) // FS without hard links
+      }
+    } else !fs.exists(dst) && fs.rename(tmp, dst)
 
   private[lake] def writeCommit(c: Commit): Unit = {
     val dir = new Path(logDir)
@@ -373,14 +407,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // landed" — the exactly-once anchor for streaming sinks
     val txn = if (c.txnApp.isEmpty) ""
       else s""","txnApp":"${esc(c.txnApp)}","txnVer":${c.txnVer}"""
+    val dvt = if (c.dvTargets.isEmpty) ""
+      else s""","dvTargets":${listJson(c.dvTargets)}"""
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
         s""""add":${listJson(add)},"remove":${listJson(remove)},""" +
-        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}$txn}"""
+        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}$txn$dvt}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    if (fs.exists(dst) || !publishExclusive(tmp, dst)) {
       fs.delete(tmp, false)
       sys.error(s"concurrent commit conflict: version ${c.version} already exists")
     }
@@ -398,22 +434,71 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * the commit rename arbitrates, and the loser's files are orphans,
     * never an overwrite of the winner's data.
     */
-  private def stage(df: DataFrame, v: Int): Seq[String] = {
+  private def stage(df: DataFrame, v: Int, prefix: String = "",
+                    collectStats: Boolean = true): Seq[String] = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(tablePath, s"_stage-v$v-$nonce")
     df.write.parquet(stageDir.toString)
     val parts = fs.listStatus(stageDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"v$v%08d-$nonce-part-$i%05d.parquet"
+      val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
       if (!fs.rename(p, new Path(tablePath, name)))
         sys.error(s"failed to move staged file $p")
       name
     }
     fs.delete(stageDir, true)
-    writeStats(named.toSeq, v, nonce)
+    if (collectStats) writeStats(named.toSeq, v, nonce)
     named.toSeq
   }
+
+  // ---- deletion vectors (merge-on-read deletes) ------------------------
+  //
+  // A deletion vector is a tiny parquet file (`dv-v{N}-{nonce}-part-*`,
+  // columns `file`/`pos`) naming deleted ROW POSITIONS inside immutable
+  // data files — Delta's deletion-vector model on the same log. DV files
+  // ride the ordinary snapshot file list (prefix-partitioned out by every
+  // reader), so checkpoints, restore, vacuum referencing, and the
+  // add/remove delta log all work on them unchanged. Reads overlay them
+  // with a `_metadata.row_index` anti-join; a DV entry whose data file
+  // has since been rewritten is inert (the join is keyed by file NAME and
+  // the name left the snapshot), which is what lets copy-on-write
+  // rewrites ABSORB deletions — the rewrite reads through the overlay, so
+  // its output files simply no longer contain the rows — without ever
+  // editing a committed DV. `optimize` drops all DV files outright (it
+  // rewrites every data file, leaving every DV entry inert).
+
+  private def isDv(name: String): Boolean = name.startsWith("dv-")
+
+  /** (deletion-vector files, data files) of a snapshot file list. */
+  private def splitDv(files: Seq[String]): (Seq[String], Seq[String]) =
+    files.partition(isDv)
+
+  /** Data files read WITH their in-file row position (`_g_file` = file
+    * name, `_g_pos` = `_metadata.row_index`) and the deletion-vector
+    * overlay applied: rows marked in `dvFiles` are anti-joined away. The
+    * DV side is deleted-rows-sized, so the anti-join broadcasts under
+    * AQE at any corpus size; with no DVs this is a plain scan plus two
+    * metadata columns. */
+  private def readWithPos(dataFiles: Seq[String], dvFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val withPos = readFiles(dataFiles).select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("_g_file"),
+      col("_metadata.row_index").as("_g_pos"))
+    if (dvFiles.isEmpty) withPos
+    else {
+      val dv = readFiles(dvFiles)
+        .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
+      withPos.join(dv, Seq("_g_file", "_g_pos"), "left_anti")
+    }
+  }
+
+  /** Snapshot rows of the given data files through the DV overlay, with
+    * the position helper columns dropped — the row set every reader and
+    * every copy-on-write rewrite must see. */
+  private def readLive(dataFiles: Seq[String], dvFiles: Seq[String]): DataFrame =
+    if (dvFiles.isEmpty) readFiles(dataFiles)
+    else readWithPos(dataFiles, dvFiles).drop("_g_file", "_g_pos")
 
   // ---- per-file column statistics (data skipping) ---------------------
   //
@@ -517,7 +602,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val c = readCommit(v)
     val stats = readAllStats()
     val e = resolvedPredicate(predicate, StructType.fromDDL(c.schemaDdl))
-    c.files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, st)))
+    val (_, data) = splitDv(c.files)
+    data.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, st)))
   }
 
   /** Snapshot read restricted by `predicate`, with stats-based file
@@ -536,7 +622,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val schema = StructType.fromDDL(readCommit(v).schemaDdl)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(predicate)
-    } else readFiles(keep).filter(predicate)
+    } else {
+      // DV entries for pruned files never match the anti-join key, so
+      // passing the snapshot's full DV list stays correct under pruning.
+      val (dvs, _) = splitDv(readCommit(v).files)
+      readLive(keep, dvs).filter(predicate)
+    }
   }
 
   private def nextVersion: Int = latestVersion().map(_ + 1).getOrElse(0)
@@ -708,12 +799,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     version.foreach(checkVacuumHorizon(_, "time travel to"))
     val c = readCommit(v)
-    if (c.files.isEmpty)
+    val (dvs, data) = splitDv(c.files)
+    if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(c.schemaDdl))
-    else
-      spark.read.option("mergeSchema", "true")
-        .parquet(c.files.map(f => s"$tablePath/$f"): _*)
+    else readLive(data, dvs)
   }
 
   /** Insert-only merge (delta-rs `when_not_matched_insert_all`): source
@@ -773,23 +863,47 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       // The incremental log IS the change record: no snapshot diffing.
       val d = readDelta(v)
+      if (d.action == "delete-dv") {
+        // MoR delete: the change set is exactly the rows at the marked
+        // positions — read ONLY the targeted files (cost ∝ the delete,
+        // never the table) and semi-join the vector. The marked rows
+        // were live at the delete's base by construction (deleteMoR
+        // scans through the overlay; racing DVs are row-disjoint), so
+        // no prior-DV subtraction is needed.
+        val dvPos = readFiles(d.add.filter(isDv))
+          .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
+        Some(readWithPos(d.dvTargets, Nil)
+          .join(dvPos, Seq("_g_file", "_g_pos"), "left_semi")
+          .drop("_g_file", "_g_pos")
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit("delete")))
+      } else {
       val added = d.add
       val removed = d.remove.sorted
+      // Prior MoR deletions overlay the REPLACED side: a rewrite absorbs
+      // them, and without the overlay the diff would re-emit rows whose
+      // deletion was already surfaced by the delete-dv commit.
+      lazy val prevDvs = resolveFiles(v - 1).filter(isDv)
       (added.nonEmpty, removed.nonEmpty) match {
         case (false, false) => None
         case (true, false)  => Some(tagged(added, v, "insert"))
-        case (false, true)  => Some(tagged(removed, v, "delete"))
+        case (false, true)  =>
+          Some(readLive(removed.filterNot(isDv), prevDvs)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_change_type", lit("delete")))
         case (true, true)   =>
           // Rewrite: diff replaced vs replacement content so untouched
           // rows (and whole no-op rewrites like optimize) cancel out.
-          val oldRows = readFiles(removed)
-          val newRows = readFiles(added).select(oldRows.columns.map(col): _*)
+          val oldRows = readLive(removed.filterNot(isDv), prevDvs)
+          val newRows = readFiles(added.filterNot(isDv))
+            .select(oldRows.columns.map(col): _*)
           Some(newRows.exceptAll(oldRows)
             .withColumn("_commit_version", lit(v))
             .withColumn("_change_type", lit("insert"))
             .unionByName(oldRows.exceptAll(newRows)
               .withColumn("_commit_version", lit(v))
               .withColumn("_change_type", lit("delete"))))
+      }
       }
     }
     if (batches.isEmpty) {
@@ -817,12 +931,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   /** File names (not paths) of committed files holding ≥1 row matching
     * `hit`, via one column-pruned scan of the snapshot. The result is
     * O(affected files) driver-side — file metadata, not data. */
-  private def affectedFiles(c: Commit, hit: org.apache.spark.sql.Column): Seq[String] =
-    spark.read.option("mergeSchema", "true")
-      .parquet(c.files.map(f => s"$tablePath/$f"): _*)
+  private def affectedFiles(c: Commit, hit: org.apache.spark.sql.Column): Seq[String] = {
+    val (dvs, data) = splitDv(c.files)
+    // LIVE rows only: a row already removed by a deletion vector must not
+    // count as affected (it would rewrite — and re-count — a dead row).
+    readWithPos(data, dvs)
       .filter(hit)
-      .select(col("_metadata.file_path").as("_graft_file")).distinct()
-      .collect().map(r => new Path(r.getString(0)).getName).toSeq
+      .select(col("_g_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
 
   private def readFiles(names: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
@@ -857,6 +974,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           s"file(s) [${overlap.toSeq.sorted.take(3).mkString(", ")}] that " +
           s"racing commit v$v (${d.action}) rewrote — re-run against the " +
           s"fresh snapshot")
+      // A racing MoR delete marked rows inside files this rewrite staged
+      // from their PRE-deletion content — committing would resurrect the
+      // racer's deleted rows (the DV entries go inert on our new files).
+      val dvOverlap = d.dvTargets.toSet.intersect(readSet)
+      if (dvOverlap.nonEmpty) sys.error(
+        s"rewrite conflict: this $action (based on v${base.version}) " +
+          s"rewrote file(s) [${dvOverlap.toSeq.sorted.take(3).mkString(", ")}] " +
+          s"in which racing commit v$v (${d.action}) deleted rows by " +
+          s"deletion vector — re-run against the fresh snapshot")
     }
     val headC = readCommit(head)
     if (headC.schemaDdl != base.schemaDdl) sys.error(
@@ -914,13 +1040,130 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         val affected = affectedFiles(c, hit)
         if (affected.isEmpty) None
         else {
-          val before = readFiles(affected)
+          val (dvs, _) = splitDv(c.files)
+          // through the overlay: prior MoR deletions in the affected
+          // files are ABSORBED by this rewrite (their rows stay gone,
+          // their DV entries go inert), and `removed` counts live rows
+          val before = readLive(affected, dvs)
           val kept = before.filter(not(hit))
           val removed = before.count() - kept.count()
           Some(commitRewrite("delete", c, affected, kept, c.rows - removed))
         }
       }
     }
+
+  /** DELETE WHERE, merge-on-read: instead of rewriting the affected data
+    * files (copy-on-write [[delete]]), commit a DELETION VECTOR — the
+    * (file, row-position) set of matching LIVE rows — and leave every
+    * data file untouched. The write cost is O(deleted rows), not
+    * O(affected files' bytes): the right tool when a selective delete
+    * hits rows spread across many large files (GDPR erasure over a
+    * 100 TB corpus rewrites nothing). Readers pay a deleted-rows-sized
+    * anti-join until a rewrite or [[optimize]] absorbs the vector.
+    *
+    * Concurrency is ROW-level, not file-level: two racing MoR deletes
+    * marking DISJOINT rows both land — even in the same data file —
+    * because neither invalidates what the other read (the finer-grained
+    * sibling of [[rebaseTarget]]'s file-level rule, which CoW rewrites
+    * are stuck with). Racing deletes that mark an OVERLAPPING row abort
+    * loudly (a row must not be double-counted as deleted), as does a
+    * racing rewrite of any targeted file (the positions would dangle).
+    * Returns the new version, or None when no live row matches.
+    */
+  def deleteMoR(condition: org.apache.spark.sql.Column,
+                maxRetries: Int = 10): Option[Int] =
+    latestVersion().flatMap { v0 =>
+      val c = readCommit(v0)
+      val (dvs, data) = splitDv(c.files)
+      if (data.isEmpty) None
+      else {
+        val hit = coalesce(condition, lit(false))
+        val marks = readWithPos(data, dvs).filter(hit)
+          .select(col("_g_file").as("file"), col("_g_pos").as("pos"))
+        // one small file per commit: the vector is deleted-rows-sized
+        val dvFiles = stage(marks.coalesce(1), nextVersion,
+          prefix = "dv-", collectStats = false)
+        val deleted = stagedRowCount(dvFiles)
+        if (deleted == 0) {
+          dvFiles.foreach(f => fs.delete(new Path(s"$tablePath/$f"), false))
+          None
+        } else {
+          val targets = readFiles(dvFiles).select("file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          Some(commitDv(c, dvFiles, targets, deleted, maxRetries))
+        }
+      }
+    }
+
+  /** Commit a staged deletion vector with row-level read-set validation:
+    * walk every commit that landed after `base` —
+    *  - a table replacement / schema change aborts ([[rebaseTarget]]'s
+    *    metadata rule);
+    *  - a racing commit that REMOVED any targeted data file aborts (our
+    *    row positions refer to content that left the snapshot);
+    *  - a racing DV commit on a shared data file is checked at ROW
+    *    granularity: disjoint positions rebase (both deletes land),
+    *    overlapping positions abort naming both commits;
+    *  - blind appends and rewrites of disjoint files rebase.
+    * Like every writer here: data (the DV parquet) stages once, retries
+    * are metadata-only.
+    */
+  private[lake] def commitDv(base: Commit, dvFiles: Seq[String],
+                             targets: Seq[String], deleted: Long,
+                             maxRetries: Int = 10): Int = {
+    val targetSet = targets.toSet
+    var attempt = 0
+    while (true) {
+      val head = latestVersion()
+        .getOrElse(sys.error(s"no committed versions at $tablePath"))
+      ((base.version + 1) to head).foreach { v =>
+        val d = readDelta(v)
+        if (d.full || d.action == "overwrite") sys.error(
+          s"MoR delete conflict: this delete (based on v${base.version}) " +
+            s"lost to racing commit v$v (${d.action}), which replaced the " +
+            s"whole table — re-run against the fresh snapshot")
+        val gone = d.remove.toSet.intersect(targetSet)
+        if (gone.nonEmpty) sys.error(
+          s"MoR delete conflict: this delete (based on v${base.version}) " +
+            s"marked rows in file(s) [${gone.toSeq.sorted.take(3).mkString(", ")}] " +
+            s"that racing commit v$v (${d.action}) rewrote — the row " +
+            s"positions no longer resolve; re-run against the fresh snapshot")
+        val shared = d.dvTargets.toSet.intersect(targetSet)
+        if (shared.nonEmpty) {
+          // row-granularity check: only genuinely overlapping positions
+          // conflict — the upgrade past file-level validation
+          val ours = readFiles(dvFiles)
+            .filter(col("file").isin(shared.toSeq: _*))
+          val theirs = readFiles(d.add.filter(isDv))
+            .filter(col("file").isin(shared.toSeq: _*))
+          val clash = ours.join(theirs, Seq("file", "pos"), "left_semi")
+          if (!clash.isEmpty) sys.error(
+            s"MoR delete conflict: this delete (based on v${base.version}) " +
+              s"and racing commit v$v (delete-dv) marked the SAME row(s) " +
+              s"in shared file(s) [${shared.toSeq.sorted.take(3).mkString(", ")}] " +
+              s"— re-run against the fresh snapshot")
+        }
+      }
+      val headC = readCommit(head)
+      if (headC.schemaDdl != base.schemaDdl) sys.error(
+        s"MoR delete conflict: this delete (based on v${base.version}) " +
+          s"raced a schema change (now at v$head) — re-run against the " +
+          s"fresh snapshot")
+      try {
+        writeCommit(Commit(headC.version + 1, "delete-dv",
+          headC.files ++ dvFiles, base.schemaDdl, headC.rows - deleted,
+          System.currentTimeMillis(), dvTargets = targets))
+        return headC.version + 1
+      } catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit conflict") &&
+              attempt < maxRetries =>
+          attempt += 1 // next loop re-validates against the newer head
+      }
+    }
+    -1 // unreachable
+  }
 
   /** UPDATE SET WHERE: rewrites rows matching `condition` with the
     * assignment expressions (non-matching rows in affected files are
@@ -940,7 +1183,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         val affected = affectedFiles(c, hit)
         if (affected.isEmpty) None
         else {
-          val rewritten = readFiles(affected).select(cols.map { n =>
+          val (dvs, _) = splitDv(c.files)
+          val rewritten = readLive(affected, dvs).select(cols.map { n =>
             assignments.get(n) match {
               case Some(e) => when(hit, e).otherwise(col(n)).as(n)
               case None    => col(n)
@@ -971,20 +1215,22 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           else Some(commitAppend(source, maxRetries = 0))
         } else {
           val srcKeys = source.select(keys.map(source.col): _*).distinct()
-          // `_metadata` is a scan-level column: project it BEFORE the
-          // join (post-join it no longer resolves).
-          val snapKeys = spark.read.option("mergeSchema", "true")
-            .parquet(c.files.map(f => s"$tablePath/$f"): _*)
-            .select(keys.map(col) :+ col("_metadata.file_path").as("_graft_file"): _*)
+          val (dvs, data) = splitDv(c.files)
+          // `_metadata` is a scan-level column: readWithPos projects it
+          // BEFORE the join (post-join it no longer resolves), and the
+          // DV overlay keeps MoR-deleted keys from matching (a deleted
+          // key must INSERT, not resurrect the dead row's file).
+          val snapKeys = readWithPos(data, dvs)
+            .select(keys.map(col) :+ col("_g_file"): _*)
           val affected = snapKeys.join(srcKeys, keys, "left_semi")
-            .select("_graft_file").distinct()
-            .collect().map(r => new Path(r.getString(0)).getName).toSeq
+            .select("_g_file").distinct()
+            .collect().map(_.getString(0)).toSeq
           if (affected.isEmpty) {
             // "no keys matched" is a read-set decision too — no rebase
             if (source.isEmpty) None
             else Some(commitAppend(source, maxRetries = 0))
           } else {
-            val before = readFiles(affected)
+            val before = readLive(affected, dvs)
             val rewritten = Merge.upsert(before, source, keys)
             val newRows = c.rows - before.count() + rewritten.count()
             Some(commitRewrite("merge", c, affected, rewritten, newRows))
@@ -998,16 +1244,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def optimize(targetRowsPerFile: Long): Int = {
     val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
     val c = readCommit(v0)
+    val (dvs, data) = splitDv(c.files)
     // row count from the maintained commit metadata (footer-exact by
-    // protocol) — no full count scan before the rewrite
+    // protocol, live-row exact under DVs) — no full count scan
     val nFiles = math.max(1, math.ceil(c.rows.toDouble / targetRowsPerFile).toInt)
     val compacted =
-      if (c.files.isEmpty)
+      if (data.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType.fromDDL(c.schemaDdl))
-      else readFiles(c.files).repartition(nFiles)
-    // read-set = the whole snapshot (optimize rewrites everything), so a
-    // racing append rebases cleanly while a racing rewrite aborts
+      else readLive(data, dvs).repartition(nFiles)
+    // read-set = the whole snapshot INCLUDING its deletion vectors:
+    // optimize rewrites every data file through the overlay, leaving
+    // every DV entry inert, so the DVs drop out of the new snapshot —
+    // the compaction that also purges soft-deleted rows (Delta's
+    // OPTIMIZE + DV rewrite). A racing append rebases cleanly; a racing
+    // rewrite or DV commit aborts (overlap).
     commitRewrite("optimize", c, c.files, compacted, c.rows)
   }
 

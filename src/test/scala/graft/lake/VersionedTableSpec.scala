@@ -456,6 +456,174 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("replaced the whole table"), err2.getMessage)
   }
 
+  // ---- deletion vectors (merge-on-read deletes) ------------------------
+
+  test("MoR delete: rows gone, data files untouched, time travel intact, live-row accounting") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(2)) // v0
+    val filesV0 = t.readCommit(0).files
+    assert(t.deleteMoR(col("id") <= 3L).contains(1))
+    // every data file of v0 is STILL a member of v1 — nothing rewritten;
+    // the only new snapshot member is one deletion vector
+    val filesV1 = t.readCommit(1).files
+    assert(filesV1.filterNot(_.startsWith("dv-")).toSet == filesV0.toSet)
+    assert(filesV1.count(_.startsWith("dv-")) == 1)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (4L to 10L))
+    assert(t.history().last._2 == "delete-dv" && t.history().last._3 == 7L)
+    // time travel reads the pre-delete snapshot (no overlay below v1)
+    assert(t.read(Some(0)).count() == 10)
+    // a second MoR delete composes with the first vector
+    assert(t.deleteMoR(col("id") === 10L).contains(2))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (4L to 9L))
+    // no LIVE row matches an already-deleted id → no-op, nothing committed
+    assert(t.deleteMoR(col("id") === 1L).isEmpty)
+    assert(t.versions() == Seq(0, 1, 2))
+    // skipping path reads through the same overlay
+    assert(t.readWhere(col("id") >= 8L).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(8L, 9L))
+  }
+
+  test("racing MoR deletes, disjoint rows in the SAME data file: both land (row-level validation)") {
+    val path = Files.createTempDirectory("graft-vt").toString + "/t"
+    VersionedTable(spark, path)
+      .commitOverwrite((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Option[Int]]]()
+    def racer(name: String, cond: org.apache.spark.sql.Column): Thread = {
+      val th = new Thread(() => {
+        val h = VersionedTable(spark, path)
+        latch.await()
+        results.put(name,
+          try Right(h.deleteMoR(cond)) catch { case e: Throwable => Left(e) })
+      })
+      th.start(); th
+    }
+    val a = racer("lo", col("id") <= 2L)
+    val b = racer("hi", col("id") >= 9L)
+    latch.countDown(); a.join(300000); b.join(300000)
+    val outcomes = Seq("lo", "hi").map(results.get)
+    // EVERY interleaving lands both: raced → the loser's row-level check
+    // finds disjoint positions and rebases; serialized → the second just
+    // sees the first's overlay and its own rows are still live
+    assert(outcomes.forall(r => r != null && r.isRight), s"outcomes: $outcomes")
+    assert(outcomes.collect { case Right(Some(v)) => v }.sorted == Seq(1, 2))
+    val t = VersionedTable(spark, path)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (3L to 8L))
+    assert(t.history().last._3 == 6L)
+  }
+
+  test("MoR deletes marking the SAME row: row-level check aborts loudly naming both commits") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    val base = t.readCommit(0)
+    assert(t.deleteMoR(col("id") === 5L).contains(1)) // v1: DV marks (fileA, pos of id=5)
+    val dv1 = t.readCommit(1).files.filter(_.startsWith("dv-"))
+    // replay the same vector under a fresh name — a delete that based on
+    // v0 and marked the SAME row as the racing v1 commit
+    val clashName = "dv-v00000099-testclash-part-00000.parquet"
+    val dir = t.tablePath
+    spark.read.parquet(dv1.map(f => s"$dir/$f"): _*).coalesce(1)
+      .write.parquet(s"$dir/_stage-test-clash")
+    val part = new java.io.File(s"$dir/_stage-test-clash").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(s"$dir/$clashName")))
+    val err = intercept[RuntimeException] {
+      t.commitDv(base, Seq(clashName), base.files.take(1), 1L)
+    }
+    assert(err.getMessage.contains("SAME row") && err.getMessage.contains("v0") &&
+      err.getMessage.contains("v1"), err.getMessage)
+    // a DISJOINT vector from the same stale base lands instead
+    val okName = "dv-v00000099-testok-part-00000.parquet"
+    // position of id=2 inside the (single) immutable data file
+    val posOf2 = spark.read.parquet(base.files.map(f => s"$dir/$f"): _*)
+      .select(col("id"), col("_metadata.row_index").as("pos"))
+      .where(col("id") === 2L).select("pos").as[Long].head()
+    Seq((new org.apache.hadoop.fs.Path(base.files.head).getName, posOf2))
+      .toDF("file", "pos").coalesce(1).write.parquet(s"$dir/_stage-test-ok")
+    val part2 = new java.io.File(s"$dir/_stage-test-ok").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part2.renameTo(new java.io.File(s"$dir/$okName")))
+    assert(t.commitDv(base, Seq(okName), base.files.take(1), 1L) == 2)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("MoR delete vs CoW rewrite: either order conflicts loudly (positions must never dangle)") {
+    // CoW rewrite based BEFORE a racing DV commit on its read-set: abort
+    val t = freshTable()
+    t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    val base = t.readCommit(0)
+    assert(t.deleteMoR(col("id") === 5L).contains(1)) // racing DV lands v1
+    val kept = t.read(Some(0)).where(col("id") =!= 1L)
+    val err = intercept[RuntimeException] {
+      t.commitRewrite("delete", base, base.files, kept, base.rows - 1)
+    }
+    assert(err.getMessage.contains("deletion vector") &&
+      err.getMessage.contains("v0") && err.getMessage.contains("v1"),
+      err.getMessage)
+    // DV based BEFORE a racing CoW rewrite of its target file: abort
+    val t2 = freshTable()
+    t2.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    val base2 = t2.readCommit(0)
+    assert(t2.delete(col("id") === 1L).contains(1)) // CoW rewrite lands v1
+    val staleName = "dv-v00000099-teststale-part-00000.parquet"
+    Seq((new org.apache.hadoop.fs.Path(base2.files.head).getName, 4L))
+      .toDF("file", "pos").coalesce(1)
+      .write.parquet(s"${t2.tablePath}/_stage-test-stale")
+    val part3 = new java.io.File(s"${t2.tablePath}/_stage-test-stale").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part3.renameTo(new java.io.File(s"${t2.tablePath}/$staleName")))
+    val err2 = intercept[RuntimeException] {
+      t2.commitDv(base2, Seq(staleName), base2.files, 1L)
+    }
+    assert(err2.getMessage.contains("rewrote") && err2.getMessage.contains("v1"),
+      err2.getMessage)
+  }
+
+  test("CoW rewrites absorb deletion vectors; optimize purges them from the snapshot") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    assert(t.deleteMoR(col("id") <= 2L).contains(1))                                // v1
+    // update rewrites the file THROUGH the overlay: deleted rows stay
+    // gone in the new file; the DV entries go inert (their file left)
+    assert(t.update(col("id") === 6L, Map("v" -> lit("X"))).contains(2))            // v2
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((3L, "r3"), (4L, "r4"), (5L, "r5"), (6L, "X")))
+    assert(t.history().last._3 == 4L)
+    // optimize drops every deletion vector outright
+    assert(t.readCommit(2).files.exists(_.startsWith("dv-"))) // inert but present
+    t.optimize(100)                                                                  // v3
+    assert(!t.readCommit(3).files.exists(_.startsWith("dv-")))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (3L to 6L))
+    // time travel through the DV era still answers correctly
+    assert(t.read(Some(1)).select("id").as[Long].collect().sorted.toSeq == (3L to 6L))
+  }
+
+  test("change feed: delete-dv emits exactly the marked rows; a later rewrite emits no phantoms") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    assert(t.deleteMoR(col("id") <= 2L).contains(1))                                // v1
+    assert(t.update(col("id") === 6L, Map("v" -> lit("X"))).contains(2))            // v2
+    val dv = t.changesBetween(0, 1)
+      .select(col("id"), col("_change_type")).as[(Long, String)].collect().sorted.toSeq
+    assert(dv == Seq((1L, "delete"), (2L, "delete")))
+    // the rewrite diff reads the replaced file through the v1 overlay, so
+    // rows 1-2 (already surfaced above) do NOT reappear as deletes here
+    val upd = t.changesBetween(1, 2)
+      .select(col("id"), col("_change_type")).as[(Long, String)].collect().sorted.toSeq
+    assert(upd == Seq((6L, "delete"), (6L, "insert")))
+  }
+
+  test("vacuum keeps deletion vectors referenced by retained versions") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    assert(t.deleteMoR(col("id") === 1L).contains(1))                               // v1
+    t.commitAppend(Seq((7L, "r7")).toDF("id", "v"))                                 // v2
+    t.vacuum(retainVersions = 2) // keeps v1, v2 — both reference the DV
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (2L to 7L))
+    assert(t.read(Some(1)).select("id").as[Long].collect().sorted.toSeq == (2L to 6L))
+  }
+
   test("8-way append contention: every writer lands exactly once through multi-round rebases") {
     // The 2-writer race proves ONE rebase; 8 simultaneous writers prove
     // the retry LOOP — a loser can lose the re-attempt again (up to 7
