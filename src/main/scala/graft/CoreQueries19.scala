@@ -70,22 +70,26 @@ object CoreQueries19 {
         .orderBy("o_orderpriority")
     },
 
-    // Merge-on-read deletes through the CORRECTNESS board (round 13):
-    // two DELETEs land as DELETION VECTORS — O(deleted rows) written,
+    // Merge-on-read DML through the CORRECTNESS board (round 13): two
+    // DELETEs land as DELETION VECTORS and an UPDATE lands DV-backed
+    // (vector + new row images in ONE commit) — O(mutated rows) written,
     // ZERO data files rewritten (asserted from the commit ledger below:
-    // the delete-dv commits each grow the snapshot by exactly one dv
-    // file) — then an UPDATE absorbs the vectors for its affected files
-    // and OPTIMIZE purges the rest. The final snapshot is compared
-    // relationally against the oracle's WHERE/CASE equivalent, proving
-    // the whole MoR → absorb → purge lifecycle leaves exactly the right
-    // rows. This is the GDPR-erasure shape at 100 TB: selective deletes
-    // spread across many large files cost deleted-rows bytes, not
-    // affected-files bytes, and reads stay exact via the row-index
-    // anti-join until compaction catches up.
+    // each MoR commit only ADDS files) — then a copy-on-write UPDATE
+    // absorbs the vectors for its affected files and OPTIMIZE purges the
+    // rest. The final snapshot is compared relationally against the
+    // oracle's WHERE/CASE equivalent, proving the whole MoR → absorb →
+    // purge lifecycle leaves exactly the right rows. This is the
+    // GDPR-erasure shape at 100 TB: selective mutations spread across
+    // many large files cost mutated-rows bytes, not affected-file
+    // bytes, and reads stay exact via the row-index anti-join until
+    // compaction catches up.
     q("q_lake_dv",
       """SELECT c_custkey,
         |  CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 5000
-        |       THEN 'PROMOTED' ELSE c_mktsegment END AS segment,
+        |       THEN 'PROMOTED'
+        |       WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
+        |       THEN 'LUXURY'
+        |       ELSE c_mktsegment END AS segment,
         |  c_nationkey
         |FROM customer
         |WHERE c_acctbal >= 0 AND c_mktsegment <> 'MACHINERY'
@@ -95,19 +99,24 @@ object CoreQueries19 {
       t.commitOverwrite(customer(s, d).repartition(4))                    // v0
       t.deleteMoR(col("c_acctbal") < 0)                                   // v1
       t.deleteMoR(col("c_mktsegment") === "MACHINERY")                    // v2
-      t.update(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000,
+      t.updateMoR(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000,
         Map("c_mktsegment" -> lit("PROMOTED")))                           // v3
-      t.optimize(targetRowsPerFile = 100000)                              // v4
-      // ledger proof that the deletes were merge-on-read: each delete-dv
-      // commit added exactly ONE file (the vector) and removed none
+      t.update(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") > 9000,
+        Map("c_mktsegment" -> lit("LUXURY")))                             // v4
+      t.optimize(targetRowsPerFile = 100000)                              // v5
+      // ledger proof the MoR commits rewrote nothing: each delete-dv
+      // added exactly ONE file (the vector) and removed none, and the
+      // update-dv only ADDED (vector + new images)
       val ledger = t.historyDF().orderBy("version")
         .select("action", "n_files").collect()
         .map(r => (r.getString(0), r.getInt(1))).toSeq
       val actions = ledger.map(_._1)
-      if (actions != Seq("overwrite", "delete-dv", "delete-dv", "update", "optimize"))
+      if (actions != Seq("overwrite", "delete-dv", "delete-dv", "update-dv",
+          "update", "optimize"))
         sys.error(s"q_lake_dv: unexpected commit chain $actions")
-      if (ledger(1)._2 != ledger(0)._2 + 1 || ledger(2)._2 != ledger(0)._2 + 2)
-        sys.error(s"q_lake_dv: delete-dv rewrote data files: $ledger")
+      if (ledger(1)._2 != ledger(0)._2 + 1 || ledger(2)._2 != ledger(0)._2 + 2 ||
+          ledger(3)._2 <= ledger(2)._2 + 1)
+        sys.error(s"q_lake_dv: MoR commit rewrote data files: $ledger")
       t.read()
         .select(col("c_custkey"), col("c_mktsegment").as("segment"),
           col("c_nationkey"))

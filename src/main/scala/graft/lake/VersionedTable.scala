@@ -863,20 +863,24 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       // The incremental log IS the change record: no snapshot diffing.
       val d = readDelta(v)
-      if (d.action == "delete-dv") {
-        // MoR delete: the change set is exactly the rows at the marked
-        // positions — read ONLY the targeted files (cost ∝ the delete,
-        // never the table) and semi-join the vector. The marked rows
-        // were live at the delete's base by construction (deleteMoR
-        // scans through the overlay; racing DVs are row-disjoint), so
-        // no prior-DV subtraction is needed.
+      if (d.dvTargets.nonEmpty) {
+        // MoR delete/update: the change set is exactly the rows at the
+        // marked positions (plus, for update-dv, the new images in the
+        // commit's added data files) — read ONLY the targeted files
+        // (cost ∝ the mutation, never the table) and semi-join the
+        // vector. The marked rows were live at the writer's base by
+        // construction (the mark pass scans through the overlay; racing
+        // DVs are row-disjoint), so no prior-DV subtraction is needed.
         val dvPos = readFiles(d.add.filter(isDv))
           .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
-        Some(readWithPos(d.dvTargets, Nil)
+        val dels = readWithPos(d.dvTargets, Nil)
           .join(dvPos, Seq("_g_file", "_g_pos"), "left_semi")
           .drop("_g_file", "_g_pos")
           .withColumn("_commit_version", lit(v))
-          .withColumn("_change_type", lit("delete")))
+          .withColumn("_change_type", lit("delete"))
+        val newData = d.add.filterNot(isDv)
+        Some(if (newData.isEmpty) dels
+             else dels.unionByName(tagged(newData, v, "insert")))
       } else {
       val added = d.add
       val removed = d.remove.sorted
@@ -1090,26 +1094,76 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         } else {
           val targets = readFiles(dvFiles).select("file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
-          Some(commitDv(c, dvFiles, targets, deleted, maxRetries))
+          Some(commitDv(c, dvFiles, targets, -deleted, maxRetries = maxRetries))
         }
       }
     }
 
-  /** Commit a staged deletion vector with row-level read-set validation:
-    * walk every commit that landed after `base` —
+  /** UPDATE SET WHERE, merge-on-read (Delta's DV-backed update): ONE
+    * commit marks the matching live rows in a deletion vector AND adds
+    * new files carrying their updated images — the affected data files
+    * are never rewritten, so the write cost is O(updated rows) instead
+    * of O(affected files' bytes). Readers see the new images from the
+    * added files and lose the old ones to the overlay, atomically (both
+    * land in the same commit record). Conflict semantics are
+    * [[commitDv]]'s row-level rules; the new-image files are
+    * append-like and conflict with nothing. Returns the new version,
+    * or None when no live row matches.
+    */
+  def updateMoR(condition: org.apache.spark.sql.Column,
+                assignments: Map[String, org.apache.spark.sql.Column],
+                maxRetries: Int = 10): Option[Int] =
+    latestVersion().flatMap { v0 =>
+      val c = readCommit(v0)
+      val cols = StructType.fromDDL(c.schemaDdl).map(_.name)
+      val unknown = assignments.keySet -- cols.toSet
+      if (unknown.nonEmpty)
+        sys.error(s"updateMoR assigns unknown columns $unknown")
+      val (dvs, data) = splitDv(c.files)
+      if (data.isEmpty) None
+      else {
+        val hit = coalesce(condition, lit(false))
+        val marked = readWithPos(data, dvs).filter(hit)
+        val dvFiles = stage(
+          marked.select(col("_g_file").as("file"), col("_g_pos").as("pos"))
+            .coalesce(1),
+          nextVersion, prefix = "dv-", collectStats = false)
+        val updated = stagedRowCount(dvFiles)
+        if (updated == 0) {
+          dvFiles.foreach(f => fs.delete(new Path(s"$tablePath/$f"), false))
+          None
+        } else {
+          // every marked row satisfied `hit`, so assignments apply flatly
+          val newImages = marked.drop("_g_file", "_g_pos").select(cols.map { n =>
+            assignments.get(n).map(_.as(n)).getOrElse(col(n))
+          }: _*)
+          val newFiles = stage(newImages, nextVersion)
+          val targets = readFiles(dvFiles).select("file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          Some(commitDv(c, dvFiles, targets, 0L, action = "update-dv",
+            extraFiles = newFiles, maxRetries = maxRetries))
+        }
+      }
+    }
+
+  /** Commit a staged deletion vector (plus, for DV-backed updates, the
+    * staged files carrying the new row images) with row-level read-set
+    * validation: walk every commit that landed after `base` —
     *  - a table replacement / schema change aborts ([[rebaseTarget]]'s
     *    metadata rule);
     *  - a racing commit that REMOVED any targeted data file aborts (our
     *    row positions refer to content that left the snapshot);
     *  - a racing DV commit on a shared data file is checked at ROW
-    *    granularity: disjoint positions rebase (both deletes land),
+    *    granularity: disjoint positions rebase (both writers land),
     *    overlapping positions abort naming both commits;
     *  - blind appends and rewrites of disjoint files rebase.
-    * Like every writer here: data (the DV parquet) stages once, retries
-    * are metadata-only.
+    * Like every writer here: data (the DV parquet and any new-row
+    * files) stages once, retries are metadata-only.
     */
   private[lake] def commitDv(base: Commit, dvFiles: Seq[String],
-                             targets: Seq[String], deleted: Long,
+                             targets: Seq[String], rowDelta: Long,
+                             action: String = "delete-dv",
+                             extraFiles: Seq[String] = Nil,
                              maxRetries: Int = 10): Int = {
     val targetSet = targets.toSet
     var attempt = 0
@@ -1119,12 +1173,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       ((base.version + 1) to head).foreach { v =>
         val d = readDelta(v)
         if (d.full || d.action == "overwrite") sys.error(
-          s"MoR delete conflict: this delete (based on v${base.version}) " +
+          s"MoR conflict: this $action (based on v${base.version}) " +
             s"lost to racing commit v$v (${d.action}), which replaced the " +
             s"whole table — re-run against the fresh snapshot")
         val gone = d.remove.toSet.intersect(targetSet)
         if (gone.nonEmpty) sys.error(
-          s"MoR delete conflict: this delete (based on v${base.version}) " +
+          s"MoR conflict: this $action (based on v${base.version}) " +
             s"marked rows in file(s) [${gone.toSeq.sorted.take(3).mkString(", ")}] " +
             s"that racing commit v$v (${d.action}) rewrote — the row " +
             s"positions no longer resolve; re-run against the fresh snapshot")
@@ -1138,20 +1192,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             .filter(col("file").isin(shared.toSeq: _*))
           val clash = ours.join(theirs, Seq("file", "pos"), "left_semi")
           if (!clash.isEmpty) sys.error(
-            s"MoR delete conflict: this delete (based on v${base.version}) " +
-              s"and racing commit v$v (delete-dv) marked the SAME row(s) " +
+            s"MoR conflict: this $action (based on v${base.version}) " +
+              s"and racing commit v$v (${d.action}) marked the SAME row(s) " +
               s"in shared file(s) [${shared.toSeq.sorted.take(3).mkString(", ")}] " +
               s"— re-run against the fresh snapshot")
         }
       }
       val headC = readCommit(head)
       if (headC.schemaDdl != base.schemaDdl) sys.error(
-        s"MoR delete conflict: this delete (based on v${base.version}) " +
+        s"MoR conflict: this $action (based on v${base.version}) " +
           s"raced a schema change (now at v$head) — re-run against the " +
           s"fresh snapshot")
       try {
-        writeCommit(Commit(headC.version + 1, "delete-dv",
-          headC.files ++ dvFiles, base.schemaDdl, headC.rows - deleted,
+        writeCommit(Commit(headC.version + 1, action,
+          headC.files ++ dvFiles ++ extraFiles, base.schemaDdl,
+          headC.rows + rowDelta,
           System.currentTimeMillis(), dvTargets = targets))
         return headC.version + 1
       } catch {

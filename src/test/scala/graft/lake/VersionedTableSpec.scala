@@ -528,7 +528,7 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".parquet")).head
     assert(part.renameTo(new java.io.File(s"$dir/$clashName")))
     val err = intercept[RuntimeException] {
-      t.commitDv(base, Seq(clashName), base.files.take(1), 1L)
+      t.commitDv(base, Seq(clashName), base.files.take(1), -1L)
     }
     assert(err.getMessage.contains("SAME row") && err.getMessage.contains("v0") &&
       err.getMessage.contains("v1"), err.getMessage)
@@ -543,7 +543,7 @@ class VersionedTableSpec extends AnyFunSuite {
     val part2 = new java.io.File(s"$dir/_stage-test-ok").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     assert(part2.renameTo(new java.io.File(s"$dir/$okName")))
-    assert(t.commitDv(base, Seq(okName), base.files.take(1), 1L) == 2)
+    assert(t.commitDv(base, Seq(okName), base.files.take(1), -1L) == 2)
     assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 3L, 4L, 6L))
   }
@@ -574,7 +574,7 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".parquet")).head
     assert(part3.renameTo(new java.io.File(s"${t2.tablePath}/$staleName")))
     val err2 = intercept[RuntimeException] {
-      t2.commitDv(base2, Seq(staleName), base2.files, 1L)
+      t2.commitDv(base2, Seq(staleName), base2.files, -1L)
     }
     assert(err2.getMessage.contains("rewrote") && err2.getMessage.contains("v1"),
       err2.getMessage)
@@ -612,6 +612,40 @@ class VersionedTableSpec extends AnyFunSuite {
     val upd = t.changesBetween(1, 2)
       .select(col("id"), col("_change_type")).as[(Long, String)].collect().sorted.toSeq
     assert(upd == Seq((6L, "delete"), (6L, "insert")))
+  }
+
+  test("MoR update: one commit = vector + new images, files untouched, CDC emits pairs") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
+    val filesV0 = t.readCommit(0).files
+    assert(t.updateMoR(col("id") >= 5L, Map("v" -> lit("X"))).contains(1))          // v1
+    val f1 = t.readCommit(1).files
+    // every v0 data file is still a snapshot member; the commit only ADDED
+    // one vector plus the new-image file(s)
+    assert(filesV0.forall(f1.contains))
+    assert(f1.count(_.startsWith("dv-")) == 1)
+    assert(f1.size > filesV0.size + 1)
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq ==
+      Seq((1L, "r1"), (2L, "r2"), (3L, "r3"), (4L, "r4"), (5L, "X"), (6L, "X")))
+    // live-row count unchanged; action recorded
+    assert(t.history().last._2 == "update-dv" && t.history().last._3 == 6L)
+    // time travel pre-update
+    assert(t.read(Some(0)).where(col("id") === 5L).select("v").as[String]
+      .head() == "r5")
+    // no live row matches → no-op, nothing committed
+    assert(t.updateMoR(col("id") === 99L, Map("v" -> lit("Y"))).isEmpty)
+    assert(t.versions() == Seq(0, 1))
+    // CDC: the update surfaces as its delete(old image) + insert(new image)
+    val cdf = t.changesBetween(0, 1)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(cdf == Seq((5L, "X", "insert"), (5L, "r5", "delete"),
+      (6L, "X", "insert"), (6L, "r6", "delete")))
+    // a CoW rewrite then absorbs BOTH the vector and the new images
+    assert(t.update(col("id") === 1L, Map("v" -> lit("one"))).contains(2))
+    assert(t.read().orderBy("id").select("v").as[String].collect().toSeq ==
+      Seq("one", "r2", "r3", "r4", "X", "X"))
   }
 
   test("vacuum keeps deletion vectors referenced by retained versions") {
