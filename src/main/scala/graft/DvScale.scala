@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale measurement for merge-on-read vs copy-on-write deletes:
+  * `runMain graft.DvScale <sfDir> [selectivityPct]`
+  *
+  * Builds two identical versioned tables from `lineitem` at `sfDir`
+  * (16 data files — the many-large-files layout MoR is designed for),
+  * then times the SAME selective delete both ways and a full snapshot
+  * read after each, printing one line per leg. This is the measured
+  * basis (SCALE.md) for when `deleteMoR` beats `delete`: the CoW cost
+  * is affected-file BYTES rewritten, the MoR cost is deleted-row
+  * POSITIONS written plus a per-read anti-join tax until compaction
+  * absorbs the vector — at 100 TB with a spread-out predicate (GDPR
+  * erasure), CoW rewrites everything and MoR writes kilobytes.
+  */
+object DvScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val pct = args.lift(1).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"DVSCALE $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    // spread-out selective predicate: ~pct% of rows, touching EVERY file
+    val cond = pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(100))
+      .lt(lit(pct))
+    val src = Tables.lineitem(spark, sfDir).repartition(16)
+
+    val cowDir = graft.lake.Scratch.dir("dvscale-cow") + "/t"
+    val morDir = graft.lake.Scratch.dir("dvscale-mor") + "/t"
+    val cow = graft.lake.VersionedTable(spark, cowDir)
+    val mor = graft.lake.VersionedTable(spark, morDir)
+    cow.commitOverwrite(src)
+    mor.commitOverwrite(src)
+    val total = cow.read().count()
+
+    val vCow = time("delete (copy-on-write)")(cow.delete(cond))
+    val vMor = time("deleteMoR (deletion vector)")(mor.deleteMoR(cond))
+    require(vCow.nonEmpty && vMor.nonEmpty, "predicate matched nothing")
+    val nCow = time("read after CoW")(cow.read().count())
+    val nMor = time("read after MoR")(mor.read().count())
+    require(nCow == nMor, s"row drift: CoW $nCow vs MoR $nMor")
+    time("optimize absorbs the vector")(mor.optimize(2000000))
+    val nOpt = mor.read().count()
+    require(nOpt == nMor, s"optimize drift: $nOpt vs $nMor")
+    println(s"DVSCALE rows total=$total live=$nMor " +
+      s"deleted=${total - nMor} (${pct}% spread across all 16 files)")
+    spark.stop()
+  }
+}
