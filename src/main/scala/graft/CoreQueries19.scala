@@ -121,6 +121,44 @@ object CoreQueries19 {
         .select(col("c_custkey"), col("c_mktsegment").as("segment"),
           col("c_nationkey"))
         .orderBy("c_custkey")
+    },
+
+    // Predicate-scoped overwrite (Delta's replaceWhere) through the
+    // CORRECTNESS board: load the full events fact, then RE-LOAD its
+    // earliest day with corrected values (×2) via replaceWhere — the
+    // idempotent daily re-load primitive (running the same load twice
+    // replaces the day with itself; out-of-scope rows are rejected
+    // before anything commits, so a "day" can never leak into another).
+    // Only files holding that day rewrite; the final snapshot's per-day
+    // aggregate is compared against the oracle's CASE equivalent. The
+    // min-day lookup is a 1-row aggregate head() — O(1) driver metadata,
+    // the same class as the commit protocol's own log reads.
+    q("q_lake_replace_where",
+      """WITH e AS (SELECT strftime(date_trunc('day', ts::TIMESTAMP),
+        |    '%Y-%m-%d') AS day, value FROM events),
+        |  d0 AS (SELECT min(day) AS day0 FROM e)
+        |SELECT day, count(*) AS n,
+        |  round(sum(CASE WHEN day = (SELECT day0 FROM d0)
+        |            THEN value * 2 ELSE value END), 6) AS vsum
+        |FROM e GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val dir = graft.lake.Scratch.dir("graft-vt-rw") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      val ev = events(s, d).select(col("event_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"))
+      t.commitOverwrite(ev)                                               // v0
+      val day0 = ev.agg(min("day")).head().getString(0)
+      val reload = ev.filter(col("day") === day0)
+        .withColumn("value", col("value") * 2)
+      t.replaceWhere(col("day") === day0, reload)                         // v1
+      // idempotence: the same re-load replaces itself (content stable)
+      t.replaceWhere(col("day") === day0, reload)                         // v2
+      if (t.history().map(_._2) != Seq("overwrite", "replaceWhere", "replaceWhere"))
+        sys.error(s"q_lake_replace_where: unexpected chain ${t.history().map(_._2)}")
+      t.read()
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("vsum"))
+        .orderBy("day")
     }
   )
 }

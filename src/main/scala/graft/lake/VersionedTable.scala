@@ -1293,6 +1293,45 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         }
     }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
+    * replace exactly the rows matching `predicate` with `df` — the
+    * idempotent re-load primitive (re-running a day's load replaces that
+    * day, touching nothing else). Every incoming row must itself satisfy
+    * the predicate (checked, Delta's constraint — otherwise a "day"
+    * load could silently leak rows into other days and a re-run would
+    * not be idempotent). Only files holding matching rows rewrite;
+    * stats-based pruning bounds the pre-scan. Returns the new version.
+    */
+  def replaceWhere(predicate: org.apache.spark.sql.Column,
+                   df: DataFrame): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    checkSchema(df, allowNewColumns = false)
+    val c = readCommit(v0)
+    val hit = coalesce(predicate, lit(false))
+    val violations = df.filter(not(hit)).count()
+    if (violations > 0) sys.error(
+      s"replaceWhere: $violations incoming row(s) do not satisfy the " +
+        s"predicate — a scoped overwrite must only write rows inside its " +
+        s"own scope, or re-runs stop being idempotent")
+    val newRows = df.count()
+    val (dvs, data) = splitDv(c.files)
+    if (data.isEmpty) {
+      // empty table: the scoped overwrite degenerates to an append
+      commitAppend(df, maxRetries = 0)
+    } else {
+      val affected = affectedFiles(c, hit)
+      if (affected.isEmpty) commitAppend(df, maxRetries = 0)
+      else {
+        val before = readLive(affected, dvs)
+        val kept = before.filter(not(hit))
+        val replaced = before.count() - kept.count()
+        commitRewrite("replaceWhere", c, affected,
+          kept.unionByName(df.select(before.columns.map(col): _*)),
+          c.rows - replaced + newRows)
+      }
+    }
+  }
+
   /** Compact the current snapshot to ~targetRowsPerFile (content
     * unchanged — a pure layout version; older versions still readable).
     */

@@ -456,6 +456,38 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("replaced the whole table"), err2.getMessage)
   }
 
+  test("replaceWhere: scoped overwrite is idempotent, leaks nothing, rewrites only affected files") {
+    val t = freshTable()
+    // two "days" in separate commits → separate files
+    t.commitOverwrite(Seq((1L, "d1", "a"), (2L, "d1", "b")).toDF("id", "day", "v"))
+    t.commitAppend(Seq((3L, "d2", "c"), (4L, "d2", "e")).toDF("id", "day", "v"))
+    // re-load day 2 with corrected content
+    val v = t.replaceWhere(col("day") === "d2",
+      Seq((30L, "d2", "C"), (40L, "d2", "E")).toDF("id", "day", "v"))
+    assert(v == 2)
+    assert(t.read().orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (30L, "C"), (40L, "E")))
+    assert(t.history().last._2 == "replaceWhere" && t.history().last._3 == 4L)
+    // only the day-2 files rewrote: every v0 (day-1) file is still a member
+    assert(t.readCommit(0).files.forall(t.readCommit(2).files.contains))
+    // idempotent: the SAME re-load replaces itself, content unchanged
+    t.replaceWhere(col("day") === "d2",
+      Seq((30L, "d2", "C"), (40L, "d2", "E")).toDF("id", "day", "v"))
+    assert(t.read().count() == 4)
+    // out-of-scope incoming rows fail loudly BEFORE anything commits
+    val err = intercept[RuntimeException] {
+      t.replaceWhere(col("day") === "d2", Seq((9L, "d1", "X")).toDF("id", "day", "v"))
+    }
+    assert(err.getMessage.contains("do not satisfy"), err.getMessage)
+    assert(t.latestVersion().contains(3))
+    // a scope with no current rows degenerates to an append
+    t.replaceWhere(col("day") === "d9", Seq((90L, "d9", "z")).toDF("id", "day", "v"))
+    assert(t.read().count() == 5)
+    // time travel: the pre-re-load day-2 content is preserved
+    assert(t.read(Some(1)).where(col("day") === "d2").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
   // ---- deletion vectors (merge-on-read deletes) ------------------------
 
   test("MoR delete: rows gone, data files untouched, time travel intact, live-row accounting") {
