@@ -316,6 +316,11 @@ object Bench {
     val jitPostWarm = jitJson()
     def sweep(pass: String, list: Seq[String]): Map[String, Double] = list.flatMap { name =>
       releaseCaches()
+      // drain the async listener bus so the spill counters start (and
+      // below, end) at a true query boundary — onTaskEnd events can lag
+      // the action's return and would otherwise smear one query's spill
+      // into its neighbor's delta
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val t0 = System.nanoTime()
       val spill0 = spillBytes.get + spillDiskBytes.get
       try {
@@ -324,7 +329,9 @@ object Bench {
         // Per-query spill attribution for memory-pressure rehearsals:
         // queries run strictly sequentially, so the listener-counter
         // delta over the query's window is its spill (max across
-        // sweeps — the worst pressure observed).
+        // sweeps — the worst pressure observed). The drain happens
+        // OUTSIDE the timed window (before t0 of the next query).
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         val dSpill = spillBytes.get + spillDiskBytes.get - spill0
         if (dSpill > 0) { querySpill.merge(name, dSpill, (a, b) => math.max(a, b)); () }
         if (debug) System.err.println(f"[bench] p$pass%-3s $name%-28s ${dt}%6.2fs  ${jitStats()}")
@@ -359,7 +366,12 @@ object Bench {
     }
     def fmt(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val errJson = errors.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val protocol = "warm+release+min2+headline2-v4"
+    // Subset rehearsals skip the headline re-sweeps — their records must
+    // say so: a reader comparing "min of 4 steady-state passes" numbers
+    // against a min-of-2 run would be misled by a shared label.
+    val protocol =
+      if (subset.isEmpty) "warm+release+min2+headline2-v4"
+      else "warm+release+min2-v4-subset"
     val jitField =
       s"""{"post_warm":$jitPostWarm,"post_full":$jitPostFull,""" +
         s""""post_headline":$jitPostHeadline}"""

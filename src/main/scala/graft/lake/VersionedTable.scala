@@ -219,13 +219,36 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     lastCheckpointVersion().filter(p => p <= v && v - p <= checkpointInterval)
       .orElse(checkpointVersions().filter(_ <= v).lastOption)
 
+  /** Replace `dst` with `tmp` atomically (REPLACE semantics — for
+    * derived, monotonically-updated pointer files, NOT commit records):
+    * on `file:` schemes `ATOMIC_MOVE` guarantees a reader never sees a
+    * missing or torn file; Hadoop's delete-then-rename would open a
+    * window where the pointer is simply gone (and a crash inside it
+    * loses the pointer entirely). Non-local stores keep delete+rename —
+    * both pointer readers already treat a missing file as a safe
+    * fallback. */
+  private def publishReplace(tmp: Path, dst: Path): Unit =
+    if (fs.getUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // drop the Hadoop checksum sidecar the nio move left behind
+      fs.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+      ()
+    } else {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+      ()
+    }
+
   private def writeLastCheckpointPointer(v: Int): Unit = try {
     if (lastCheckpointVersion().exists(_ >= v)) return // monotonic
     val tmp = new Path(logDir, s".tmp-lastckpt-${System.nanoTime()}")
     val out = fs.create(tmp, false)
     try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
-    fs.delete(lastCheckpointPath, false)
-    if (!fs.rename(tmp, lastCheckpointPath)) fs.delete(tmp, false)
+    publishReplace(tmp, lastCheckpointPath)
   } catch { case e: Throwable =>
     System.err.println(s"[lake] _last_checkpoint write failed " +
       s"(resolution falls back to log listing): ${e.getMessage}")
@@ -275,8 +298,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     try out.write(
       s"""{"horizon":$h,"ts":${System.currentTimeMillis()}}""".getBytes("UTF-8"))
     finally out.close()
-    fs.delete(vacuumHorizonPath, false)
-    if (!fs.rename(tmp, vacuumHorizonPath)) fs.delete(tmp, false)
+    // atomic replace: no window where the horizon file is missing, and a
+    // crash mid-update can't lose the previous horizon. (Racing vacuums
+    // remain the caller's contract — see vacuum's minAgeMs note.)
+    publishReplace(tmp, vacuumHorizonPath)
   } catch { case e: Throwable =>
     System.err.println(s"[lake] _vacuum_horizon write failed (stranded " +
       s"time travel will fail at scan time instead of loudly): ${e.getMessage}")
@@ -595,15 +620,25 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   /** Files of the snapshot that MAY hold rows matching `predicate`
     * according to the per-file stats (conservative: files without stats
     * or with un-analyzable predicate shapes are always kept). */
+  /** `files` narrowed to those whose min/max stats MAY hold a matching
+    * row (conservative: files without stats, or un-analyzable predicate
+    * shapes, are always kept). Shared by the read AND mutation paths —
+    * a selective DELETE/UPDATE/replaceWhere pre-scan reads only the
+    * stats-surviving files, not the table. */
+  private def pruneByStats(files: Seq[String], schemaDdl: String,
+                           predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val stats = readAllStats()
+    val e = resolvedPredicate(predicate, StructType.fromDDL(schemaDdl))
+    files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, st)))
+  }
+
   private[lake] def candidateFiles(predicate: org.apache.spark.sql.Column,
                                    version: Option[Int] = None): Seq[String] = {
     val v = version.orElse(latestVersion())
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     val c = readCommit(v)
-    val stats = readAllStats()
-    val e = resolvedPredicate(predicate, StructType.fromDDL(c.schemaDdl))
     val (_, data) = splitDv(c.files)
-    data.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, st)))
+    pruneByStats(data, c.schemaDdl, predicate)
   }
 
   /** Snapshot read restricted by `predicate`, with stats-based file
@@ -937,9 +972,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * O(affected files) driver-side — file metadata, not data. */
   private def affectedFiles(c: Commit, hit: org.apache.spark.sql.Column): Seq[String] = {
     val (dvs, data) = splitDv(c.files)
-    // LIVE rows only: a row already removed by a deletion vector must not
-    // count as affected (it would rewrite — and re-count — a dead row).
-    readWithPos(data, dvs)
+    // stats-prune BEFORE scanning: only files whose min/max may hold a
+    // matching row are read at all — the pre-scan of a selective
+    // mutation on a 100 TB table is bounded by the predicate, not the
+    // table. Then LIVE rows only: a row already removed by a deletion
+    // vector must not count as affected (it would rewrite — and
+    // re-count — a dead row).
+    val cand = pruneByStats(data, c.schemaDdl, hit)
+    if (cand.isEmpty) Seq.empty
+    else readWithPos(cand, dvs)
       .filter(hit)
       .select(col("_g_file")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -962,8 +1003,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     *    racing commit, so it rebases onto the new head (racing files
     *    carry through untouched). Returns the head commit to rebase on.
     */
-  private def rebaseTarget(action: String, base: Commit,
-                           readSet: Set[String]): Commit = {
+  private def rebaseTarget(action: String, base: Commit, readSet: Set[String],
+                           onDvOverlap: (Int, String, Seq[String], Set[String]) => Unit = null): Commit = {
     val head = latestVersion()
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     ((base.version + 1) to head).foreach { v =>
@@ -978,21 +1019,57 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           s"file(s) [${overlap.toSeq.sorted.take(3).mkString(", ")}] that " +
           s"racing commit v$v (${d.action}) rewrote — re-run against the " +
           s"fresh snapshot")
-      // A racing MoR delete marked rows inside files this rewrite staged
-      // from their PRE-deletion content — committing would resurrect the
-      // racer's deleted rows (the DV entries go inert on our new files).
+      // A racing MoR writer marked rows inside files in this writer's
+      // read-set. For a CoW rewrite (default) that is always fatal: its
+      // staged files hold the PRE-deletion content, so committing would
+      // resurrect the racer's deleted rows (the DV entries go inert on
+      // the new files). A DV writer passes `onDvOverlap` to downgrade
+      // the check to ROW granularity instead.
       val dvOverlap = d.dvTargets.toSet.intersect(readSet)
-      if (dvOverlap.nonEmpty) sys.error(
-        s"rewrite conflict: this $action (based on v${base.version}) " +
-          s"rewrote file(s) [${dvOverlap.toSeq.sorted.take(3).mkString(", ")}] " +
-          s"in which racing commit v$v (${d.action}) deleted rows by " +
-          s"deletion vector — re-run against the fresh snapshot")
+      if (dvOverlap.nonEmpty) {
+        if (onDvOverlap != null) onDvOverlap(v, d.action, d.add.filter(isDv), dvOverlap)
+        else sys.error(
+          s"rewrite conflict: this $action (based on v${base.version}) " +
+            s"rewrote file(s) [${dvOverlap.toSeq.sorted.take(3).mkString(", ")}] " +
+            s"in which racing commit v$v (${d.action}) deleted rows by " +
+            s"deletion vector — re-run against the fresh snapshot")
+      }
     }
     val headC = readCommit(head)
     if (headC.schemaDdl != base.schemaDdl) sys.error(
       s"rewrite conflict: this $action (based on v${base.version}) raced a " +
         s"schema change (now at v$head) — re-run against the fresh snapshot")
     headC
+  }
+
+  /** The shared stage-once / validate / rebase-retry commit loop every
+    * non-append writer runs: [[rebaseTarget]] proves the racing commits
+    * compatible (throwing on genuine overlap), then the commit record is
+    * rebuilt against each new head from the caller's file and row rules
+    * — retries are metadata-only, staged data is never re-written. */
+  private def commitRebasing(action: String, base: Commit, readSet: Set[String],
+                             mkFiles: Commit => Seq[String],
+                             mkRows: Commit => Long,
+                             dvTargets: Seq[String] = Nil,
+                             onDvOverlap: (Int, String, Seq[String], Set[String]) => Unit = null,
+                             maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      val headC = rebaseTarget(action, base, readSet, onDvOverlap)
+      try {
+        writeCommit(Commit(headC.version + 1, action, mkFiles(headC),
+          base.schemaDdl, mkRows(headC), System.currentTimeMillis(),
+          dvTargets = dvTargets))
+        return headC.version + 1
+      } catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit conflict") &&
+              attempt < maxRetries =>
+          attempt += 1 // next loop re-validates against the newer head
+      }
+    }
+    -1 // unreachable
   }
 
   /** Commit a copy-on-write rewrite with file-level read-set validation
@@ -1012,23 +1089,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val files = stage(rewritten, nextVersion)
     val readSet = affected.toSet
     val rowDelta = newRows - c.rows
-    var attempt = 0
-    while (true) {
-      val headC = rebaseTarget(action, c, readSet) // throws on real overlap
-      val untouched = headC.files.filterNot(readSet)
-      try {
-        writeCommit(Commit(headC.version + 1, action, untouched ++ files,
-          c.schemaDdl, headC.rows + rowDelta, System.currentTimeMillis()))
-        return headC.version + 1
-      } catch {
-        case e: RuntimeException
-            if e.getMessage != null &&
-              e.getMessage.contains("concurrent commit conflict") &&
-              attempt < maxRetries =>
-          attempt += 1 // next loop re-validates against the newer head
-      }
-    }
-    -1 // unreachable
+    commitRebasing(action, c, readSet,
+      mkFiles = headC => headC.files.filterNot(readSet) ++ files,
+      mkRows = headC => headC.rows + rowDelta,
+      maxRetries = maxRetries)
   }
 
   /** DELETE WHERE: drops rows matching `condition` (null ⇒ kept, SQL
@@ -1079,13 +1143,18 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     latestVersion().flatMap { v0 =>
       val c = readCommit(v0)
       val (dvs, data) = splitDv(c.files)
-      if (data.isEmpty) None
+      // stats-prune the mark scan like every other mutation pre-scan
+      val cand = pruneByStats(data, c.schemaDdl, condition)
+      if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
-        val marks = readWithPos(data, dvs).filter(hit)
+        val marks = readWithPos(cand, dvs).filter(hit)
           .select(col("_g_file").as("file"), col("_g_pos").as("pos"))
-        // one small file per commit: the vector is deleted-rows-sized
-        val dvFiles = stage(marks.coalesce(1), nextVersion,
+        // one small file per commit: the vector is deleted-rows-sized.
+        // repartition, NOT coalesce — coalesce(1) would propagate up the
+        // shuffle-free mark pipeline and run the whole corpus scan in a
+        // single task; the shuffle barrier moves only the marked rows.
+        val dvFiles = stage(marks.repartition(1), nextVersion,
           prefix = "dv-", collectStats = false)
         val deleted = stagedRowCount(dvFiles)
         if (deleted == 0) {
@@ -1120,13 +1189,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (unknown.nonEmpty)
         sys.error(s"updateMoR assigns unknown columns $unknown")
       val (dvs, data) = splitDv(c.files)
-      if (data.isEmpty) None
+      val cand = pruneByStats(data, c.schemaDdl, condition)
+      if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
-        val marked = readWithPos(data, dvs).filter(hit)
+        val marked = readWithPos(cand, dvs).filter(hit)
+        // repartition, not coalesce: keep the mark scan parallel (see
+        // deleteMoR) — only the marked rows cross the shuffle
         val dvFiles = stage(
           marked.select(col("_g_file").as("file"), col("_g_pos").as("pos"))
-            .coalesce(1),
+            .repartition(1),
           nextVersion, prefix = "dv-", collectStats = false)
         val updated = stagedRowCount(dvFiles)
         if (updated == 0) {
@@ -1164,61 +1236,29 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                              targets: Seq[String], rowDelta: Long,
                              action: String = "delete-dv",
                              extraFiles: Seq[String] = Nil,
-                             maxRetries: Int = 10): Int = {
-    val targetSet = targets.toSet
-    var attempt = 0
-    while (true) {
-      val head = latestVersion()
-        .getOrElse(sys.error(s"no committed versions at $tablePath"))
-      ((base.version + 1) to head).foreach { v =>
-        val d = readDelta(v)
-        if (d.full || d.action == "overwrite") sys.error(
+                             maxRetries: Int = 10): Int =
+    commitRebasing(action, base, targets.toSet,
+      mkFiles = headC => headC.files ++ dvFiles ++ extraFiles,
+      mkRows = headC => headC.rows + rowDelta,
+      dvTargets = targets,
+      // row-granularity check on a racing DV over shared files: only
+      // genuinely overlapping positions conflict — the upgrade past
+      // file-level validation. (File-removal and table-replacement
+      // conflicts use rebaseTarget's shared rules: a rewrite of a
+      // targeted file makes our positions dangle, so it aborts there.)
+      onDvOverlap = (v, racingAction, racingDvs, shared) => {
+        val ours = readFiles(dvFiles)
+          .filter(col("file").isin(shared.toSeq: _*))
+        val theirs = readFiles(racingDvs)
+          .filter(col("file").isin(shared.toSeq: _*))
+        val clash = ours.join(theirs, Seq("file", "pos"), "left_semi")
+        if (!clash.isEmpty) sys.error(
           s"MoR conflict: this $action (based on v${base.version}) " +
-            s"lost to racing commit v$v (${d.action}), which replaced the " +
-            s"whole table — re-run against the fresh snapshot")
-        val gone = d.remove.toSet.intersect(targetSet)
-        if (gone.nonEmpty) sys.error(
-          s"MoR conflict: this $action (based on v${base.version}) " +
-            s"marked rows in file(s) [${gone.toSeq.sorted.take(3).mkString(", ")}] " +
-            s"that racing commit v$v (${d.action}) rewrote — the row " +
-            s"positions no longer resolve; re-run against the fresh snapshot")
-        val shared = d.dvTargets.toSet.intersect(targetSet)
-        if (shared.nonEmpty) {
-          // row-granularity check: only genuinely overlapping positions
-          // conflict — the upgrade past file-level validation
-          val ours = readFiles(dvFiles)
-            .filter(col("file").isin(shared.toSeq: _*))
-          val theirs = readFiles(d.add.filter(isDv))
-            .filter(col("file").isin(shared.toSeq: _*))
-          val clash = ours.join(theirs, Seq("file", "pos"), "left_semi")
-          if (!clash.isEmpty) sys.error(
-            s"MoR conflict: this $action (based on v${base.version}) " +
-              s"and racing commit v$v (${d.action}) marked the SAME row(s) " +
-              s"in shared file(s) [${shared.toSeq.sorted.take(3).mkString(", ")}] " +
-              s"— re-run against the fresh snapshot")
-        }
-      }
-      val headC = readCommit(head)
-      if (headC.schemaDdl != base.schemaDdl) sys.error(
-        s"MoR conflict: this $action (based on v${base.version}) " +
-          s"raced a schema change (now at v$head) — re-run against the " +
-          s"fresh snapshot")
-      try {
-        writeCommit(Commit(headC.version + 1, action,
-          headC.files ++ dvFiles ++ extraFiles, base.schemaDdl,
-          headC.rows + rowDelta,
-          System.currentTimeMillis(), dvTargets = targets))
-        return headC.version + 1
-      } catch {
-        case e: RuntimeException
-            if e.getMessage != null &&
-              e.getMessage.contains("concurrent commit conflict") &&
-              attempt < maxRetries =>
-          attempt += 1 // next loop re-validates against the newer head
-      }
-    }
-    -1 // unreachable
-  }
+            s"and racing commit v$v ($racingAction) marked the SAME row(s) " +
+            s"in shared file(s) [${shared.toSeq.sorted.take(3).mkString(", ")}] " +
+            s"— re-run against the fresh snapshot")
+      },
+      maxRetries = maxRetries)
 
   /** UPDATE SET WHERE: rewrites rows matching `condition` with the
     * assignment expressions (non-matching rows in affected files are
@@ -1308,12 +1348,18 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     checkSchema(df, allowNewColumns = false)
     val c = readCommit(v0)
     val hit = coalesce(predicate, lit(false))
-    val violations = df.filter(not(hit)).count()
+    // one pass over the incoming batch yields both the scope check and
+    // the row count (the staged write below is its second and last
+    // evaluation)
+    val counts = df.agg(
+      org.apache.spark.sql.functions.sum(when(not(hit), 1L).otherwise(0L)),
+      org.apache.spark.sql.functions.count(lit(1))).head()
+    val violations = if (counts.isNullAt(0)) 0L else counts.getLong(0)
     if (violations > 0) sys.error(
       s"replaceWhere: $violations incoming row(s) do not satisfy the " +
         s"predicate — a scoped overwrite must only write rows inside its " +
         s"own scope, or re-runs stop being idempotent")
-    val newRows = df.count()
+    val newRows = counts.getLong(1)
     val (dvs, data) = splitDv(c.files)
     if (data.isEmpty) {
       // empty table: the scoped overwrite degenerates to an append
@@ -1406,11 +1452,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           n.startsWith("_stage-")
       }
     deletable.foreach(p => fs.delete(p, true))
-    // Record the horizon whenever older versions fall out of retention:
-    // below it, reads are contractually dead (even if a file happens to
-    // survive via a later restore's re-reference) — the loud-failure
-    // contract beats "works until a scan 404s".
-    keep.headOption.filter(_ => keep.size < vs.size)
+    // Record the horizon ONLY when this vacuum actually destroyed data
+    // some dropped version references — an append-only history (or a
+    // minAgeMs run that kept everything) deletes nothing a snapshot
+    // needs, and its old versions must STAY readable (Delta semantics:
+    // time travel breaks when files are gone, not when a no-op vacuum
+    // ran). Once a dropped version's file is deleted, everything below
+    // the retention boundary is contractually dead — even a version
+    // whose own files happen to survive via a later restore's
+    // re-reference — because the loud-failure contract beats "works
+    // until a scan 404s".
+    val deletedNames = deletable.map(_.getName).toSet
+    val droppedRefs = vs.filterNot(keep.contains)
+      .flatMap(readCommit(_).files).toSet
+    keep.headOption
+      .filter(_ => keep.size < vs.size && droppedRefs.exists(deletedNames))
       .foreach(writeVacuumHorizon)
     deletable.length
   }

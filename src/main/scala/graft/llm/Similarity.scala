@@ -142,27 +142,46 @@ object Similarity {
     * the payload rides the corpus's own map-side assignment pass, so
     * constrained search never re-joins candidates against the
     * corpus-sized table to recover metadata. */
+  /** L2² distance to a broadcast centroid row — the k-means training
+    * metric, operand order mirroring `Clustering.d2` so distances are
+    * bit-identical to the DuckDB oracle's replay. */
+  private def ivfD2c(v: Column, vsq: Column): Column =
+    vsq - lit(2.0) * dot(v, col("ce")) + col("cesq")
+
+  /** Cell membership under the trained metric: argmin L2², ties to the
+    * lower centroid id. THE assignment rule every IVF path (plain,
+    * filtered, IVF-PQ) and the oracle replay share — one definition, so
+    * the tie-break contract can never diverge between paths. `keep`
+    * selects the output columns (beyond vec_id). */
+  private def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                        keep: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2c"), col("centroid_id"))
+    corpus.withColumn("vsq", sumSq(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2c", ivfD2c(col("embedding"), col("vsq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(("vec_id" +: keep).map(col): _*)
+  }
+
+  /** The query side of [[ivfAssign]]: each query's `nProbe` nearest
+    * cells under the same metric and tie-break. */
+  private def ivfProbe(queries: DataFrame, centroids: DataFrame,
+                       nProbe: Int, keep: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("d2c"), col("centroid_id"))
+    queries.withColumn("qsq", sumSq(col("qe")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2c", ivfD2c(col("qe"), col("qsq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(("query_id" +: keep).map(col): _*)
+  }
+
   def ivfScoredWith(corpus: DataFrame, queries: DataFrame,
                     centroids: DataFrame, nProbe: Int = 2,
                     keep: Seq[String] = Nil): DataFrame = {
-    // same operand order as Clustering.d2 — distances bit-identical
-    def d2(v: Column, vsq: Column) =
-      vsq - lit(2.0) * dot(v, col("ce")) + col("cesq")
-
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2c"), col("centroid_id"))
-    val assigned = corpus.withColumn("vsq", sumSq(col("embedding")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2c", d2(col("embedding"), col("vsq")))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select((Seq("vec_id", "embedding", "vsq", "centroid_id") ++ keep).map(col): _*)
-
-    val wProbe = Window.partitionBy("query_id").orderBy(col("d2c"), col("centroid_id"))
-    val probes = queries.withColumn("qsq", sumSq(col("qe")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2c", d2(col("qe"), col("qsq")))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qe"), col("qsq"), col("centroid_id"))
-
+    val assigned = ivfAssign(corpus, centroids,
+      Seq("embedding", "vsq", "centroid_id") ++ keep)
+    val probes = ivfProbe(queries, centroids, nProbe,
+      Seq("qe", "qsq", "centroid_id"))
     assigned.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(Seq(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -276,24 +295,11 @@ object Similarity {
     val n = if (corpusSize > 0) corpusSize else corpus.count()
     val stride = math.max(1L, math.sqrt(n.toDouble).toLong)
     val cents = ivfCentroids(corpus, n)
-    def d2(v: Column, vsq: Column) =
-      vsq - lit(2.0) * dot(v, col("ce")) + col("cesq")
-
-    // cell membership (argmin L2², ties low) + query probes — exactly
-    // ivfScoredWith's shape, but carrying only ids (codes replace
-    // vectors downstream; the raw embedding never reaches the ADC join)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2c"), col("centroid_id"))
-    val cells = corpus.withColumn("vsq", sumSq(col("embedding")))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2c", d2(col("embedding"), col("vsq")))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("d2c"), col("centroid_id"))
-    val probes = queries.withColumn("qsq", sumSq(col("qe")))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2c", d2(col("qe"), col("qsq")))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("centroid_id"))
+    // cell membership + query probes — the SHARED ivfAssign/ivfProbe
+    // rules, carrying only ids (codes replace vectors downstream; the
+    // raw embedding never reaches the ADC join)
+    val cells = ivfAssign(corpus, cents, Seq("centroid_id"))
+    val probes = ivfProbe(queries, cents, nProbe, Seq("centroid_id"))
     val cand = cells.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
