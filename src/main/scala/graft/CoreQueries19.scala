@@ -159,6 +159,42 @@ object CoreQueries19 {
         .groupBy("day")
         .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("vsum"))
         .orderBy("day")
+    },
+
+    // CHECK constraints through the CORRECTNESS board: a constraint is
+    // added (validated against existing rows), a violating batch is
+    // REJECTED atomically (asserted in-query: the version chain must
+    // not advance), a clean batch lands, and the final snapshot is
+    // compared relationally — proving the gate admits exactly the rows
+    // the oracle's WHERE clause describes. This is the ingest-quality
+    // contract at 100 TB: the constraint is ONE aggregation pass over
+    // each incoming batch (never the table), enforced atomically with
+    // the commit and re-validated if the append rebases across a racing
+    // constraint change.
+    q("q_lake_constraints",
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS acct_sum
+        |FROM customer
+        |WHERE c_acctbal >= 0 AND c_custkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = graft.lake.Scratch.dir("graft-vt-cons") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      val cust = customer(s, d)
+      t.commitOverwrite(
+        cust.filter(col("c_custkey") % 3 === 0 && col("c_acctbal") >= 0)) // v0
+      t.addConstraint("acct_nonneg", "c_acctbal >= 0")                    // v1
+      val rejected =
+        try { t.commitAppend(cust.filter(col("c_custkey") % 3 === 2)); false }
+        catch { case e: RuntimeException
+          if e.getMessage.contains("acct_nonneg") => true }
+      if (!rejected || t.latestVersion().exists(_ != 1))
+        sys.error("q_lake_constraints: violating batch was not rejected atomically")
+      t.commitAppend(
+        cust.filter(col("c_custkey") % 3 === 1 && col("c_acctbal") >= 0)) // v2
+      t.read()
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("acct_sum"))
+        .orderBy("segment")
     }
   )
 }

@@ -100,7 +100,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] case class Commit(version: Int, action: String, files: Seq[String],
                             schemaDdl: String, rows: Long, ts: Long,
                             txnApp: String = "", txnVer: Long = -1L,
-                            dvTargets: Seq[String] = Nil)
+                            dvTargets: Seq[String] = Nil,
+                            constraints: Seq[(String, String)] = Nil)
 
   /** The physical log record: file deltas vs version - 1. `full = true`
     * marks a legacy record (pre-delta log format) whose `add` carries the
@@ -112,7 +113,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                               remove: Seq[String], schemaDdl: String,
                               rows: Long, ts: Long, full: Boolean = false,
                               txnApp: String = "", txnVer: Long = -1L,
-                              dvTargets: Seq[String] = Nil)
+                              dvTargets: Seq[String] = Nil,
+                              constraints: Seq[(String, String)] = Nil)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -135,6 +137,36 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private def listJson(xs: Seq[String]): String =
     xs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  // CHECK constraints ride every commit record as a JSON object (like
+  // the schema DDL: small, carried in full, so reading ONE record gives
+  // the version's complete table definition). Values are SQL
+  // expressions, escaped, so commas/braces inside them live inside
+  // quoted strings — the pairs-only pattern below parses them robustly.
+  private def constraintsJson(cs: Seq[(String, String)]): String =
+    cs.map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
+  private val constraintPairRe =
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private def parseConstraints(body: String): Seq[(String, String)] = {
+    val anchor = "\"constraints\":{"
+    val i = body.indexOf(anchor)
+    if (i < 0) return Nil
+    val tail = body.substring(i + anchor.length)
+    // pairs parse greedily until the first char after a pair isn't a
+    // comma — i.e. the object's closing brace
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var rest = tail
+    var done = false
+    while (!done) constraintPairRe.findPrefixMatchOf(rest) match {
+      case Some(m) =>
+        out += ((junesc(m.group(1)), junesc(m.group(2))))
+        rest = rest.substring(m.end)
+        if (rest.startsWith(",")) rest = rest.substring(1) else done = true
+      case None => done = true
+    }
+    out.toList
+  }
 
   /** Committed records are immutable, so a tiny per-instance memo makes
     * the commit protocol's repeated metadata lookups (prev files, schema,
@@ -165,7 +197,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             .map(_.group(1).toLong).getOrElse(-1L)
         else -1L,
         dvTargets = if (body.contains("\"dvTargets\""))
-          listField(body, p, "dvTargets") else Nil)
+          listField(body, p, "dvTargets") else Nil,
+        constraints = parseConstraints(body))
       lastDelta = Some(d)
       d
     }
@@ -386,7 +419,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def readCommit(v: Int): Commit = {
     val d = readDelta(v)
     Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts,
-      d.txnApp, d.txnVer, d.dvTargets)
+      d.txnApp, d.txnVer, d.dvTargets, d.constraints)
   }
 
   /** Publish `tmp` at `dst` atomically, FAILING (false) if `dst` exists —
@@ -434,10 +467,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       else s""","txnApp":"${esc(c.txnApp)}","txnVer":${c.txnVer}"""
     val dvt = if (c.dvTargets.isEmpty) ""
       else s""","dvTargets":${listJson(c.dvTargets)}"""
+    val cons = if (c.constraints.isEmpty) ""
+      else s""","constraints":${constraintsJson(c.constraints)}"""
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
         s""""add":${listJson(add)},"remove":${listJson(remove)},""" +
-        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}$txn$dvt}"""
+        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}$txn$dvt$cons}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -685,15 +720,77 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           "pass allowNewColumns = true to evolve")
     }
 
+  // ---- CHECK constraints (Delta table constraints) ---------------------
+
+  /** The current constraint set (name → SQL expression). Carried in
+    * full on every commit record, so this is one record read. */
+  def constraints(): Seq[(String, String)] =
+    latestVersion().map(v => readDelta(v).constraints).getOrElse(Nil)
+
+  /** Enforce `cs` on `df`: SQL CHECK semantics — a row violates only
+    * when the expression evaluates to FALSE (null passes). ALL
+    * constraints are checked in ONE aggregation pass; the first
+    * violated one aborts loudly with its violation count, and nothing
+    * commits. */
+  private def checkConstraints(df: DataFrame, cs: Seq[(String, String)]): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val aggs = cs.map { case (_, e) =>
+      fsum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) sys.error(
+        s"CHECK constraint '$n' ($e) violated by $bad incoming row(s) — " +
+          s"nothing committed")
+    }
+  }
+
+  /** Add a CHECK constraint as a metadata-only commit (files and rows
+    * unchanged). EXISTING rows are validated first, Delta-style —
+    * a constraint the current data already violates is rejected. The
+    * commit aborts on ANY racing commit (maxRetries = 0): a racing
+    * append validated against the old constraint set must not slide in
+    * under the new one unchecked. */
+  def addConstraint(name: String, exprSql: String): Int = {
+    require(name.nonEmpty && exprSql.nonEmpty, "constraint needs name and expression")
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    if (c.constraints.exists(_._1 == name))
+      sys.error(s"constraint '$name' already exists")
+    checkConstraints(read(Some(v0)), Seq(name -> exprSql))
+    commitRebasing("constraint", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      mkConstraints = _ => c.constraints :+ (name -> exprSql),
+      maxRetries = 0)
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropConstraint(name: String): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    if (!c.constraints.exists(_._1 == name))
+      sys.error(s"constraint '$name' does not exist")
+    commitRebasing("constraint", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      mkConstraints = _ => c.constraints.filterNot(_._1 == name),
+      maxRetries = 0)
+  }
+
   // ---- public API ----------------------------------------------------
 
-  /** Replace the table contents (a new version; history is preserved). */
+  /** Replace the table contents (a new version; history is preserved).
+    * Constraints carry across an overwrite (the table DEFINITION
+    * persists; only content is replaced) and are enforced on it. */
   def commitOverwrite(df: DataFrame): Int = {
+    val prevCons = constraints()
+    checkConstraints(df, prevCons)
     val v = nextVersion
     val files = stage(df, v)
     // footer-exact row count — no second evaluation of the input
     writeCommit(Commit(v, "overwrite", files, df.schema.toDDL,
-      stagedRowCount(files), System.currentTimeMillis()))
+      stagedRowCount(files), System.currentTimeMillis(),
+      constraints = prevCons))
     v
   }
 
@@ -771,6 +868,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     var attempt = 0
     var committed: Option[Int] = None
     var done = false
+    var validatedCons: Option[Seq[(String, String)]] = None
     while (!done) {
       val head = latestVersion()
       // Zombie fencing, checked against EVERY head we attempt, not just
@@ -788,11 +886,20 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         val prevCommit = head.map(readCommit)
         val schema = if (allowNewColumns) df.schema.toDDL
           else prevCommit.map(_.schemaDdl).getOrElse(df.schema.toDDL)
+        // CHECK constraints: enforced against the head's CURRENT set,
+        // re-validated on every retry — an append must not rebase past
+        // a racing addConstraint with rows only the old set admitted
+        val cons = prevCommit.map(_.constraints).getOrElse(Nil)
+        if (!validatedCons.contains(cons)) {
+          checkConstraints(df, cons)
+          validatedCons = Some(cons)
+        }
         try {
           writeCommit(Commit(v, "append",
             prevCommit.map(_.files).getOrElse(Seq.empty) ++ files, schema,
             prevCommit.map(_.rows).getOrElse(0L) + rows,
-            System.currentTimeMillis(), txnApp, txnVer))
+            System.currentTimeMillis(), txnApp, txnVer,
+            constraints = cons))
           committed = Some(v)
           done = true
         } catch {
@@ -840,6 +947,28 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         StructType.fromDDL(c.schemaDdl))
     else readLive(data, dvs)
   }
+
+  /** Latest version committed at or before `tsMillis` (Delta's
+    * `timestampAsOf` resolution). Commit timestamps are written by the
+    * serializing winner so they are monotone on one clock, but multiple
+    * writers' clocks can skew — so this scans the retained history and
+    * takes the max version whose ts ≤ target rather than assuming
+    * monotonicity (O(history) log-record reads, the same order as
+    * `versions()` itself). None if the table didn't exist yet. */
+  def versionAt(tsMillis: Long): Option[Int] =
+    versions().filter(v => readDelta(v).ts <= tsMillis) match {
+      case Seq() => None
+      case vs    => Some(vs.max)
+    }
+
+  /** Snapshot as of a wall-clock instant — time travel by timestamp
+    * (`SELECT ... TIMESTAMP AS OF`): resolves [[versionAt]] and reads
+    * that version (vacuum-horizon interlock applies as usual). */
+  def readAsOf(tsMillis: Long): DataFrame =
+    read(Some(versionAt(tsMillis).getOrElse(sys.error(
+      s"no version committed at or before timestamp $tsMillis at " +
+        s"$tablePath (earliest commit: ${versions().headOption
+          .map(v => readDelta(v).ts).getOrElse(-1L)})"))))
 
   /** Insert-only merge (delta-rs `when_not_matched_insert_all`): source
     * rows whose keys exist in the snapshot are dropped, the rest append.
@@ -1039,6 +1168,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (headC.schemaDdl != base.schemaDdl) sys.error(
       s"rewrite conflict: this $action (based on v${base.version}) raced a " +
         s"schema change (now at v$head) — re-run against the fresh snapshot")
+    // A racing constraint change invalidates this writer's validation:
+    // its staged content was checked against the OLD set. (Constraint
+    // commits themselves pass trivially: their base IS head's parent.)
+    if (action != "constraint" && headC.constraints != base.constraints) sys.error(
+      s"rewrite conflict: this $action (based on v${base.version}) raced a " +
+        s"constraint change (now at v$head) — re-run against the fresh snapshot")
     headC
   }
 
@@ -1052,6 +1187,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                              mkRows: Commit => Long,
                              dvTargets: Seq[String] = Nil,
                              onDvOverlap: (Int, String, Seq[String], Set[String]) => Unit = null,
+                             mkConstraints: Commit => Seq[(String, String)] = _.constraints,
                              maxRetries: Int = 10): Int = {
     var attempt = 0
     while (true) {
@@ -1059,7 +1195,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       try {
         writeCommit(Commit(headC.version + 1, action, mkFiles(headC),
           base.schemaDdl, mkRows(headC), System.currentTimeMillis(),
-          dvTargets = dvTargets))
+          dvTargets = dvTargets, constraints = mkConstraints(headC)))
         return headC.version + 1
       } catch {
         case e: RuntimeException
@@ -1209,6 +1345,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           val newImages = marked.drop("_g_file", "_g_pos").select(cols.map { n =>
             assignments.get(n).map(_.as(n)).getOrElse(col(n))
           }: _*)
+          checkConstraints(newImages, c.constraints)
           val newFiles = stage(newImages, nextVersion)
           val targets = readFiles(dvFiles).select("file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
@@ -1285,6 +1422,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
               case None    => col(n)
             }
           }: _*)
+          // assignments can push rows out of bounds — CHECK the result
+          // (a racing constraint change aborts in rebaseTarget)
+          checkConstraints(rewritten, c.constraints)
           Some(commitRewrite("update", c, affected, rewritten, c.rows))
         }
       }
@@ -1325,6 +1465,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             if (source.isEmpty) None
             else Some(commitAppend(source, maxRetries = 0))
           } else {
+            // all NEW content in an upsert comes from the source rows
+            checkConstraints(source, c.constraints)
             val before = readLive(affected, dvs)
             val rewritten = Merge.upsert(before, source, keys)
             val newRows = c.rows - before.count() + rewritten.count()
@@ -1360,6 +1502,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         s"predicate — a scoped overwrite must only write rows inside its " +
         s"own scope, or re-runs stop being idempotent")
     val newRows = counts.getLong(1)
+    checkConstraints(df, c.constraints) // kept rows are valid by induction
     val (dvs, data) = splitDv(c.files)
     if (data.isEmpty) {
       // empty table: the scoped overwrite degenerates to an append
@@ -1419,8 +1562,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       s"restore($version) references ${missing.length} vacuumed file(s) " +
         s"(e.g. ${missing.head}); the version is no longer reconstructible")
     val v = nextVersion
+    // constraints are table DEFINITION, not content — they survive the
+    // rollback (like Delta RESTORE, which leaves table properties alone)
     writeCommit(Commit(v, "restore", c.files, c.schemaDdl, c.rows,
-      System.currentTimeMillis()))
+      System.currentTimeMillis(), constraints = constraints()))
     v
   }
 

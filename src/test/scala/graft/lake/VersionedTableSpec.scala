@@ -456,6 +456,66 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("replaced the whole table"), err2.getMessage)
   }
 
+  test("time travel by timestamp: versionAt/readAsOf resolve the commit at-or-before the instant") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))        // v0
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))           // v1
+    Thread.sleep(15)
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))           // v2
+    assert(t.versionAt(afterV0).contains(0))
+    assert(t.readAsOf(afterV0).count() == 1)
+    assert(t.versionAt(System.currentTimeMillis()).contains(2))
+    assert(t.readAsOf(System.currentTimeMillis()).count() == 3)
+    // before the table existed: loud, names the earliest commit
+    val err = intercept[RuntimeException](t.readAsOf(0L))
+    assert(err.getMessage.contains("no version committed"), err.getMessage)
+  }
+
+  test("CHECK constraints: enforced on every new-data writer, survive reopen/restore, drop works") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))            // v0
+    // a constraint the existing data violates is rejected outright
+    val pre = intercept[RuntimeException](t.addConstraint("x_big", "x > 15"))
+    assert(pre.getMessage.contains("x_big"), pre.getMessage)
+    assert(t.addConstraint("x_pos", "x > 0") == 1)                            // v1
+    assert(t.constraints() == Seq("x_pos" -> "x > 0"))
+    // a violating append aborts loudly BEFORE committing anything
+    val err = intercept[RuntimeException] {
+      t.commitAppend(Seq((3L, -1.0)).toDF("id", "x"))
+    }
+    assert(err.getMessage.contains("x_pos") && err.getMessage.contains("1 incoming"),
+      err.getMessage)
+    assert(t.latestVersion().contains(1))
+    // a passing append lands and carries the set forward; nulls PASS (SQL CHECK)
+    t.commitAppend(Seq((3L, 3.0), (4L, Double.NaN)).toDF("id", "x")
+      .select(col("id"), when(col("id") === 4L, lit(null)).otherwise(col("x")).as("x"))) // v2
+    assert(t.read().count() == 4)
+    // an UPDATE whose assignment violates aborts; the in-bounds one lands
+    val upd = intercept[RuntimeException] {
+      t.update(col("id") === 1L, Map("x" -> lit(-5.0)))
+    }
+    assert(upd.getMessage.contains("x_pos"), upd.getMessage)
+    assert(t.update(col("id") === 1L, Map("x" -> lit(5.0))).contains(3))      // v3
+    // a MoR update is checked the same way
+    val updMor = intercept[RuntimeException] {
+      t.updateMoR(col("id") === 2L, Map("x" -> lit(-2.0)))
+    }
+    assert(updMor.getMessage.contains("x_pos"), updMor.getMessage)
+    // the set survives a fresh handle (it lives in the commit record)
+    assert(VersionedTable(spark, t.tablePath).constraints() ==
+      Seq("x_pos" -> "x > 0"))
+    // restore keeps the table DEFINITION: constraints persist across it
+    t.restore(2)                                                              // v4
+    assert(t.constraints() == Seq("x_pos" -> "x > 0"))
+    // drop, then the previously-violating append lands
+    t.dropConstraint("x_pos")                                                 // v5
+    assert(t.constraints().isEmpty)
+    t.commitAppend(Seq((9L, -1.0)).toDF("id", "x"))                           // v6
+    assert(t.read().count() == 5)
+  }
+
   test("replaceWhere: scoped overwrite is idempotent, leaks nothing, rewrites only affected files") {
     val t = freshTable()
     // two "days" in separate commits → separate files
