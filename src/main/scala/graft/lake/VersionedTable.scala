@@ -560,6 +560,20 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (dvFiles.isEmpty) readFiles(dataFiles)
     else readWithPos(dataFiles, dvFiles).drop("_g_file", "_g_pos")
 
+  /** `df` projected to the snapshot schema: a mutation whose affected
+    * files are ALL pre-evolution (mergeSchema then yields only their
+    * columns) must still filter on, and write, the evolved schema —
+    * missing columns null-backfill with the snapshot's type, exactly
+    * what a snapshot read of those files would show. */
+  private def alignToSchema(df: DataFrame, schema: StructType,
+                            keep: Seq[String] = Nil): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ keep.map(col): _*)
+  }
+
   // ---- per-file column statistics (data skipping) ---------------------
   //
   // Every commit writes a `v{N}-stats.jsonl` sidecar holding min/max/null
@@ -1109,7 +1123,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // re-count — a dead row).
     val cand = pruneByStats(data, c.schemaDdl, hit)
     if (cand.isEmpty) Seq.empty
-    else readWithPos(cand, dvs)
+    else alignToSchema(readWithPos(cand, dvs), StructType.fromDDL(c.schemaDdl),
+        keep = Seq("_g_file", "_g_pos"))
       .filter(hit)
       .select(col("_g_file")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -1248,7 +1263,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           // through the overlay: prior MoR deletions in the affected
           // files are ABSORBED by this rewrite (their rows stay gone,
           // their DV entries go inert), and `removed` counts live rows
-          val before = readLive(affected, dvs)
+          val before = alignToSchema(readLive(affected, dvs),
+            StructType.fromDDL(c.schemaDdl))
           val kept = before.filter(not(hit))
           val removed = before.count() - kept.count()
           Some(commitRewrite("delete", c, affected, kept, c.rows - removed))
@@ -1284,7 +1300,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
-        val marks = readWithPos(cand, dvs).filter(hit)
+        val marks = alignToSchema(readWithPos(cand, dvs),
+            StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"))
+          .filter(hit)
           .select(col("_g_file").as("file"), col("_g_pos").as("pos"))
         // one small file per commit: the vector is deleted-rows-sized.
         // repartition, NOT coalesce — coalesce(1) would propagate up the
@@ -1329,7 +1347,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
-        val marked = readWithPos(cand, dvs).filter(hit)
+        // aligned: pre-evolution candidate files must filter on, and
+        // produce new images carrying, the full snapshot schema
+        val marked = alignToSchema(readWithPos(cand, dvs),
+            StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"))
+          .filter(hit)
         // repartition, not coalesce: keep the mark scan parallel (see
         // deleteMoR) — only the marked rows cross the shuffle
         val dvFiles = stage(
@@ -1416,7 +1438,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         if (affected.isEmpty) None
         else {
           val (dvs, _) = splitDv(c.files)
-          val rewritten = readLive(affected, dvs).select(cols.map { n =>
+          val rewritten = alignToSchema(readLive(affected, dvs),
+            StructType.fromDDL(c.schemaDdl)).select(cols.map { n =>
             assignments.get(n) match {
               case Some(e) => when(hit, e).otherwise(col(n)).as(n)
               case None    => col(n)
@@ -1455,7 +1478,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           // BEFORE the join (post-join it no longer resolves), and the
           // DV overlay keeps MoR-deleted keys from matching (a deleted
           // key must INSERT, not resurrect the dead row's file).
-          val snapKeys = readWithPos(data, dvs)
+          val snapKeys = alignToSchema(readWithPos(data, dvs),
+              StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file"))
             .select(keys.map(col) :+ col("_g_file"): _*)
           val affected = snapKeys.join(srcKeys, keys, "left_semi")
             .select("_g_file").distinct()
@@ -1467,7 +1491,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           } else {
             // all NEW content in an upsert comes from the source rows
             checkConstraints(source, c.constraints)
-            val before = readLive(affected, dvs)
+            val before = alignToSchema(readLive(affected, dvs),
+              StructType.fromDDL(c.schemaDdl))
             val rewritten = Merge.upsert(before, source, keys)
             val newRows = c.rows - before.count() + rewritten.count()
             Some(commitRewrite("merge", c, affected, rewritten, newRows))
@@ -1511,7 +1536,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val affected = affectedFiles(c, hit)
       if (affected.isEmpty) commitAppend(df, maxRetries = 0)
       else {
-        val before = readLive(affected, dvs)
+        val before = alignToSchema(readLive(affected, dvs),
+          StructType.fromDDL(c.schemaDdl))
         val kept = before.filter(not(hit))
         val replaced = before.count() - kept.count()
         commitRewrite("replaceWhere", c, affected,
@@ -1535,7 +1561,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (data.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType.fromDDL(c.schemaDdl))
-      else readLive(data, dvs).repartition(nFiles)
+      else alignToSchema(readLive(data, dvs),
+        StructType.fromDDL(c.schemaDdl)).repartition(nFiles)
     // read-set = the whole snapshot INCLUDING its deletion vectors:
     // optimize rewrites every data file through the overlay, leaving
     // every DV entry inert, so the DVs drop out of the new snapshot —

@@ -740,6 +740,57 @@ class VersionedTableSpec extends AnyFunSuite {
       Seq("one", "r2", "r3", "r4", "X", "X"))
   }
 
+  test("MoR DML on a schema-evolved table: row positions resolve through null-backfilled reads") {
+    // the risky interplay: _metadata.row_index must stay correct when
+    // the scan merge-schemas old files (null-backfilled new column)
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))       // v0
+    t.commitAppend(Seq((3L, "c", 9.0)).toDF("id", "v", "extra"),
+      allowNewColumns = true)                                                       // v1
+    // delete a row living in the PRE-evolution file
+    assert(t.deleteMoR(col("id") === 1L).contains(2))                               // v2
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(2L, 3L))
+    // MoR-update a pre-evolution row: the new image carries the evolved
+    // schema (null extra), the old image dies by position
+    assert(t.updateMoR(col("id") === 2L, Map("v" -> lit("B"))).contains(3))         // v3
+    assert(t.read().orderBy("id").select("id", "v", "extra")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((2L, "B", None), (3L, "c", Some(9.0))))
+    assert(t.history().last._3 == 2L)
+  }
+
+  test("deletion vectors on compacted files: MoR after optimize targets the new layout") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 8L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(2)) // v0
+    assert(t.deleteMoR(col("id") === 1L).contains(1))                               // v1
+    t.optimize(100)                                                                 // v2: absorbs, purges
+    assert(!t.readCommit(2).files.exists(_.startsWith("dv-")))
+    // a fresh MoR delete marks positions INSIDE the compacted file(s)
+    assert(t.deleteMoR(col("id") <= 4L).contains(3))                                // v3
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (5L to 8L))
+    // and a CoW pass absorbs that too
+    t.optimize(100)                                                                 // v4
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (5L to 8L))
+    assert(t.history().last._3 == 4L)
+  }
+
+  test("CHECK constraints survive schema evolution and gate the evolved batch") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, 10.0)).toDF("id", "x"))                              // v0
+    t.addConstraint("x_pos", "x > 0")                                               // v1
+    // evolved batch with a new column: the old-column constraint still gates it
+    val err = intercept[RuntimeException] {
+      t.commitAppend(Seq((2L, -1.0, "z")).toDF("id", "x", "note"),
+        allowNewColumns = true)
+    }
+    assert(err.getMessage.contains("x_pos"), err.getMessage)
+    t.commitAppend(Seq((2L, 2.0, "z")).toDF("id", "x", "note"),
+      allowNewColumns = true)                                                       // v2
+    assert(t.constraints() == Seq("x_pos" -> "x > 0"))
+    assert(t.read().count() == 2)
+  }
+
   test("vacuum keeps deletion vectors referenced by retained versions") {
     val t = freshTable()
     t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
