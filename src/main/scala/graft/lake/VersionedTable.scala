@@ -445,7 +445,25 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          !fs.exists(dst) && fs.rename(tmp, dst) // FS without hard links
+          // FS without hard-link support: the old exists+rename probe
+          // here silently reinstated the TOCTOU clobber this path exists
+          // to prevent. Arbitrate through an O_EXCL claim file instead
+          // (`Files.createFile` is atomic at the syscall level): only the
+          // claim winner ever renames into `dst`, so exclusivity holds
+          // even though rename itself would replace. The tiny claim file
+          // stays behind in the log dir (its dot-name matches no reader
+          // pattern); every writer on the same FS takes this same branch,
+          // so mixed-mode races with the hardlink path can't happen.
+          System.err.println(s"[lake] no hard-link support at ${dst.getParent}" +
+            s" — publishing ${dst.getName} via O_EXCL claim file")
+          val claim = java.nio.file.Paths.get(
+            new Path(dst.getParent, s".claim-${dst.getName}").toUri.getPath)
+          try {
+            java.nio.file.Files.createFile(claim)
+            fs.rename(tmp, dst)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       }
     } else !fs.exists(dst) && fs.rename(tmp, dst)
 
@@ -773,9 +791,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (c.constraints.exists(_._1 == name))
       sys.error(s"constraint '$name' already exists")
     checkConstraints(read(Some(v0)), Seq(name -> exprSql))
+    // built from the HEAD's set (== base's, enforced by rebaseTarget's
+    // head == base rule for constraint commits) — never from a stale
+    // snapshot, so a racing constraint change can't be silently dropped
     commitRebasing("constraint", c, Set.empty,
       mkFiles = _.files, mkRows = _.rows,
-      mkConstraints = _ => c.constraints :+ (name -> exprSql),
+      mkConstraints = headC => headC.constraints :+ (name -> exprSql),
       maxRetries = 0)
   }
 
@@ -787,7 +808,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       sys.error(s"constraint '$name' does not exist")
     commitRebasing("constraint", c, Set.empty,
       mkFiles = _.files, mkRows = _.rows,
-      mkConstraints = _ => c.constraints.filterNot(_._1 == name),
+      mkConstraints = headC => headC.constraints.filterNot(_._1 == name),
       maxRetries = 0)
   }
 
@@ -1151,6 +1172,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                            onDvOverlap: (Int, String, Seq[String], Set[String]) => Unit = null): Commit = {
     val head = latestVersion()
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    // Constraint changes admit NO rebase at all: a racing append's rows
+    // were validated only against the OLD constraint set (and a racing
+    // constraint commit built from the same base would silently drop the
+    // other's change) — head must still be the exact base this writer
+    // validated existing rows on.
+    if (action == "constraint" && head != base.version) sys.error(
+      s"constraint conflict: this constraint change (based on " +
+        s"v${base.version}) raced commit(s) up to v$head — rows or " +
+        s"definitions that landed in between were never validated against " +
+        s"the new set; re-run against the fresh snapshot")
     ((base.version + 1) to head).foreach { v =>
       val d = readDelta(v)
       if (d.full || d.action == "overwrite") sys.error(
@@ -1197,7 +1228,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * compatible (throwing on genuine overlap), then the commit record is
     * rebuilt against each new head from the caller's file and row rules
     * — retries are metadata-only, staged data is never re-written. */
-  private def commitRebasing(action: String, base: Commit, readSet: Set[String],
+  private[lake] def commitRebasing(action: String, base: Commit, readSet: Set[String],
                              mkFiles: Commit => Seq[String],
                              mkRows: Commit => Long,
                              dvTargets: Seq[String] = Nil,
@@ -1588,11 +1619,17 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (missing.nonEmpty) sys.error(
       s"restore($version) references ${missing.length} vacuumed file(s) " +
         s"(e.g. ${missing.head}); the version is no longer reconstructible")
-    val v = nextVersion
     // constraints are table DEFINITION, not content — they survive the
-    // rollback (like Delta RESTORE, which leaves table properties alone)
+    // rollback (like Delta RESTORE, which leaves table properties alone),
+    // so the restored CONTENT must be validated against the CURRENT set:
+    // restoring a version that predates an addConstraint must not put
+    // violating rows back silently (same existing-rows validation
+    // addConstraint itself runs).
+    val cons = constraints()
+    checkConstraints(read(Some(version)), cons)
+    val v = nextVersion
     writeCommit(Commit(v, "restore", c.files, c.schemaDdl, c.rows,
-      System.currentTimeMillis(), constraints = constraints()))
+      System.currentTimeMillis(), constraints = cons))
     v
   }
 
@@ -1606,12 +1643,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * staged (or committed-by-rename) but not yet visible to this
     * vacuum's log read: a racing append's staged files and a retrying
     * rebase's already-staged files are younger than any sane window, so
-    * they survive. The default 0 keeps vacuum exact for the
-    * single-writer offline case; run a CONCURRENT vacuum only with
-    * `minAgeMs` comfortably above the longest plausible
-    * stage-to-commit window (Delta defaults to 7 days).
+    * they survive. The DEFAULT is a real retention window
+    * ([[VersionedTable.DefaultVacuumMinAgeMs]], 7 days — Delta's own
+    * default), so a caller who never reads this doc cannot lose a slow
+    * in-flight append's staged files to a concurrent vacuum. Pass
+    * `minAgeMs = 0` EXPLICITLY for the exact single-writer offline case
+    * (tests, quiesced maintenance windows) where deleting just-written
+    * orphans immediately is the point.
     */
-  def vacuum(retainVersions: Int = 2, minAgeMs: Long = 0L): Int = {
+  def vacuum(retainVersions: Int = 2,
+             minAgeMs: Long = VersionedTable.DefaultVacuumMinAgeMs): Int = {
     val vs = versions()
     val keep = vs.takeRight(retainVersions)
     val referenced = keep.flatMap(readCommit(_).files).toSet
@@ -1666,6 +1707,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 }
 
 object VersionedTable {
+  /** Default vacuum staged-file retention (7 days, Delta's own default):
+    * files younger than this survive vacuum unless the caller opts into
+    * `minAgeMs = 0` explicitly — the safe-by-default posture for
+    * concurrent writers. */
+  val DefaultVacuumMinAgeMs: Long = 7L * 24 * 3600 * 1000
+
   def apply(spark: SparkSession, path: String): VersionedTable =
     new VersionedTable(spark, path)
 

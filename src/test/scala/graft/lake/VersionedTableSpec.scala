@@ -97,7 +97,7 @@ class VersionedTableSpec extends AnyFunSuite {
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
     t.commitOverwrite(Seq((2L, "b")).toDF("id", "v")) // v0's file now unreferenced by latest
     t.commitOverwrite(Seq((3L, "c")).toDF("id", "v"))
-    val deleted = t.vacuum(retainVersions = 2)
+    val deleted = t.vacuum(retainVersions = 2, minAgeMs = 0L)
     assert(deleted >= 1)
     assert(t.read().select("v").as[String].collect().toSeq == Seq("c"))
     assert(t.read(Some(1)).select("v").as[String].collect().toSeq == Seq("b"))
@@ -233,7 +233,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.history().map(_._2) == Seq("overwrite", "overwrite", "restore"))
     assert(t.read(Some(1)).select("id").as[Long].collect().toSeq == Seq(9L))
     // vacuum keeps only the latest 2 versions' files → v1's file is gone
-    t.vacuum(retainVersions = 1)
+    t.vacuum(retainVersions = 1, minAgeMs = 0L)
     val err = intercept[RuntimeException](t.restore(1))
     assert(err.getMessage.contains("vacuumed"))
   }
@@ -265,7 +265,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // first — v100 rewrites all 100 files and orphans the originals.)
     assert(reopened.optimize(targetRowsPerFile = 1000) == 100)
     assert(reopened.checkpointVersions() == (10 to 100 by 10).toSeq)
-    val deleted = reopened.vacuum(retainVersions = 1)
+    val deleted = reopened.vacuum(retainVersions = 1, minAgeMs = 0L)
     assert(deleted >= 90)
     assert(reopened.read().count() == 100)
     intercept[Exception] { reopened.read(Some(0)).collect() }
@@ -796,7 +796,7 @@ class VersionedTableSpec extends AnyFunSuite {
     t.commitOverwrite((1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)) // v0
     assert(t.deleteMoR(col("id") === 1L).contains(1))                               // v1
     t.commitAppend(Seq((7L, "r7")).toDF("id", "v"))                                 // v2
-    t.vacuum(retainVersions = 2) // keeps v1, v2 — both reference the DV
+    t.vacuum(retainVersions = 2, minAgeMs = 0L) // keeps v1, v2 — both reference the DV
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == (2L to 7L))
     assert(t.read(Some(1)).select("id").as[Long].collect().sorted.toSeq == (2L to 6L))
   }
@@ -890,7 +890,7 @@ class VersionedTableSpec extends AnyFunSuite {
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))  // v0
     t.commitOverwrite(Seq((2L, "b")).toDF("id", "v"))  // v1
     t.commitOverwrite(Seq((3L, "c")).toDF("id", "v"))  // v2
-    t.vacuum(retainVersions = 2)                       // horizon = v1
+    t.vacuum(retainVersions = 2, minAgeMs = 0L)        // horizon = v1
     // time travel below the horizon: loud, names the boundary version
     val e1 = intercept[RuntimeException](t.read(Some(0)))
     assert(e1.getMessage.contains("vacuum horizon v1") &&
@@ -924,8 +924,85 @@ class VersionedTableSpec extends AnyFunSuite {
     t.commitOverwrite(Seq((2L, "b")).toDF("id", "v")) // v0's file now unreferenced
     // everything here is seconds old — a 1h window deletes nothing
     assert(t.vacuum(retainVersions = 1, minAgeMs = 3600L * 1000) == 0)
-    // age 0 collects it
-    assert(t.vacuum(retainVersions = 1) >= 1)
+    // age 0 — explicitly opted into — collects it
+    assert(t.vacuum(retainVersions = 1, minAgeMs = 0L) >= 1)
+  }
+
+  test("default vacuum is a real retention window: a slow in-flight append's staged files survive") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v")) // v0
+    t.commitOverwrite(Seq((2L, "b")).toDF("id", "v")) // v1: v0's file unreferenced
+    // simulate a slow writer mid-flight: freshly staged data (both the
+    // pre-commit _stage dir and an already-renamed, not-yet-committed
+    // data file) — exactly what a concurrent vacuum must never eat
+    val root = new java.io.File(t.tablePath)
+    val stageDir = new java.io.File(root, "_stage-v2-cafe01")
+    assert(stageDir.mkdir())
+    java.nio.file.Files.write(stageDir.toPath.resolve("part-0.parquet"), Array[Byte](1))
+    val staged = new java.io.File(root, "v00000002-cafe01-part-00000.parquet")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1))
+    // DEFAULT vacuum (7-day window): deletes NOTHING young — neither the
+    // in-flight files nor even v0's fresh-but-unreferenced file
+    assert(t.vacuum(retainVersions = 1) == 0)
+    assert(staged.exists() && stageDir.exists())
+    assert(t.read().select("v").as[String].head() == "b")
+    // explicit minAgeMs = 0 (quiesced maintenance) collects all three
+    assert(t.vacuum(retainVersions = 1, minAgeMs = 0L) >= 3)
+    assert(!staged.exists() && !stageDir.exists())
+  }
+
+  test("constraint change racing ANY commit aborts (no unvalidated rows slide under the new set)") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, 5L)).toDF("id", "x"))    // v0
+    val base = t.readCommit(0)                          // constraint writer's base
+    t.commitAppend(Seq((2L, -1L)).toDF("id", "x"))      // racing append with x < 0
+    // the constraint writer validated existing rows at v0 only — its
+    // commit must ABORT rather than rebase past the unvalidated append
+    // (this drives addConstraint's exact commit tail with the stale base)
+    val e = intercept[RuntimeException](
+      t.commitRebasing("constraint", base, Set.empty,
+        mkFiles = _.files, mkRows = _.rows,
+        mkConstraints = hc => hc.constraints :+ (("x_pos", "x > 0")),
+        maxRetries = 0))
+    assert(e.getMessage.contains("constraint conflict"), e.getMessage)
+    assert(t.constraints().isEmpty)
+    // a re-run against the fresh head re-validates ALL rows and fails on
+    // the -1 — the invariant the abort exists to protect
+    val e2 = intercept[RuntimeException](t.addConstraint("x_pos", "x > 0"))
+    assert(e2.getMessage.contains("x_pos"), e2.getMessage)
+  }
+
+  test("two racing constraint commits: the loser aborts instead of silently dropping the winner") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, 5L)).toDF("id", "x"))    // v0
+    val h2 = VersionedTable(spark, t.tablePath)
+    val base = h2.readCommit(0)                         // h2's stale base
+    assert(t.addConstraint("c1", "x > 0") == 1)         // winner lands v1
+    val e = intercept[RuntimeException](
+      h2.commitRebasing("constraint", base, Set.empty,
+        mkFiles = _.files, mkRows = _.rows,
+        mkConstraints = hc => hc.constraints :+ (("c2", "x < 100")),
+        maxRetries = 0))
+    assert(e.getMessage.contains("constraint conflict"), e.getMessage)
+    // c1 intact; a RE-RUN of c2 against the fresh head keeps BOTH
+    assert(h2.addConstraint("c2", "x < 100") == 2)
+    assert(VersionedTable(spark, t.tablePath).constraints().toMap ==
+      Map("c1" -> "x > 0", "c2" -> "x < 100"))
+  }
+
+  test("restore validates restored content against the CURRENT constraint set") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, -5L), (2L, 3L)).toDF("id", "x")) // v0: holds x < 0
+    t.delete(col("x") < 0)                                      // v1: clean
+    t.addConstraint("x_pos", "x > 0")                           // v2
+    // restoring v0 would put the -5 row back under an active CHECK —
+    // must fail loudly, committing nothing
+    val e = intercept[RuntimeException](t.restore(0))
+    assert(e.getMessage.contains("x_pos"), e.getMessage)
+    assert(t.latestVersion().contains(2))
+    // a version that satisfies the set restores fine, constraints intact
+    assert(t.restore(1) == 3)
+    assert(t.constraints() == Seq("x_pos" -> "x > 0"))
   }
 
   test("state is durable: a fresh handle sees the same log and snapshots") {
