@@ -138,12 +138,17 @@ object LlmQueries11 {
     },
 
     // Intra-doc repetition strip: zero-shuffle by construction — the
-    // segment list, the keep-first fold (aggregate HOF accumulating the
-    // first-occurrence set; O(segments²) per doc worst case, bounded by
-    // document length, never by corpus size), the rebuild, and the md5
-    // proof are all scan-local expressions inside one projection. The
-    // oracle proves the same semantics through the exploded
-    // min(seg_idx)-per-segment formulation; equality pins that the fold
+    // segment list, the keep-first pass, the rebuild, and the md5 proof
+    // are all scan-local expressions inside one projection. Keep-first
+    // is O(L log L) per document (round 14; the previous aggregate-HOF
+    // fold with an array_contains accumulator was O(L²) — a single
+    // 1M-word document became a ~10¹⁰-comparison straggler task):
+    // index the segments, array_sort by (seg, first_idx), drop
+    // adjacent duplicates (each segment's first occurrence survives),
+    // then re-sort the survivors by original index — two in-memory
+    // sorts bounded by document length, never corpus size. The oracle
+    // proves the same semantics through the exploded
+    // min(seg_idx)-per-segment formulation; equality pins that the pass
     // keeps exactly the first occurrence of every distinct segment in
     // order.
     q("q_selfrep_strip",
@@ -168,10 +173,18 @@ object LlmQueries11 {
       val nSegs = ((size(ws) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
       val segList = transform(sequence(lit(0), nSegs - 1),
         i => array_join(slice(ws, i * SegWords + 1, lit(SegWords)), " "))
-      val kept = aggregate(segList,
-        array().cast("array<string>"),
-        (acc, seg) => when(array_contains(acc, seg), acc)
-          .otherwise(concat(acc, array(seg))))
+      val bySeg = array_sort(transform(segList,
+        (s, i) => struct(s.as("seg"), i.as("idx"))))
+      // adjacent-dedup on the (seg, idx)-sorted list: element i survives
+      // iff it's the first of its segment run. `when` guards the i = 0
+      // probe — element_at(_, 0) is an error under ANSI.
+      val firsts = filter(bySeg, (x, i) =>
+        when(i === 0, lit(true))
+          .otherwise(element_at(bySeg, i).getField("seg") =!= x.getField("seg")))
+      val kept = transform(
+        array_sort(transform(firsts,
+          x => struct(x.getField("idx").as("idx"), x.getField("seg").as("seg")))),
+        x => x.getField("seg"))
       documents(s, d).filter(length(col("text")) > 0)
         .select(col("doc_id"),
           size(segList).cast("long").as("n_segs"),
