@@ -195,6 +195,61 @@ object CoreQueries19 {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("acct_sum"))
         .orderBy("segment")
+    },
+
+    // Conditional MERGE (round 14): a mixed CDC batch — tombstones,
+    // updates, brand-new keys, and deletes for keys the table never had
+    // — applied in ONE atomic commit through the full Delta WHEN
+    // grammar (whenMatched(cond).delete / whenMatched(cond).updateAll /
+    // whenNotMatched(cond).insertAll). Clause routing rides the
+    // batch's `op` column (condition-frame-only: extra source columns
+    // never land). Only files holding a claimed key rewrite — the
+    // CDC-apply shape at 100 TB: the commit cost is affected-file
+    // bytes + insert bytes, never the table — and the ledger proof
+    // pins exactly one merge commit. The oracle is the CASE/anti-join
+    // relational equivalent.
+    q("q_lake_merge_cdc",
+      """WITH survivors AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 1000
+        |         ELSE c_acctbal END AS bal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |ins AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_acctbal AS bal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 100 = 2)
+        |SELECT c_custkey, c_mktsegment AS segment, round(bal, 2) AS acctbal
+        |FROM (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.lake.Merge.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+      val dir = graft.lake.Scratch.dir("graft-vt-mcdc") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      val cust = customer(s, d)
+      t.commitOverwrite(cust.repartition(4))                          // v0
+      val tomb = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("op", lit("delete"))
+      val ups = cust.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .withColumn("op", lit("upsert"))
+      val news = cust.filter(col("c_custkey") % 100 === 2)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("op", lit("upsert"))
+      // deletes for keys the table never had — must claim nothing
+      val ghosts = cust.filter(col("c_custkey") % 100 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 2000000)
+        .withColumn("op", lit("delete"))
+      val cdc = tomb.unionByName(ups).unionByName(news).unionByName(ghosts)
+      val v = t.mergeConditional(cdc, Seq("c_custkey"), Seq(
+        MatchedDelete(Some(col("s.op") === "delete")),
+        MatchedUpdate(Some(col("s.op") === "upsert"), None),
+        NotMatchedInsert(Some(col("s.op") === "upsert"))))            // v1
+      if (!v.contains(1) || t.history().map(_._2) != Seq("overwrite", "merge"))
+        sys.error(s"q_lake_merge_cdc: expected ONE atomic merge commit, " +
+          s"got ${t.history().map(_._2)}")
+      t.read().select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
     }
   )
 }

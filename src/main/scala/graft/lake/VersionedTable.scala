@@ -101,7 +101,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                             schemaDdl: String, rows: Long, ts: Long,
                             txnApp: String = "", txnVer: Long = -1L,
                             dvTargets: Seq[String] = Nil,
-                            constraints: Seq[(String, String)] = Nil)
+                            constraints: Seq[(String, String)] = Nil,
+                            colMap: Seq[(String, String)] = Nil,
+                            droppedPhys: Seq[String] = Nil)
 
   /** The physical log record: file deltas vs version - 1. `full = true`
     * marks a legacy record (pre-delta log format) whose `add` carries the
@@ -114,7 +116,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                               rows: Long, ts: Long, full: Boolean = false,
                               txnApp: String = "", txnVer: Long = -1L,
                               dvTargets: Seq[String] = Nil,
-                              constraints: Seq[(String, String)] = Nil)
+                              constraints: Seq[(String, String)] = Nil,
+                              colMap: Seq[(String, String)] = Nil,
+                              droppedPhys: Seq[String] = Nil)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -148,8 +152,23 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .mkString("{", ",", "}")
   private val constraintPairRe =
     """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-  private def parseConstraints(body: String): Seq[(String, String)] = {
-    val anchor = "\"constraints\":{"
+  private def parseConstraints(body: String): Seq[(String, String)] =
+    parsePairs(body, "\"constraints\":{")
+
+  /** Column mapping (Delta's column-mapping mode, name-based): the
+    * commit record carries a SPARSE logical→physical overlay —
+    * `colmap` holds only columns whose physical (in-file) name differs
+    * from the logical one, so a table that never renamed pays nothing
+    * — plus `droppedPhys`, the physical names of dropped columns,
+    * whose residual bytes still live inside data files and must never
+    * be re-bound to a new column of the same logical name. Like the
+    * schema DDL and constraints these are carried IN FULL on every
+    * record: one record read gives the version's complete definition.
+    */
+  private def parseColMap(body: String): Seq[(String, String)] =
+    parsePairs(body, "\"colmap\":{")
+
+  private def parsePairs(body: String, anchor: String): Seq[(String, String)] = {
     val i = body.indexOf(anchor)
     if (i < 0) return Nil
     val tail = body.substring(i + anchor.length)
@@ -198,7 +217,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         else -1L,
         dvTargets = if (body.contains("\"dvTargets\""))
           listField(body, p, "dvTargets") else Nil,
-        constraints = parseConstraints(body))
+        constraints = parseConstraints(body),
+        colMap = parseColMap(body),
+        droppedPhys = if (body.contains("\"droppedPhys\""))
+          listField(body, p, "droppedPhys") else Nil)
       lastDelta = Some(d)
       d
     }
@@ -419,7 +441,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def readCommit(v: Int): Commit = {
     val d = readDelta(v)
     Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts,
-      d.txnApp, d.txnVer, d.dvTargets, d.constraints)
+      d.txnApp, d.txnVer, d.dvTargets, d.constraints, d.colMap, d.droppedPhys)
   }
 
   /** Publish `tmp` at `dst` atomically, FAILING (false) if `dst` exists —
@@ -487,10 +509,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       else s""","dvTargets":${listJson(c.dvTargets)}"""
     val cons = if (c.constraints.isEmpty) ""
       else s""","constraints":${constraintsJson(c.constraints)}"""
+    val cmap = if (c.colMap.isEmpty) ""
+      else s""","colmap":${constraintsJson(c.colMap)}"""
+    val dropped = if (c.droppedPhys.isEmpty) ""
+      else s""","droppedPhys":${listJson(c.droppedPhys)}"""
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
         s""""add":${listJson(add)},"remove":${listJson(remove)},""" +
-        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}$txn$dvt$cons}"""
+        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}""" +
+        s"""$txn$dvt$cons$cmap$dropped}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -578,19 +605,36 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (dvFiles.isEmpty) readFiles(dataFiles)
     else readWithPos(dataFiles, dvFiles).drop("_g_file", "_g_pos")
 
-  /** `df` projected to the snapshot schema: a mutation whose affected
-    * files are ALL pre-evolution (mergeSchema then yields only their
-    * columns) must still filter on, and write, the evolved schema —
-    * missing columns null-backfill with the snapshot's type, exactly
-    * what a snapshot read of those files would show. */
+  /** `df` (a physical-frame file read) projected to the snapshot's
+    * LOGICAL schema: a mutation whose affected files are ALL
+    * pre-evolution (mergeSchema then yields only their columns) must
+    * still filter on, and write, the evolved schema — missing columns
+    * null-backfill with the snapshot's type, exactly what a snapshot
+    * read of those files would show. Under column mapping the lookup
+    * goes through the logical→physical overlay (a renamed column reads
+    * its stable physical name; a dropped column's residual physical
+    * bytes are simply never selected). */
   private def alignToSchema(df: DataFrame, schema: StructType,
-                            keep: Seq[String] = Nil): DataFrame = {
+                            keep: Seq[String] = Nil,
+                            colMap: Map[String, String] = Map.empty): DataFrame = {
     val have = df.columns.toSet
     df.select(schema.map { f =>
-      if (have.contains(f.name)) col(f.name)
+      val p = colMap.getOrElse(f.name, f.name)
+      if (have.contains(p)) col(p).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } ++ keep.map(col): _*)
   }
+
+  /** The write-side inverse of [[alignToSchema]]: a logical-frame
+    * DataFrame renamed to the physical column names data files store.
+    * Identity when no mapping is active. */
+  private def toPhysical(df: DataFrame, schema: StructType,
+                         colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df.select(schema.map(f => col(f.name)): _*)
+    else df.select(schema.map(f =>
+      col(f.name).as(colMap.getOrElse(f.name, f.name))): _*)
+
+  private def physMap(c: Commit): Map[String, String] = c.colMap.toMap
 
   // ---- per-file column statistics (data skipping) ---------------------
   //
@@ -693,10 +737,17 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * a selective DELETE/UPDATE/replaceWhere pre-scan reads only the
     * stats-surviving files, not the table. */
   private def pruneByStats(files: Seq[String], schemaDdl: String,
-                           predicate: org.apache.spark.sql.Column): Seq[String] = {
+                           predicate: org.apache.spark.sql.Column,
+                           colMap: Map[String, String] = Map.empty): Seq[String] = {
     val stats = readAllStats()
     val e = resolvedPredicate(predicate, StructType.fromDDL(schemaDdl))
-    files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, st)))
+    // stats sidecars are keyed by the PHYSICAL (in-file) column names;
+    // the predicate references logical names — remap before matching so
+    // data skipping survives renames (ColumnMappingSpec pins this)
+    val inv = colMap.map(_.swap)
+    def logical(st: Map[String, FileStats.ColStats]) =
+      if (inv.isEmpty) st else st.map { case (p, cs) => inv.getOrElse(p, p) -> cs }
+    files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, logical(st))))
   }
 
   private[lake] def candidateFiles(predicate: org.apache.spark.sql.Column,
@@ -705,7 +756,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     val c = readCommit(v)
     val (_, data) = splitDv(c.files)
-    pruneByStats(data, c.schemaDdl, predicate)
+    pruneByStats(data, c.schemaDdl, predicate, physMap(c))
   }
 
   /** Snapshot read restricted by `predicate`, with stats-based file
@@ -727,8 +778,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     } else {
       // DV entries for pruned files never match the anti-join key, so
       // passing the snapshot's full DV list stays correct under pruning.
-      val (dvs, _) = splitDv(readCommit(v).files)
-      readLive(keep, dvs).filter(predicate)
+      val c = readCommit(v)
+      val (dvs, _) = splitDv(c.files)
+      alignToSchema(readLive(keep, dvs), StructType.fromDDL(c.schemaDdl),
+        colMap = physMap(c)).filter(predicate)
     }
   }
 
@@ -812,12 +865,100 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       maxRetries = 0)
   }
 
+  // ---- column mapping DDL (rename / drop without rewriting data) ------
+
+  private def referencedByConstraint(c: Commit, colName: String, op: String): Unit = {
+    val re = ("(?i)(^|[^A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(colName) + "($|[^A-Za-z0-9_])").r
+    c.constraints.find(kv => re.findFirstIn(kv._2).isDefined).foreach {
+      case (n, e) => sys.error(s"$op('$colName') rejected: CHECK constraint " +
+        s"'$n' ($e) references it — drop the constraint first")
+    }
+  }
+
+  /** Rename a column as a METADATA-ONLY commit (Delta's column-mapping
+    * rename): no data file is read or rewritten — the commit
+    * re-references the snapshot's files and re-binds the new logical
+    * name to the column's stable PHYSICAL name. Time travel to
+    * pre-rename versions shows the old name. Rejected while a CHECK
+    * constraint references the column (its expression would silently
+    * stop binding). Racing appends/rewrites rebase (a rename touches no
+    * physical bytes); a racing schema or constraint change aborts.
+    * At 100 TB this is the second-most-common schema change in a
+    * long-lived lake, and the alternative is rewriting the table.
+    */
+  def renameColumn(oldName: String, newName: String): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val schema = StructType.fromDDL(c.schemaDdl)
+    if (!schema.fieldNames.contains(oldName))
+      sys.error(s"renameColumn: no column '$oldName'")
+    if (schema.fieldNames.contains(newName))
+      sys.error(s"renameColumn: column '$newName' already exists")
+    referencedByConstraint(c, oldName, "renameColumn")
+    val newSchema = StructType(schema.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val map = physMap(c)
+    val phys = map.getOrElse(oldName, oldName)
+    val newMap = ((map - oldName) + (newName -> phys))
+      .filter { case (l, p) => l != p } // keep the overlay sparse
+    commitRebasing("rename-column", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      schemaDdlOverride = newSchema.toDDL,
+      colMapOverride = newMap.toSeq.sortBy(_._1))
+  }
+
+  /** Drop a column as a METADATA-ONLY commit: data files keep the
+    * physical bytes (time travel to pre-drop versions still reads
+    * them), but the logical schema loses the field and its physical
+    * name is tombstoned in `droppedPhys` — a later evolution re-adding
+    * the same logical name binds a FRESH physical id, so the residual
+    * data can never resurface (ColumnMappingSpec pins this). Rejected
+    * while a CHECK constraint references the column.
+    */
+  def dropColumn(name: String): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val schema = StructType.fromDDL(c.schemaDdl)
+    if (!schema.fieldNames.contains(name))
+      sys.error(s"dropColumn: no column '$name'")
+    if (schema.size <= 1)
+      sys.error("dropColumn: cannot drop the last column")
+    referencedByConstraint(c, name, "dropColumn")
+    val newSchema = StructType(schema.filterNot(_.name == name))
+    val map = physMap(c)
+    val phys = map.getOrElse(name, name)
+    commitRebasing("drop-column", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      schemaDdlOverride = newSchema.toDDL,
+      colMapOverride = (map - name).toSeq.sortBy(_._1),
+      droppedPhysOverride = (c.droppedPhys :+ phys).distinct)
+  }
+
   // ---- public API ----------------------------------------------------
 
   /** Replace the table contents (a new version; history is preserved).
     * Constraints carry across an overwrite (the table DEFINITION
     * persists; only content is replaced) and are enforced on it. */
-  def commitOverwrite(df: DataFrame): Int = {
+  def commitOverwrite(df: DataFrame): Int = overwriteWithTxn(df, "", -1L)
+
+  /** Idempotent overwrite for incremental-refresh consumers: commits
+    * `df` tagged with (`appId`, `batchId`) — the same setTransaction
+    * ledger [[commitAppendIdempotent]] uses — and NO-OPS (None) when a
+    * commit from `appId` with a batch id ≥ `batchId` already landed.
+    * This is the exactly-once anchor for a state table maintained from
+    * a change feed (batchId = the consumed source version): a crash
+    * between the overwrite and the consumer's cursor advance replays
+    * the batch, and the replay commits nothing instead of
+    * double-applying the deltas. */
+  def commitOverwriteIdempotent(df: DataFrame, appId: String,
+                                batchId: Long): Option[Int] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    if (lastCommittedBatch(appId).exists(_ >= batchId)) None
+    else Some(overwriteWithTxn(df, appId, batchId))
+  }
+
+  private def overwriteWithTxn(df: DataFrame, txnApp: String, txnVer: Long): Int = {
     val prevCons = constraints()
     checkConstraints(df, prevCons)
     val v = nextVersion
@@ -825,6 +966,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // footer-exact row count — no second evaluation of the input
     writeCommit(Commit(v, "overwrite", files, df.schema.toDDL,
       stagedRowCount(files), System.currentTimeMillis(),
+      txnApp = txnApp, txnVer = txnVer,
       constraints = prevCons))
     v
   }
@@ -890,11 +1032,44 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     None
   }
 
+  /** Physical name for an evolution-added column: its logical name
+    * unless that collides with a LIVE physical or a dropped column's
+    * residual physical still inside snapshot data files (re-binding it
+    * would resurrect the dropped data) — then a version-suffixed fresh
+    * id, exactly Delta's never-reuse-a-column-id rule. */
+  private def freshPhys(name: String, used: Set[String], v: Int): String =
+    if (!used.contains(name)) name
+    else Iterator.from(v).map(k => s"${name}_v$k").find(!used.contains(_)).get
+
   private def appendWithTxn(df: DataFrame, allowNewColumns: Boolean,
                             maxRetries: Int, txnApp: String,
                             txnVer: Long): Option[Int] = {
     checkSchema(df, allowNewColumns)
-    val files = stage(df, nextVersion)
+    // column mapping: stage under the head's PHYSICAL names; evolution-
+    // added columns allocate fresh physical ids that never collide with
+    // live or dropped physicals. The staged layout binds to this map —
+    // a racing mapping change (rename/drop) also changes the schema
+    // DDL, so the retry loop's checkSchema aborts before a mixed commit.
+    val head0 = latestVersion().map(readCommit)
+    val map0 = head0.map(physMap).getOrElse(Map.empty[String, String])
+    val dropped0 = head0.map(_.droppedPhys).getOrElse(Seq.empty)
+    val stageMap: Map[String, String] = head0 match {
+      case None => Map.empty
+      case Some(h) =>
+        val prevNames = StructType.fromDDL(h.schemaDdl).fieldNames.toSet
+        val added = df.schema.filterNot(f => prevNames.contains(f.name))
+        if (added.isEmpty || (map0.isEmpty && dropped0.isEmpty)) map0
+        else {
+          val used = prevNames.map(n => map0.getOrElse(n, n)) ++ dropped0
+          map0 ++ added.flatMap { f =>
+            val p = freshPhys(f.name, used, h.version + 1)
+            if (p == f.name) None else Some(f.name -> p)
+          }
+        }
+    }
+    val files = stage(
+      if (stageMap.isEmpty) df else toPhysical(df, df.schema, stageMap),
+      nextVersion)
     // Row count from the staged parquet footers — exact, metadata-only,
     // and spares EVERY append the separate df.count() action (a full
     // second evaluation of the input; on a streaming sink that was
@@ -929,12 +1104,23 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           checkConstraints(df, cons)
           validatedCons = Some(cons)
         }
+        // the staged files' physical layout binds to the map read at
+        // stage time — a racing mapping change alters the schema DDL and
+        // aborts via checkSchema, but guard the map itself too (belt and
+        // braces: a same-DDL map divergence must never commit silently)
+        if (prevCommit.exists(pc => physMap(pc) != map0 ||
+            pc.droppedPhys != dropped0)) sys.error(
+          s"append conflict: racing column-mapping change at " +
+            s"v${prevCommit.map(_.version).getOrElse(-1)} — staged files " +
+            s"bind to the old physical layout; re-run the append")
         try {
           writeCommit(Commit(v, "append",
             prevCommit.map(_.files).getOrElse(Seq.empty) ++ files, schema,
             prevCommit.map(_.rows).getOrElse(0L) + rows,
             System.currentTimeMillis(), txnApp, txnVer,
-            constraints = cons))
+            constraints = cons,
+            colMap = stageMap.toSeq.sortBy(_._1),
+            droppedPhys = dropped0))
           committed = Some(v)
           done = true
         } catch {
@@ -980,7 +1166,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(c.schemaDdl))
-    else readLive(data, dvs)
+    else if (c.colMap.isEmpty && c.droppedPhys.isEmpty) readLive(data, dvs)
+    // column mapping active (a rename's overlay entry, or a drop's
+    // tombstone even with an empty overlay): resolve physical file
+    // columns to the logical schema — renames apply, dropped columns'
+    // residual bytes are never selected
+    else alignToSchema(readLive(data, dvs), StructType.fromDDL(c.schemaDdl),
+      colMap = physMap(c))
   }
 
   /** Latest version committed at or before `tsMillis` (Delta's
@@ -1055,13 +1247,20 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       s"change feed from version $fromVersion is below the vacuum horizon " +
         s"v$h — replaced files of vacuumed versions are gone; earliest " +
         s"readable change range starts at v$h")
-    def tagged(names: Seq[String], v: Int, change: String): DataFrame =
-      readFiles(names)
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_change_type", lit(change))
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       // The incremental log IS the change record: no snapshot diffing.
       val d = readDelta(v)
+      // change rows surface under version v's LOGICAL schema (post-
+      // rename names — Delta CDF behavior); physical names are stable
+      // across renames, so v's map applies to files of any age
+      val vSchema = StructType.fromDDL(d.schemaDdl)
+      val vMap = d.colMap.toMap
+      def aligned(df: DataFrame): DataFrame =
+        if (vMap.isEmpty) df else alignToSchema(df, vSchema, colMap = vMap)
+      def tagged(names: Seq[String], v: Int, change: String): DataFrame =
+        aligned(readFiles(names))
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit(change))
       if (d.dvTargets.nonEmpty) {
         // MoR delete/update: the change set is exactly the rows at the
         // marked positions (plus, for update-dv, the new images in the
@@ -1072,9 +1271,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         // DVs are row-disjoint), so no prior-DV subtraction is needed.
         val dvPos = readFiles(d.add.filter(isDv))
           .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
-        val dels = readWithPos(d.dvTargets, Nil)
-          .join(dvPos, Seq("_g_file", "_g_pos"), "left_semi")
-          .drop("_g_file", "_g_pos")
+        val dels = aligned(readWithPos(d.dvTargets, Nil)
+            .join(dvPos, Seq("_g_file", "_g_pos"), "left_semi")
+            .drop("_g_file", "_g_pos"))
           .withColumn("_commit_version", lit(v))
           .withColumn("_change_type", lit("delete"))
         val newData = d.add.filterNot(isDv)
@@ -1091,14 +1290,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         case (false, false) => None
         case (true, false)  => Some(tagged(added, v, "insert"))
         case (false, true)  =>
-          Some(readLive(removed.filterNot(isDv), prevDvs)
+          Some(aligned(readLive(removed.filterNot(isDv), prevDvs))
             .withColumn("_commit_version", lit(v))
             .withColumn("_change_type", lit("delete")))
         case (true, true)   =>
           // Rewrite: diff replaced vs replacement content so untouched
           // rows (and whole no-op rewrites like optimize) cancel out.
-          val oldRows = readLive(removed.filterNot(isDv), prevDvs)
-          val newRows = readFiles(added.filterNot(isDv))
+          val oldRows = aligned(readLive(removed.filterNot(isDv), prevDvs))
+          val newRows = aligned(readFiles(added.filterNot(isDv)))
             .select(oldRows.columns.map(col): _*)
           Some(newRows.exceptAll(oldRows)
             .withColumn("_commit_version", lit(v))
@@ -1142,10 +1341,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // table. Then LIVE rows only: a row already removed by a deletion
     // vector must not count as affected (it would rewrite — and
     // re-count — a dead row).
-    val cand = pruneByStats(data, c.schemaDdl, hit)
+    val cand = pruneByStats(data, c.schemaDdl, hit, physMap(c))
     if (cand.isEmpty) Seq.empty
     else alignToSchema(readWithPos(cand, dvs), StructType.fromDDL(c.schemaDdl),
-        keep = Seq("_g_file", "_g_pos"))
+        keep = Seq("_g_file", "_g_pos"), colMap = physMap(c))
       .filter(hit)
       .select(col("_g_file")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -1234,14 +1433,22 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                              dvTargets: Seq[String] = Nil,
                              onDvOverlap: (Int, String, Seq[String], Set[String]) => Unit = null,
                              mkConstraints: Commit => Seq[(String, String)] = _.constraints,
+                             schemaDdlOverride: String = null,
+                             colMapOverride: Seq[(String, String)] = null,
+                             droppedPhysOverride: Seq[String] = null,
                              maxRetries: Int = 10): Int = {
     var attempt = 0
     while (true) {
       val headC = rebaseTarget(action, base, readSet, onDvOverlap)
       try {
         writeCommit(Commit(headC.version + 1, action, mkFiles(headC),
-          base.schemaDdl, mkRows(headC), System.currentTimeMillis(),
-          dvTargets = dvTargets, constraints = mkConstraints(headC)))
+          if (schemaDdlOverride == null) base.schemaDdl else schemaDdlOverride,
+          mkRows(headC), System.currentTimeMillis(),
+          dvTargets = dvTargets, constraints = mkConstraints(headC),
+          colMap = if (colMapOverride == null) base.colMap else colMapOverride,
+          droppedPhys =
+            if (droppedPhysOverride == null) base.droppedPhys
+            else droppedPhysOverride))
         return headC.version + 1
       } catch {
         case e: RuntimeException
@@ -1268,7 +1475,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def commitRewrite(action: String, c: Commit, affected: Seq[String],
                             rewritten: DataFrame, newRows: Long,
                             maxRetries: Int = 10): Int = {
-    val files = stage(rewritten, nextVersion)
+    // every rewrite path hands in a LOGICAL frame aligned to the base
+    // snapshot's schema; under column mapping the staged files must
+    // store the stable PHYSICAL names
+    val files = stage(
+      toPhysical(rewritten, StructType.fromDDL(c.schemaDdl), physMap(c)),
+      nextVersion)
     val readSet = affected.toSet
     val rowDelta = newRows - c.rows
     commitRebasing(action, c, readSet,
@@ -1295,7 +1507,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           // files are ABSORBED by this rewrite (their rows stay gone,
           // their DV entries go inert), and `removed` counts live rows
           val before = alignToSchema(readLive(affected, dvs),
-            StructType.fromDDL(c.schemaDdl))
+            StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
           val kept = before.filter(not(hit))
           val removed = before.count() - kept.count()
           Some(commitRewrite("delete", c, affected, kept, c.rows - removed))
@@ -1327,12 +1539,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val c = readCommit(v0)
       val (dvs, data) = splitDv(c.files)
       // stats-prune the mark scan like every other mutation pre-scan
-      val cand = pruneByStats(data, c.schemaDdl, condition)
+      val cand = pruneByStats(data, c.schemaDdl, condition, physMap(c))
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
         val marks = alignToSchema(readWithPos(cand, dvs),
-            StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"))
+            StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"),
+            colMap = physMap(c))
           .filter(hit)
           .select(col("_g_file").as("file"), col("_g_pos").as("pos"))
         // one small file per commit: the vector is deleted-rows-sized.
@@ -1374,14 +1587,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (unknown.nonEmpty)
         sys.error(s"updateMoR assigns unknown columns $unknown")
       val (dvs, data) = splitDv(c.files)
-      val cand = pruneByStats(data, c.schemaDdl, condition)
+      val cand = pruneByStats(data, c.schemaDdl, condition, physMap(c))
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
         // aligned: pre-evolution candidate files must filter on, and
         // produce new images carrying, the full snapshot schema
         val marked = alignToSchema(readWithPos(cand, dvs),
-            StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"))
+            StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"),
+            colMap = physMap(c))
           .filter(hit)
         // repartition, not coalesce: keep the mark scan parallel (see
         // deleteMoR) — only the marked rows cross the shuffle
@@ -1399,7 +1613,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             assignments.get(n).map(_.as(n)).getOrElse(col(n))
           }: _*)
           checkConstraints(newImages, c.constraints)
-          val newFiles = stage(newImages, nextVersion)
+          val newFiles = stage(
+            toPhysical(newImages, StructType.fromDDL(c.schemaDdl), physMap(c)),
+            nextVersion)
           val targets = readFiles(dvFiles).select("file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
           Some(commitDv(c, dvFiles, targets, 0L, action = "update-dv",
@@ -1470,7 +1686,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         else {
           val (dvs, _) = splitDv(c.files)
           val rewritten = alignToSchema(readLive(affected, dvs),
-            StructType.fromDDL(c.schemaDdl)).select(cols.map { n =>
+            StructType.fromDDL(c.schemaDdl), colMap = physMap(c)).select(cols.map { n =>
             assignments.get(n) match {
               case Some(e) => when(hit, e).otherwise(col(n)).as(n)
               case None    => col(n)
@@ -1510,7 +1726,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           // DV overlay keeps MoR-deleted keys from matching (a deleted
           // key must INSERT, not resurrect the dead row's file).
           val snapKeys = alignToSchema(readWithPos(data, dvs),
-              StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file"))
+              StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file"),
+              colMap = physMap(c))
             .select(keys.map(col) :+ col("_g_file"): _*)
           val affected = snapKeys.join(srcKeys, keys, "left_semi")
             .select("_g_file").distinct()
@@ -1523,13 +1740,151 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             // all NEW content in an upsert comes from the source rows
             checkConstraints(source, c.constraints)
             val before = alignToSchema(readLive(affected, dvs),
-              StructType.fromDDL(c.schemaDdl))
+              StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
             val rewritten = Merge.upsert(before, source, keys)
             val newRows = c.rows - before.count() + rewritten.count()
             Some(commitRewrite("merge", c, affected, rewritten, newRows))
           }
         }
     }
+
+  /** Conditional MERGE (Delta's full WHEN grammar): one atomic commit
+    * applying, per row, the FIRST clause of its group whose condition
+    * holds —
+    *  - matched target rows: [[Merge.MatchedUpdate]] (update-all or
+    *    SET-list) / [[Merge.MatchedDelete]], conditions and assignments
+    *    over the `t`/`s`-aliased join (see [[Merge]]'s frame contract);
+    *  - unmatched source rows: [[Merge.NotMatchedInsert]] (insert-all),
+    *    conditions over the source row;
+    *  - target rows with no source match:
+    *    [[Merge.NotMatchedBySourceDelete]] /
+    *    [[Merge.NotMatchedBySourceUpdate]], conditions over the target
+    *    row — the CDC-apply and GDPR upsert-plus-tombstone shapes
+    *    (update some matched rows, delete others, sweep the unmatched)
+    *    in ONE commit.
+    *
+    * Only files holding a claimed row rewrite: matched-key files plus
+    * files where a by-source clause's condition MAY hold on an
+    * unmatched row (an unconditional by-source sweep touches every
+    * file holding unmatched rows — inherent to the semantics).
+    * Constraints re-validate on the rewritten content; a racing
+    * constraint or schema change aborts in [[rebaseTarget]] as usual.
+    * Duplicate source keys are rejected up front (a matched target row
+    * would be claimed by several source rows — Delta's
+    * multiple-source-rows error). When insert clauses are present the
+    * commit does NOT rebase across racing commits (`maxRetries` forced
+    * to 0): "key absent from the snapshot" is a read-set decision, and
+    * a racing append may have inserted it (same rule as
+    * [[insertOnlyMerge]]). Returns the new version, or None when no
+    * clause claimed any row.
+    */
+  def mergeConditional(source: DataFrame, keys: Seq[String],
+                       clauses: Seq[Merge.MergeClause],
+                       maxRetries: Int = 10): Option[Int] = {
+    require(clauses.nonEmpty, "mergeConditional needs at least one clause")
+    val matched = clauses.filter(cl => cl.isInstanceOf[Merge.MatchedUpdate] ||
+      cl.isInstanceOf[Merge.MatchedDelete])
+    val insertCls = clauses.filter(_.isInstanceOf[Merge.NotMatchedInsert])
+    val bySource = clauses.filter(cl =>
+      cl.isInstanceOf[Merge.NotMatchedBySourceDelete] ||
+        cl.isInstanceOf[Merge.NotMatchedBySourceUpdate])
+    val retries = if (insertCls.nonEmpty) 0 else maxRetries
+    latestVersion() match {
+      case None =>
+        // no table yet: only insert clauses can claim anything
+        val cols = source.columns.toSeq
+        val ins = Merge.applyInserts(source,
+          source.select(keys.map(source.col): _*).limit(0), keys,
+          insertCls, cols)
+        if (ins.isEmpty) None else Some(commitOverwrite(ins))
+      case Some(v0) =>
+        val c = readCommit(v0)
+        val schema = StructType.fromDDL(c.schemaDdl)
+        val columns = schema.map(_.name)
+        // update-all / insert-all take their row images from the source,
+        // so those clauses require it to CONTAIN the target schema; a
+        // delete-only or SET-list-only merge needs just the keys (a CDC
+        // tombstone batch is keys + an op flag). EXTRA source columns
+        // (op flags, CDC timestamps) are always legal and
+        // condition-frame-only — every output path projects to the
+        // target columns.
+        val needsFullImage = clauses.exists {
+          case Merge.MatchedUpdate(_, None) => true
+          case _: Merge.NotMatchedInsert    => true
+          case _                            => false
+        }
+        val required = if (needsFullImage) schema
+          else schema.filter(f => keys.contains(f.name))
+        val inTypes = source.schema.map(f => f.name -> f.dataType).toMap
+        val missing = required.filterNot(f => inTypes.contains(f.name)).map(_.name)
+        val changed = required.filter(f =>
+          inTypes.get(f.name).exists(_ != f.dataType)).map(_.name)
+        if (missing.nonEmpty || changed.nonEmpty) sys.error(
+          s"mergeConditional: source is missing target column(s) $missing " +
+            s"/ has changed type(s) $changed")
+        if (matched.nonEmpty) {
+          val dup = source.groupBy(keys.map(source.col): _*)
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("_g_n"))
+            .filter(col("_g_n") > 1).limit(1).collect()
+          if (dup.nonEmpty) sys.error(
+            s"mergeConditional: multiple source rows share merge key " +
+              s"(e.g. ${keys.zip(dup.head.toSeq).mkString(", ")}) — a " +
+              s"matched target row must be claimed by exactly one source row")
+        }
+        val (dvs, data) = splitDv(c.files)
+        val srcKeys = source.select(keys.map(source.col): _*).distinct()
+        // affected files: one column-pruned pos-scan feeds both probes
+        val snap = alignToSchema(readWithPos(data, dvs), schema,
+          keep = Seq("_g_file"), colMap = physMap(c))
+        val matchedFiles =
+          if (matched.isEmpty || data.isEmpty) Seq.empty[String]
+          else snap.join(srcKeys, keys, "left_semi")
+            .select("_g_file").distinct().collect().map(_.getString(0)).toSeq
+        val bySrcFiles =
+          if (bySource.isEmpty || data.isEmpty) Seq.empty[String]
+          else {
+            val hit = bySource.map(_.condition.getOrElse(lit(true)))
+              .reduce(_ || _)
+            snap.as("t").join(srcKeys, keys, "left_anti")
+              .filter(coalesce(hit, lit(false)))
+              .select("_g_file").distinct().collect().map(_.getString(0)).toSeq
+          }
+        val affected = (matchedFiles ++ bySrcFiles).distinct
+        // inserts probe the FULL live key set — a source key matched in
+        // an UNAFFECTED file must not insert
+        val insRows =
+          if (insertCls.isEmpty) None
+          else {
+            val liveKeys =
+              if (data.isEmpty) source.select(keys.map(source.col): _*).limit(0)
+              else alignToSchema(readLive(data, dvs), schema,
+                  colMap = physMap(c))
+                .select(keys.map(col): _*)
+            Some(Merge.applyInserts(source, liveKeys, keys, insertCls, columns))
+          }
+        if (affected.isEmpty) {
+          insRows.filter(!_.isEmpty) match {
+            case None      => None
+            case Some(ins) => Some(commitAppend(ins, maxRetries = 0))
+          }
+        } else {
+          val before = alignToSchema(readLive(affected, dvs), schema,
+            colMap = physMap(c))
+          val matchedOut =
+            if (matched.isEmpty) before.join(srcKeys, keys, "left_semi")
+              .select(columns.map(col): _*)
+            else Merge.applyMatched(before, source, keys, matched, columns)
+          val bySrcOut = Merge.applyBySource(
+            before.join(srcKeys, keys, "left_anti"), bySource, columns)
+          val rewritten = insRows.foldLeft(
+            matchedOut.unionByName(bySrcOut))(_.unionByName(_))
+          checkConstraints(rewritten, c.constraints)
+          val newRows = c.rows - before.count() + rewritten.count()
+          Some(commitRewrite("merge", c, affected, rewritten, newRows,
+            maxRetries = retries))
+        }
+    }
+  }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
     * replace exactly the rows matching `predicate` with `df` — the
@@ -1568,7 +1923,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (affected.isEmpty) commitAppend(df, maxRetries = 0)
       else {
         val before = alignToSchema(readLive(affected, dvs),
-          StructType.fromDDL(c.schemaDdl))
+          StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
         val kept = before.filter(not(hit))
         val replaced = before.count() - kept.count()
         commitRewrite("replaceWhere", c, affected,
@@ -1593,7 +1948,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType.fromDDL(c.schemaDdl))
       else alignToSchema(readLive(data, dvs),
-        StructType.fromDDL(c.schemaDdl)).repartition(nFiles)
+        StructType.fromDDL(c.schemaDdl), colMap = physMap(c)).repartition(nFiles)
     // read-set = the whole snapshot INCLUDING its deletion vectors:
     // optimize rewrites every data file through the overlay, leaving
     // every DV entry inert, so the DVs drop out of the new snapshot —
@@ -1628,8 +1983,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val cons = constraints()
     checkConstraints(read(Some(version)), cons)
     val v = nextVersion
+    // the restored version's column mapping travels with its files;
+    // droppedPhys accumulates BOTH histories so a later evolution can
+    // never re-bind a physical name that lives in either file set
+    val curDropped = latestVersion().map(readDelta(_).droppedPhys).getOrElse(Nil)
     writeCommit(Commit(v, "restore", c.files, c.schemaDdl, c.rows,
-      System.currentTimeMillis(), constraints = cons))
+      System.currentTimeMillis(), constraints = cons,
+      colMap = c.colMap,
+      droppedPhys = (curDropped ++ c.droppedPhys).distinct))
     v
   }
 

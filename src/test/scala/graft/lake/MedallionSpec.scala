@@ -1,0 +1,177 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The incremental lake source ([[ChangeFeedReader]]) and the
+  * incrementally-maintained medallion ([[Medallion]]): poll/advance
+  * cursor semantics, DV-aware change delivery, and the replay
+  * (re-delivered version range) interleavings the r13 verdict asked
+  * for — a crash between apply and advance must never double-apply.
+  */
+class MedallionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scratch(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  // ---- ChangeFeedReader ------------------------------------------------
+
+  test("poll returns exactly the new commits' rows; advance moves the cursor; caught-up = None") {
+    val dir = scratch("graft-cfr")
+    val t = VersionedTable(spark, s"$dir/t")
+    val r = new ChangeFeedReader(t, s"$dir/cursor.json")
+    assert(r.poll().isEmpty)          // no commits yet
+    assert(r.lastProcessed() == -1)
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    val (c0, h0) = r.poll().get
+    assert(h0 == 0)
+    assert(c0.filter(col("_change_type") === "insert").count() == 2)
+    // un-advanced cursor re-delivers the same range (at-least-once)
+    assert(r.poll().get._1.count() == 2)
+    r.advance(h0)
+    assert(r.poll().isEmpty)          // caught up
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))               // v1
+    t.commitAppend(Seq((4L, "d")).toDF("id", "v"))               // v2
+    val (c1, h1) = r.poll().get
+    assert(h1 == 2)
+    // exactly the two appended rows — never a rescan of v0
+    assert(c1.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    r.advance(h1)
+    // a stale advance (replayed batch) never rewinds
+    r.advance(h0)
+    assert(r.lastProcessed() == 2)
+  }
+
+  test("change feed is DV-aware: a MoR delete polls as exactly its marked delete rows") {
+    val dir = scratch("graft-cfr")
+    val t = VersionedTable(spark, s"$dir/t")
+    val r = new ChangeFeedReader(t, s"$dir/cursor.json")
+    t.commitOverwrite((1L to 5L).map(i => (i, s"r$i")).toDF("id", "v"))
+    r.process((_, _) => ())           // consume v0
+    assert(t.deleteMoR(col("id") <= 2L).contains(1))
+    val (c, h) = r.poll().get
+    assert(h == 1)
+    val rows = c.select("id", "_change_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(rows == Seq((1L, "delete"), (2L, "delete")))
+  }
+
+  test("a consumer below the vacuum horizon fails loudly instead of silently skipping changes") {
+    val dir = scratch("graft-cfr")
+    val t = VersionedTable(spark, s"$dir/t")
+    val r = new ChangeFeedReader(t, s"$dir/cursor.json")
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitOverwrite(Seq((2L, "b")).toDF("id", "v"))
+    t.commitOverwrite(Seq((3L, "c")).toDF("id", "v"))
+    t.vacuum(retainVersions = 2, minAgeMs = 0L)      // horizon = v1
+    val e = intercept[RuntimeException](r.poll())
+    assert(e.getMessage.contains("vacuum horizon"), e.getMessage)
+  }
+
+  // ---- Medallion -------------------------------------------------------
+
+  private def raw(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("event_id", "etype", "value")
+
+  private def clean(df: DataFrame): DataFrame =
+    df.filter(col("value").isNotNull)
+      .select(col("event_id"), col("etype"), col("value"))
+
+  private def refreshAll(m: Medallion): Unit = {
+    m.refreshSilver(clean, Seq("event_id"))
+    m.refreshGold(col("etype"), lit("all"), col("value"))
+  }
+
+  private def goldMap(m: Medallion): Map[String, (Long, Double)] =
+    m.goldView().select("bucket", "n", "vsum")
+      .as[(String, Long, Double)].collect()
+      .map { case (b, n, s) => b -> ((n, math.round(s * 100).toDouble / 100)) }
+      .toMap
+
+  test("three append rounds maintain Gold incrementally; equals batch recompute") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    val batches = Seq(
+      raw((1L, "a", 1.5), (2L, "b", 2.0)),
+      raw((3L, "a", 3.0), (4L, "c", 4.5)),
+      raw((5L, "b", 0.5), (6L, "a", 6.0)))
+    batches.foreach { b => m.ingest(b); refreshAll(m) }
+    assert(goldMap(m) == Map(
+      "a" -> ((3L, 10.5)), "b" -> ((2L, 2.5)), "c" -> ((1L, 4.5))))
+    // ledgers prove INCREMENTAL maintenance: silver got one append per
+    // batch (never a recompute), gold one refresh per batch, and the
+    // txn ledger records which upstream version each commit consumed
+    assert(m.silver.history().map(_._2) ==
+      Seq("append", "append", "append"))
+    assert(m.gold.history().map(_._2).forall(_ == "overwrite"))
+    assert(m.gold.history().size == 3)
+    assert(m.silverCursor.lastProcessed() == 2) // bronze head
+    assert(m.goldCursor.lastProcessed() == 2)   // silver head
+    val goldTxns = m.gold.historyDF().select("txn_app", "txn_batch")
+      .as[(String, Long)].collect().toSeq
+    assert(goldTxns == Seq(("gold", 0L), ("gold", 1L), ("gold", 2L)))
+  }
+
+  test("replay safety: a re-delivered version range (crash between apply and advance) is a no-op") {
+    val root = scratch("graft-med")
+    val m = new Medallion(spark, root)
+    m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0))); refreshAll(m)
+    m.ingest(raw((3L, "a", 3.0))); refreshAll(m)
+    val silverVersions = m.silver.versions()
+    val goldBefore = goldMap(m)
+    // simulate the crash: the SILVER cursor is rolled back to before
+    // the last batch (apply landed, advance didn't) — the next refresh
+    // re-delivers bronze v1's changes
+    Files.write(Paths.get(s"$root/_silver_cursor.json"),
+      """{"version":0}""".getBytes("UTF-8"))
+    val replayed = m.refreshSilver(clean, Seq("event_id"))
+    assert(replayed.contains(1))                    // range re-delivered
+    assert(m.silver.versions() == silverVersions)   // ...but nothing committed
+    assert(m.silver.read().count() == 3)            // no duplicate rows
+    // same for GOLD: roll its cursor back and refresh — the overwrite
+    // no-ops on the txn marker, state unchanged
+    Files.write(Paths.get(s"$root/_gold_cursor.json"),
+      """{"version":0}""".getBytes("UTF-8"))
+    val gReplayed = m.refreshGold(col("etype"), lit("all"), col("value"))
+    assert(gReplayed.contains(1))
+    assert(goldMap(m) == goldBefore)
+    assert(m.gold.history().size == 2)              // still two refreshes
+  }
+
+  test("a Bronze MoR delete flows through: Silver drops the rows, Gold subtracts the partials") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
+    refreshAll(m)
+    assert(m.bronze.deleteMoR(col("event_id") === 2L).contains(1))
+    refreshAll(m)
+    assert(m.silver.read().select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // gold: 'a' net = 1 row / 1.0; 'b' untouched
+    assert(goldMap(m) == Map("a" -> ((1L, 1.0)), "b" -> ((1L, 3.0))))
+    // a group deleted to zero drops out entirely
+    assert(m.bronze.deleteMoR(col("event_id") === 3L).contains(2))
+    refreshAll(m)
+    assert(goldMap(m) == Map("a" -> ((1L, 1.0))))
+  }
+
+  test("clean()'s filter composes with deletes: rows Silver never admitted don't produce tombstones") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    val withNull: DataFrame = Seq(
+      (1L, "a", Some(1.0)), (2L, "b", None: Option[Double])
+    ).toDF("event_id", "etype", "value")
+    m.ingest(withNull); refreshAll(m)
+    assert(m.silver.read().count() == 1) // the null row was cleaned away
+    // deleting the never-admitted bronze row must not touch silver
+    assert(m.bronze.deleteMoR(col("event_id") === 2L).contains(1))
+    val sv = m.silver.versions().size
+    refreshAll(m)
+    assert(m.silver.read().count() == 1)
+    assert(m.silver.versions().size == sv) // delete leg committed nothing
+  }
+}
