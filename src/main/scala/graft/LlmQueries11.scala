@@ -139,15 +139,21 @@ object LlmQueries11 {
 
     // Intra-doc repetition strip: zero-shuffle by construction — the
     // segment list, the keep-first pass, the rebuild, and the md5 proof
-    // are all scan-local expressions inside one projection. Keep-first
-    // is O(L log L) per document (round 14; the previous aggregate-HOF
-    // fold with an array_contains accumulator was O(L²) — a single
-    // 1M-word document became a ~10¹⁰-comparison straggler task):
-    // index the segments, array_sort by (seg, first_idx), drop
-    // adjacent duplicates (each segment's first occurrence survives),
-    // then re-sort the survivors by original index — two in-memory
-    // sorts bounded by document length, never corpus size. The oracle
-    // proves the same semantics through the exploded
+    // are all scan-local expressions. Two O(L²) traps fixed in round 14
+    // (SelfRepScale measures both):
+    //  1. the keep-first fold was an aggregate HOF with an
+    //     array_contains accumulator — O(L²) comparisons; replaced by
+    //     array_sort by (seg, idx) → adjacent-dedup → re-sort by idx,
+    //     O(L log L);
+    //  2. the word-split lived INSIDE the segment-building lambda, so
+    //     interpreted HOF evaluation re-split the whole document per
+    //     segment — O(L²/SegWords) hidden in what looked like a linear
+    //     build. Each stage now materializes as its OWN projection
+    //     column, so lambdas reference attributes (O(1) per element).
+    //     The stage columns are referenced ≥2× downstream, which is
+    //     what stops CollapseProject from inlining the expensive
+    //     expressions back into the lambdas.
+    // The oracle proves the same semantics through the exploded
     // min(seg_idx)-per-segment formulation; equality pins that the pass
     // keeps exactly the first occurrence of every distinct segment in
     // order.
@@ -169,28 +175,30 @@ object LlmQueries11 {
         |  strlen(clean)::BIGINT AS n_bytes_clean,
         |  ('0x' || substr(md5(clean), 1, 8))::BIGINT AS h_clean
         |FROM rebuilt ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val ws = split(col("text"), " ")
-      val nSegs = ((size(ws) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
-      val segList = transform(sequence(lit(0), nSegs - 1),
-        i => array_join(slice(ws, i * SegWords + 1, lit(SegWords)), " "))
-      val bySeg = array_sort(transform(segList,
-        (s, i) => struct(s.as("seg"), i.as("idx"))))
-      // adjacent-dedup on the (seg, idx)-sorted list: element i survives
-      // iff it's the first of its segment run. `when` guards the i = 0
-      // probe — element_at(_, 0) is an error under ANSI.
-      val firsts = filter(bySeg, (x, i) =>
-        when(i === 0, lit(true))
-          .otherwise(element_at(bySeg, i).getField("seg") =!= x.getField("seg")))
-      val kept = transform(
-        array_sort(transform(firsts,
-          x => struct(x.getField("idx").as("idx"), x.getField("seg").as("seg")))),
-        x => x.getField("seg"))
+      val nSegs = ((size(col("_ws")) + lit(SegWords - 1)) / lit(SegWords))
+        .cast("int")
       documents(s, d).filter(length(col("text")) > 0)
+        .withColumn("_ws", split(col("text"), " "))
+        .withColumn("_segs", transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(col("_ws"), i * SegWords + 1, lit(SegWords)), " ")))
+        .withColumn("_by_seg", array_sort(transform(col("_segs"),
+          (s0, i) => struct(s0.as("seg"), i.as("idx")))))
+        // adjacent-dedup on the (seg, idx)-sorted list: element i
+        // survives iff it's the first of its segment run. `when` guards
+        // the i = 0 probe — element_at(_, 0) is an error under ANSI.
+        .withColumn("_kept", transform(
+          array_sort(transform(
+            filter(col("_by_seg"), (x, i) =>
+              when(i === 0, lit(true))
+                .otherwise(element_at(col("_by_seg"), i).getField("seg") =!=
+                  x.getField("seg"))),
+            x => struct(x.getField("idx").as("idx"),
+              x.getField("seg").as("seg")))),
+          x => x.getField("seg")))
+        .withColumn("clean", array_join(col("_kept"), " "))
         .select(col("doc_id"),
-          size(segList).cast("long").as("n_segs"),
-          (size(segList) - size(kept)).cast("long").as("n_dupes"),
-          array_join(kept, " ").as("clean"))
-        .select(col("doc_id"), col("n_segs"), col("n_dupes"),
+          size(col("_segs")).cast("long").as("n_segs"),
+          (size(col("_segs")) - size(col("_kept"))).cast("long").as("n_dupes"),
           octet_length(col("clean")).cast("long").as("n_bytes_clean"),
           Dedup.md5Int(col("clean")).as("h_clean"))
         .orderBy("doc_id")

@@ -1,27 +1,34 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale measurement for the intra-doc repetition strip's keep-first
-  * pass: `runMain graft.SelfRepScale [wordsPerDoc] [nDocs]`
+  * pass: `runMain graft.SelfRepScale [wordsPerDoc] [nDocs] [mode]`
   *
-  * The r13 formulation folded segments through an `aggregate` HOF with
-  * an `array_contains(acc, seg)` membership probe — O(L²) comparisons
-  * per document, bounded by document length but a straggler task the
-  * moment one long document shows up (a 1M-word doc ≈ 10¹⁰
-  * comparisons). Round 14 replaced it with two `array_sort`s (index →
-  * sort by (seg, idx) → adjacent-dedup → re-sort by idx): O(L log L),
-  * same scan-local zero-shuffle shape, byte-identical output (the
-  * q_selfrep_strip oracle pins it). This tool times BOTH formulations
-  * on synthetic long documents with ~half the segments duplicated (the
-  * fold's accumulator still grows near-linearly, its worst regime) and
-  * prints one line per leg plus the output-equality check.
+  * Two quadratic formulations were replaced in round 14
+  * (LlmQueries11 q_selfrep_strip):
+  *  1. the keep-first `aggregate` HOF with an `array_contains(acc,
+  *     seg)` probe — O(L²) comparisons per document;
+  *  2. the word-split embedded INSIDE the segment-building lambda —
+  *     interpreted HOF evaluation re-splits the whole document per
+  *     segment, O(L²/SegWords) hidden in a "linear" build.
+  * The production shape materializes each stage as its own projection
+  * column (lambdas then reference attributes, O(1) per element) and
+  * keeps first occurrences via two array_sorts, O(L log L).
+  *
+  * This tool builds synthetic long documents (~half the segments
+  * duplicated), materializes the SAME staged segment column for both
+  * formulations — isolating the keep-first algorithm — and times
+  * sort-based vs fold. `mode = "sort"` skips the fold legs: at ≥50k
+  * words/doc the quadratic baseline does not terminate in useful time
+  * (>40 min at 100k words before being killed), which is the finding.
   */
 object SelfRepScale {
   def main(args: Array[String]): Unit = {
     val wordsPerDoc = args.lift(0).map(_.toInt).getOrElse(100000)
     val nDocs = args.lift(1).map(_.toInt).getOrElse(8)
+    val mode = args.lift(2).getOrElse("both")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,10 +46,9 @@ object SelfRepScale {
       r
     }
 
-    // Deterministic synthetic corpus: each doc = wordsPerDoc words, word
-    // i of doc d is `w<(i*2654435761 + d) % V>` with V = wordsPerDoc/2 —
-    // roughly half the 4-word segments end up duplicated, the worst mix
-    // for keep-first (accumulator grows near-linearly in the old fold).
+    // Deterministic synthetic corpus: word i of doc d = `w<hash mod V>`
+    // with V = wordsPerDoc/2 — roughly half the 4-word segments end up
+    // duplicated.
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
       array_join(transform(sequence(lit(0), lit(wordsPerDoc - 1)),
         i => concat(lit("w"),
@@ -52,48 +58,54 @@ object SelfRepScale {
     docs.count()
 
     val SegWords = 4
-    val ws = split(col("text"), " ")
-    val nSegs = ((size(ws) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
-    val segList = transform(sequence(lit(0), nSegs - 1),
-      i => array_join(slice(ws, i * SegWords + 1, lit(SegWords)), " "))
+    val nSegs = ((size(col("_ws")) + lit(SegWords - 1)) / lit(SegWords))
+      .cast("int")
+    // shared staged segment column — both formulations start here
+    val stagedDocs = docs
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("_segs", transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(col("_ws"), i * SegWords + 1, lit(SegWords)), " ")))
 
-    // r13: quadratic fold (kept here as the measured baseline only)
-    val keptFold = aggregate(segList,
-      array().cast("array<string>"),
-      (acc, seg) => when(array_contains(acc, seg), acc)
-        .otherwise(concat(acc, array(seg))))
+    // r14 production shape: sort → adjacent-dedup → re-sort
+    val sortDf = stagedDocs
+      .withColumn("_by_seg", array_sort(transform(col("_segs"),
+        (s0, i) => struct(s0.as("seg"), i.as("idx")))))
+      .withColumn("_kept", transform(
+        array_sort(transform(
+          filter(col("_by_seg"), (x, i) =>
+            when(i === 0, lit(true))
+              .otherwise(element_at(col("_by_seg"), i).getField("seg") =!=
+                x.getField("seg"))),
+          x => struct(x.getField("idx").as("idx"),
+            x.getField("seg").as("seg")))),
+        x => x.getField("seg")))
 
-    // r14: sort-based keep-first (the production formulation)
-    val bySeg = array_sort(transform(segList,
-      (s, i) => struct(s.as("seg"), i.as("idx"))))
-    val firsts = filter(bySeg, (x, i) =>
-      when(i === 0, lit(true))
-        .otherwise(element_at(bySeg, i).getField("seg") =!= x.getField("seg")))
-    val keptSort = transform(
-      array_sort(transform(firsts,
-        x => struct(x.getField("idx").as("idx"), x.getField("seg").as("seg")))),
-      x => x.getField("seg"))
+    // r13 baseline: quadratic fold (kept ONLY as the measured baseline)
+    val foldDf = stagedDocs.withColumn("_kept",
+      aggregate(col("_segs"), array().cast("array<string>"),
+        (acc, seg) => when(array_contains(acc, seg), acc)
+          .otherwise(concat(acc, array(seg)))))
 
-    def run(kept: org.apache.spark.sql.Column): Seq[(Long, Long, Long)] =
-      docs.select(col("doc_id"),
-          size(segList).cast("long").as("n_segs"),
-          size(kept).cast("long").as("n_kept"),
-          graft.llm.Dedup.md5Int(array_join(kept, " ")).as("h"))
+    def run(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select(col("doc_id"),
+          size(col("_segs")).cast("long").as("n_segs"),
+          size(col("_kept")).cast("long").as("n_kept"),
+          graft.llm.Dedup.md5Int(array_join(col("_kept"), " ")).as("h"))
         .orderBy("doc_id")
         .select("n_segs", "n_kept", "h")
         .as[(Long, Long, Long)].collect().toSeq
 
     println(s"SELFREP corpus: $nDocs docs x $wordsPerDoc words " +
       s"(~${wordsPerDoc / SegWords} segments/doc)")
-    val a = time("sort-based keep-first (r14)")(run(keptSort))
-    val b = time("aggregate-HOF fold (r13)")(run(keptFold))
-    // warm second passes (JIT/codegen settled)
-    val a2 = time("sort-based, warm")(run(keptSort))
-    val b2 = time("fold, warm")(run(keptFold))
-    require(a == b && a2 == b2 && a == a2,
-      "formulations diverged — keep-first semantics broken")
-    println(s"SELFREP outputs identical across formulations " +
-      s"(${a.map(_._2).sum} kept segments total)")
+    val a = time("sort-based keep-first (r14)")(run(sortDf))
+    val a2 = time("sort-based, warm")(run(sortDf))
+    require(a == a2, "sort formulation not deterministic")
+    if (mode == "both") {
+      val b = time("aggregate-HOF fold (r13)")(run(foldDf))
+      require(a == b, "formulations diverged — keep-first semantics broken")
+      println(s"SELFREP outputs identical across formulations " +
+        s"(${a.map(_._2).sum} kept segments total)")
+    }
     spark.stop()
   }
 }
