@@ -49,20 +49,52 @@ final class Medallion(spark: SparkSession, root: String) {
 
   /** Incrementally refresh Silver: consume Bronze changes since the
     * cursor; `clean` maps raw change rows to the Silver schema (it
-    * must preserve `keys`, Silver's identity columns). Returns the
-    * consumed Bronze version, None when already caught up. */
+    * must preserve `keys`, Silver's identity columns, which must also
+    * exist on the raw Bronze rows). Returns the consumed Bronze
+    * version, None when already caught up.
+    *
+    * The polled range is NETTED to a final state per key before
+    * applying (a key inserted at v1 and deleted at v3 within one range
+    * produces nothing; an update's delete+insert pair produces exactly
+    * the newest image, never a duplicate row): rank each key's change
+    * rows by (version desc, insert-over-delete) and keep the top one.
+    * Application order is crash-safe at every point:
+    *  1. if Silver's txn ledger already records this range's marker,
+    *     the whole batch landed before a crash — skip straight to the
+    *     cursor advance (a replayed delete leg must never touch the
+    *     rows its own insert leg added);
+    *  2. delete leg: every key that appears with a delete ANYWHERE in
+    *     the range (tombstones AND the old images of updates) goes
+    *     through a conditional-merge delete — replays find the keys
+    *     already gone and commit nothing;
+    *  3. insert leg: the netted final images append exactly-once via
+    *     the (appId="silver", batchId=consumed version) marker.
+    */
   def refreshSilver(clean: DataFrame => DataFrame,
                     keys: Seq[String]): Option[Int] =
-    silverCursor.poll().map { case (changes, head) =>
-      val dels = clean(changes.filter(col("_change_type") === "delete")
-          .drop("_commit_version", "_change_type"))
-        .select(keys.map(col): _*).distinct()
-      if (silver.latestVersion().nonEmpty && !dels.isEmpty)
-        silver.mergeConditional(dels, keys, Seq(Merge.MatchedDelete(None)))
-      val ins = clean(changes.filter(col("_change_type") === "insert")
-        .drop("_commit_version", "_change_type"))
-      if (!ins.isEmpty)
-        silver.commitAppendIdempotent(ins, "silver", head.toLong)
+    silverCursor.poll().map { case (changes0, head) =>
+      val alreadyLanded =
+        silver.lastCommittedBatch("silver").exists(_ >= head.toLong)
+      if (!alreadyLanded) {
+        val changes = changes0.cache()
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(desc("_commit_version"),
+              when(col("_change_type") === "insert", 1).otherwise(0).desc)
+          val finals = changes.withColumn("_g_rk", row_number().over(w))
+            .filter(col("_g_rk") === 1).drop("_g_rk")
+          val delKeys = clean(changes.filter(col("_change_type") === "delete")
+              .drop("_commit_version", "_change_type"))
+            .select(keys.map(col): _*).distinct()
+          if (silver.latestVersion().nonEmpty && !delKeys.isEmpty)
+            silver.mergeConditional(delKeys, keys, Seq(Merge.MatchedDelete(None)))
+          val ins = clean(finals.filter(col("_change_type") === "insert")
+            .drop("_commit_version", "_change_type"))
+          if (!ins.isEmpty)
+            silver.commitAppendIdempotent(ins, "silver", head.toLong)
+        } finally changes.unpersist()
+      }
       silverCursor.advance(head)
       head
     }

@@ -470,21 +470,36 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           // FS without hard-link support: the old exists+rename probe
           // here silently reinstated the TOCTOU clobber this path exists
           // to prevent. Arbitrate through an O_EXCL claim file instead
-          // (`Files.createFile` is atomic at the syscall level): only the
-          // claim winner ever renames into `dst`, so exclusivity holds
-          // even though rename itself would replace. The tiny claim file
-          // stays behind in the log dir (its dot-name matches no reader
-          // pattern); every writer on the same FS takes this same branch,
-          // so mixed-mode races with the hardlink path can't happen.
+          // (`Files.createFile` is atomic at the syscall level): the
+          // claim serializes the exists-check + rename, so exclusivity
+          // holds even though rename itself would replace. The claim is
+          // RELEASED on every exit (win, lose, or rename failure) — and
+          // a claim left by a crashed writer self-heals: a later writer
+          // finding a stale claim (old, with no published dst) removes
+          // it and reports conflict, so the caller's retry proceeds
+          // instead of the table wedging forever. Every writer on the
+          // same FS takes this same branch, so mixed-mode races with
+          // the hardlink path can't happen.
           System.err.println(s"[lake] no hard-link support at ${dst.getParent}" +
             s" — publishing ${dst.getName} via O_EXCL claim file")
           val claim = java.nio.file.Paths.get(
             new Path(dst.getParent, s".claim-${dst.getName}").toUri.getPath)
           try {
             java.nio.file.Files.createFile(claim)
-            fs.rename(tmp, dst)
+            try { !fs.exists(dst) && fs.rename(tmp, dst) }
+            finally { java.nio.file.Files.deleteIfExists(claim); () }
           } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val staleMs = 60000L
+              val age = try System.currentTimeMillis() -
+                java.nio.file.Files.getLastModifiedTime(claim).toMillis
+              catch { case _: Throwable => 0L }
+              if (age > staleMs && !fs.exists(dst)) {
+                System.err.println(s"[lake] removing stale claim " +
+                  s"${claim.getFileName} (${age}ms old, no published record)")
+                java.nio.file.Files.deleteIfExists(claim)
+              }
+              false // caller raises conflict; its retry finds the claim free
           }
       }
     } else !fs.exists(dst) && fs.rename(tmp, dst)
@@ -738,15 +753,24 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * stats-surviving files, not the table. */
   private def pruneByStats(files: Seq[String], schemaDdl: String,
                            predicate: org.apache.spark.sql.Column,
-                           colMap: Map[String, String] = Map.empty): Seq[String] = {
+                           colMap: Map[String, String] = Map.empty,
+                           droppedPhys: Seq[String] = Nil): Seq[String] = {
     val stats = readAllStats()
     val e = resolvedPredicate(predicate, StructType.fromDDL(schemaDdl))
     // stats sidecars are keyed by the PHYSICAL (in-file) column names;
     // the predicate references logical names — remap before matching so
-    // data skipping survives renames (ColumnMappingSpec pins this)
+    // data skipping survives renames (ColumnMappingSpec pins this). A
+    // DROPPED column's stats keys must be discarded first: after a
+    // drop + re-add of the same logical name, the identity fallback
+    // would bind the dead column's stats to the new logical column and
+    // prune files whose (null-backfilled) rows actually match.
     val inv = colMap.map(_.swap)
-    def logical(st: Map[String, FileStats.ColStats]) =
-      if (inv.isEmpty) st else st.map { case (p, cs) => inv.getOrElse(p, p) -> cs }
+    val dead = droppedPhys.toSet
+    def logical(st: Map[String, FileStats.ColStats]) = {
+      val live = if (dead.isEmpty) st else st.filterNot(kv => dead(kv._1))
+      if (inv.isEmpty) live
+      else live.map { case (p, cs) => inv.getOrElse(p, p) -> cs }
+    }
     files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, logical(st))))
   }
 
@@ -756,7 +780,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     val c = readCommit(v)
     val (_, data) = splitDv(c.files)
-    pruneByStats(data, c.schemaDdl, predicate, physMap(c))
+    pruneByStats(data, c.schemaDdl, predicate, physMap(c), c.droppedPhys)
   }
 
   /** Snapshot read restricted by `predicate`, with stats-based file
@@ -1255,8 +1279,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       // across renames, so v's map applies to files of any age
       val vSchema = StructType.fromDDL(d.schemaDdl)
       val vMap = d.colMap.toMap
+      // align also when only droppedPhys is set (drop with an empty
+      // rename overlay): a change feed over pre-drop files must not
+      // resurface the tombstoned column, and the rewrite-diff branch
+      // needs both sides on the logical schema
       def aligned(df: DataFrame): DataFrame =
-        if (vMap.isEmpty) df else alignToSchema(df, vSchema, colMap = vMap)
+        if (vMap.isEmpty && d.droppedPhys.isEmpty) df
+        else alignToSchema(df, vSchema, colMap = vMap)
       def tagged(names: Seq[String], v: Int, change: String): DataFrame =
         aligned(readFiles(names))
           .withColumn("_commit_version", lit(v))
@@ -1341,7 +1370,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // table. Then LIVE rows only: a row already removed by a deletion
     // vector must not count as affected (it would rewrite — and
     // re-count — a dead row).
-    val cand = pruneByStats(data, c.schemaDdl, hit, physMap(c))
+    val cand = pruneByStats(data, c.schemaDdl, hit, physMap(c), c.droppedPhys)
     if (cand.isEmpty) Seq.empty
     else alignToSchema(readWithPos(cand, dvs), StructType.fromDDL(c.schemaDdl),
         keep = Seq("_g_file", "_g_pos"), colMap = physMap(c))
@@ -1539,7 +1568,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val c = readCommit(v0)
       val (dvs, data) = splitDv(c.files)
       // stats-prune the mark scan like every other mutation pre-scan
-      val cand = pruneByStats(data, c.schemaDdl, condition, physMap(c))
+      val cand = pruneByStats(data, c.schemaDdl, condition, physMap(c), c.droppedPhys)
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
@@ -1587,7 +1616,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (unknown.nonEmpty)
         sys.error(s"updateMoR assigns unknown columns $unknown")
       val (dvs, data) = splitDv(c.files)
-      val cand = pruneByStats(data, c.schemaDdl, condition, physMap(c))
+      val cand = pruneByStats(data, c.schemaDdl, condition, physMap(c), c.droppedPhys)
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
@@ -1777,6 +1806,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * a racing append may have inserted it (same rule as
     * [[insertOnlyMerge]]). Returns the new version, or None when no
     * clause claimed any row.
+    *
+    * On a NONEXISTENT table there is no target schema to project to,
+    * so insert clauses seed the table with the FULL source schema —
+    * including flag columns like `op`. If the pipeline's flag columns
+    * must stay out of the table, create it (e.g. an empty overwrite
+    * with the intended schema) before the first merge.
     */
   def mergeConditional(source: DataFrame, keys: Seq[String],
                        clauses: Seq[Merge.MergeClause],

@@ -146,6 +146,33 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema change"), e.getMessage)
   }
 
+  test("change feed after a drop (empty overlay) hides the tombstoned column; rewrite diffs align") {
+    val t = freshTable()
+    t.commitOverwrite(base())            // v0: (id, v, x)
+    t.dropColumn("v")                    // v1: colMap empty, droppedPhys=[v]
+    t.delete(col("x") >= 30L)            // v2: CoW rewrite of pre-drop files
+    val cdf = t.changesBetween(1, 2)
+    // the tombstoned column must not resurface in the feed, and the
+    // rewrite-diff branch must align old (id,v,x) files against new
+    // (id,x) files instead of failing to resolve
+    assert(!cdf.columns.contains("v"), cdf.columns.mkString(","))
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("a dropped physical's stats never prune the re-added logical column") {
+    val t = freshTable()
+    t.commitOverwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))                                              // v0
+    t.dropColumn("v")                                            // v1
+    t.commitAppend(Seq((21L, "fresh")).toDF("id", "v"),
+      allowNewColumns = true)                                    // v2: v → fresh phys
+    // pre-drop rows read logical v as NULL; the dead physical 'v'
+    // stats (nulls = 0) must not prune the pre-drop file
+    assert(t.readWhere(col("v").isNull).count() == 20)
+    assert(t.readWhere(col("v") === "fresh").count() == 1)
+  }
+
   test("merge and replaceWhere through the map") {
     val t = freshTable()
     t.commitOverwrite(base())

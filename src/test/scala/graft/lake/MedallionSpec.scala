@@ -160,6 +160,52 @@ class MedallionSpec extends AnyFunSuite {
     assert(goldMap(m) == Map("a" -> ((1L, 1.0))))
   }
 
+  test("an update-shaped Bronze change (delete+insert of one key) nets to ONE Silver row") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0))); refreshAll(m)
+    // bronze CoW update surfaces as a delete+insert pair in the feed —
+    // without per-key netting the old image's delete no-ops (applied
+    // first) and BOTH images append → duplicate key rows
+    m.bronze.update(col("event_id") === 1L, Map("value" -> lit(5.0)))
+    refreshAll(m)
+    val row1 = m.silver.read().filter(col("event_id") === 1L)
+      .select("value").as[Double].collect().toSeq
+    assert(row1 == Seq(5.0), s"expected one netted image, got $row1")
+    assert(goldMap(m) == Map("a" -> ((1L, 5.0)), "b" -> ((1L, 2.0))))
+  }
+
+  test("insert-then-delete of a key within ONE polled range nets to nothing") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 1.0))); refreshAll(m)
+    // two bronze commits land before the next refresh: key 2 appears
+    // and dies inside the same polled range — it must never reach
+    // Silver (the un-netted order applied deletes first, then
+    // resurrected the key from the earlier insert)
+    m.ingest(raw((2L, "b", 2.0)))
+    m.bronze.deleteMoR(col("event_id") === 2L)
+    refreshAll(m)
+    assert(m.silver.read().select("event_id").as[Long].collect().toSeq ==
+      Seq(1L))
+    assert(goldMap(m) == Map("a" -> ((1L, 1.0))))
+  }
+
+  test("replay of a fully-landed update batch touches nothing (ledger fast path)") {
+    val root = scratch("graft-med")
+    val m = new Medallion(spark, root)
+    m.ingest(raw((1L, "a", 1.0))); refreshAll(m)
+    m.bronze.update(col("event_id") === 1L, Map("value" -> lit(9.0)))
+    m.refreshSilver(clean, Seq("event_id")) // delete leg + insert leg both land
+    val versions = m.silver.versions()
+    // crash before advance: the replayed DELETE leg must not remove the
+    // row the batch's own insert leg added — the txn ledger says the
+    // whole batch landed, so the replay skips straight to the advance
+    Files.write(Paths.get(s"$root/_silver_cursor.json"),
+      """{"version":0}""".getBytes("UTF-8"))
+    assert(m.refreshSilver(clean, Seq("event_id")).contains(1))
+    assert(m.silver.versions() == versions)
+    assert(m.silver.read().select("value").as[Double].head() == 9.0)
+  }
+
   test("clean()'s filter composes with deletes: rows Silver never admitted don't produce tombstones") {
     val m = new Medallion(spark, scratch("graft-med"))
     val withNull: DataFrame = Seq(
