@@ -735,9 +735,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * (AttributeReferences + coercion casts), which is what
     * [[FileStats.mayMatch]] evaluates. */
   private def resolvedPredicate(predicate: org.apache.spark.sql.Column,
-                                schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
-    val dummy = spark.createDataFrame(
+                                schema: StructType,
+                                alias: String = null): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val base = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // alias: merge-clause conditions reference the target frame as
+    // `t.<col>` (the Merge frame contract) — resolve them against an
+    // identically-aliased dummy so by-source conditions stats-prune
+    val dummy = if (alias == null) base else base.as(alias)
     dummy.filter(predicate).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
@@ -754,9 +759,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private def pruneByStats(files: Seq[String], schemaDdl: String,
                            predicate: org.apache.spark.sql.Column,
                            colMap: Map[String, String] = Map.empty,
-                           droppedPhys: Seq[String] = Nil): Seq[String] = {
+                           droppedPhys: Seq[String] = Nil,
+                           alias: String = null): Seq[String] = {
     val stats = readAllStats()
-    val e = resolvedPredicate(predicate, StructType.fromDDL(schemaDdl))
+    val e = resolvedPredicate(predicate, StructType.fromDDL(schemaDdl), alias)
     // stats sidecars are keyed by the PHYSICAL (in-file) column names;
     // the predicate references logical names — remap before matching so
     // data skipping survives renames (ColumnMappingSpec pins this). A
@@ -1880,7 +1886,18 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           else {
             val hit = bySource.map(_.condition.getOrElse(lit(true)))
               .reduce(_ || _)
-            snap.as("t").join(srcKeys, keys, "left_anti")
+            // stats-prune the probe: a file whose min/max prove no row
+            // can satisfy ANY by-source condition holds no claimable
+            // unmatched row either (conditions resolve on the
+            // t-aliased frame; unresolvable shapes keep every file)
+            val bcand =
+              try pruneByStats(data, c.schemaDdl, hit, physMap(c),
+                c.droppedPhys, alias = "t")
+              catch { case _: Throwable => data }
+            if (bcand.isEmpty) Seq.empty[String]
+            else alignToSchema(readWithPos(bcand, dvs), schema,
+                keep = Seq("_g_file"), colMap = physMap(c))
+              .as("t").join(srcKeys, keys, "left_anti")
               .filter(coalesce(hit, lit(false)))
               .select("_g_file").distinct().collect().map(_.getString(0)).toSeq
           }

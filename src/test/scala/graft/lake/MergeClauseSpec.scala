@@ -101,6 +101,24 @@ class MergeClauseSpec extends AnyFunSuite {
     assert(t.read().count() == 4)
   }
 
+  test("a stats-prunable by-source condition bounds the probe AND the rewrite to matching files") {
+    val t = freshTable()
+    // two files with disjoint x ranges (10..200 / 210..400)
+    t.commitOverwrite((1L to 40L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "x").repartitionByRange(2, col("x")))
+    val files0 = t.readCommit(0).files.toSet
+    val src = Seq((1L, "a", 10L)).toDF("id", "v", "x")
+    // retention sweep of unmatched rows with x >= 300: min/max stats
+    // prove the low file holds none — only the high file may rewrite
+    val v = t.mergeConditional(src, Seq("id"),
+      Seq(NotMatchedBySourceDelete(Some(col("t.x") >= 300L))))
+    assert(v.contains(1))
+    val rewrote = files0 -- t.readCommit(1).files.toSet
+    assert(rewrote.size == 1, s"expected 1 file rewritten, got $rewrote")
+    assert(t.read().count() == 29) // 40 - rows with x in [300,400]
+    assert(t.read().filter(col("x") >= 300).count() == 0)
+  }
+
   test("no clause claims anything → None, nothing committed") {
     val t = freshTable()
     t.commitOverwrite(base())
