@@ -37,7 +37,8 @@ object CoreQueries20 {
         |  FROM events WHERE value IS NOT NULL)
         |SELECT day, event_type, count(*) AS n,
         |  round(sum(value), 2) AS vsum,
-        |  round(sum(value) / count(*), 6) AS vavg
+        |  round(sum(value) / count(*), 6) AS vavg,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
         |FROM e GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
       val root = graft.lake.Scratch.dir("graft-med")
       val m = new graft.lake.Medallion(s, root)
@@ -50,7 +51,12 @@ object CoreQueries20 {
       (0 until 3).foreach { i =>
         m.ingest(ev.filter(pmod(col("event_id"), lit(3)) === i))
         m.refreshSilver(clean, Seq("event_id"))
-        m.refreshGold(col("day"), col("event_type"), col("value"))
+        val r = m.refreshGoldStats(col("day"), col("event_type"), col("value"))
+          .getOrElse(sys.error("q_medallion_incremental: gold refresh no-oped"))
+        // insert-only batches never pay the min/max rescan
+        if (r.rescannedGroups != 0)
+          sys.error(s"q_medallion_incremental: insert-only batch rescanned " +
+            s"${r.rescannedGroups} groups")
       }
       if (m.silver.history().map(_._2) != Seq("append", "append", "append"))
         sys.error(s"q_medallion_incremental: Silver was not maintained " +
@@ -64,8 +70,93 @@ object CoreQueries20 {
       m.goldView()
         .select(col("bucket").as("day"), col("key").as("event_type"),
           col("n"), round(col("vsum"), 2).as("vsum"),
-          round(col("vavg"), 6).as("vavg"))
+          round(col("vavg"), 6).as("vavg"),
+          round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"))
         .orderBy("day", "event_type")
+    },
+
+    // Bucket-partitioned Gold state (round 15): the refresh cost is
+    // bounded by the TOUCHED buckets, never the state — the state table
+    // is written bucket-aligned, the second batch touches ONE bucket
+    // ('click'), and the in-query asserts pin at the FILE level that
+    // (a) untouched buckets' files survived by identity and (b) every
+    // rewritten file actually held the touched bucket. The third round
+    // MoR-deletes the touched bucket's stored maximum in Bronze; the
+    // change flows Bronze→Silver→Gold and the min/max delete-rescan
+    // recomputes exactly the affected groups (ledger-asserted count)
+    // from the Silver snapshot at the consumed version. The oracle
+    // recomputes everything from the raw events minus the deleted row.
+    q("q_medallion_bucketed",
+      """WITH victim AS (
+        |  SELECT event_id FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |    AND event_id % 3 < 2
+        |  ORDER BY value DESC, event_id DESC LIMIT 1),
+        |e AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts::TIMESTAMP),
+        |    '%Y-%m-%d') AS day, value
+        |  FROM events WHERE value IS NOT NULL
+        |    AND (event_id % 3 = 0
+        |         OR (event_id % 3 = 1 AND event_type = 'click'))
+        |    AND event_id <> (SELECT event_id FROM victim))
+        |SELECT event_type, day, count(*) AS n, round(sum(value), 2) AS vsum,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val root = graft.lake.Scratch.dir("graft-medb")
+      val m = new graft.lake.Medallion(s, root)
+      val ev = events(s, d)
+      val clean: DataFrame => DataFrame = df =>
+        df.filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("value"))
+      def refreshGold() =
+        m.refreshGoldStats(col("event_type"), col("day"), col("value"))
+          .getOrElse(sys.error("q_medallion_bucketed: refresh no-oped"))
+      // round 1: every bucket seeds
+      m.ingest(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+      m.refreshSilver(clean, Seq("event_id"))
+      refreshGold()
+      val before = m.gold.commitFiles(m.gold.latestVersion().get)
+      // round 2: only the 'click' bucket changes
+      m.ingest(ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .filter(col("event_type") === "click"))
+      m.refreshSilver(clean, Seq("event_id"))
+      val r2 = refreshGold()
+      if (r2.touchedBuckets != Seq("click"))
+        sys.error(s"q_medallion_bucketed: expected touched=[click], got " +
+          s"${r2.touchedBuckets}")
+      val after = m.gold.commitFiles(m.gold.latestVersion().get)
+      val survived = before.filter(after.toSet)
+      val rewritten = before.filterNot(after.toSet)
+      if (survived.isEmpty)
+        sys.error("q_medallion_bucketed: a one-bucket refresh rewrote the " +
+          "whole state — untouched buckets' files must survive by identity")
+      rewritten.foreach { f =>
+        val bks = s.read.parquet(s"${m.gold.tablePath}/$f")
+          .select("bucket").distinct().collect().map(_.getString(0)).toSet
+        if (!bks.contains("click"))
+          sys.error(s"q_medallion_bucketed: file $f rewritten without " +
+            s"holding the touched bucket (held $bks)")
+      }
+      // round 3: MoR-delete the touched bucket's stored MAX in Bronze —
+      // only findable by the per-group rescan
+      val victim = m.silver.read()
+        .filter(col("event_type") === "click")
+        .orderBy(desc("value"), desc("event_id"))
+        .select("event_id").limit(1).collect()(0).getLong(0)
+      m.bronze.deleteMoR(col("event_id") === victim)
+      m.refreshSilver(clean, Seq("event_id"))
+      val r3 = refreshGold()
+      if (r3.touchedBuckets != Seq("click") || r3.rescannedGroups != 1)
+        sys.error(s"q_medallion_bucketed: delete of one group's max must " +
+          s"rescan exactly that group: touched=${r3.touchedBuckets} " +
+          s"rescanned=${r3.rescannedGroups}")
+      m.goldView()
+        .select(col("bucket").as("event_type"), col("key").as("day"),
+          col("n"), round(col("vsum"), 2).as("vsum"),
+          round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"))
+        .orderBy("event_type", "day")
     },
 
     // Column mapping through the CORRECTNESS board (round 14): rename
@@ -97,18 +188,19 @@ object CoreQueries20 {
       val t = graft.lake.VersionedTable(s, dir)
       val cust = customer(s, d)
       t.commitOverwrite(cust.repartition(4))                          // v0
-      val files0 = t.history().last._4
+      // file IDENTITY, not count — a 1:1 rewrite must fail this proof
+      val files0 = t.commitFiles(0)
       t.renameColumn("c_mktsegment", "segment")                       // v1
-      if (t.history().last._4 != files0)
+      if (t.commitFiles(1) != files0)
         sys.error("q_lake_rename: rename touched data files")
       // append under the NEW logical name (stages under the stable
       // physical one)
       t.commitAppend(cust.filter(col("c_custkey") % 100 === 1)
         .withColumn("c_custkey", col("c_custkey") + 1000000)
         .withColumnRenamed("c_mktsegment", "segment"))                // v2
-      val files2 = t.history().last._4
+      val files2 = t.commitFiles(2)
       t.dropColumn("c_name")                                          // v3
-      if (t.history().last._4 != files2)
+      if (t.commitFiles(3) != files2)
         sys.error("q_lake_rename: drop touched data files")
       // evolution re-adds the dropped logical name — fresh physical id,
       // old values must stay buried

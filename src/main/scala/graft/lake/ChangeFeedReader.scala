@@ -32,14 +32,23 @@ import org.apache.spark.sql.DataFrame
   */
 final class ChangeFeedReader(val table: VersionedTable, statePath: String) {
 
-  /** Last version this consumer fully processed; -1 = never polled. */
+  /** Last version this consumer fully processed; -1 = never polled.
+    * A PRESENT-but-malformed cursor file fails loudly: silently
+    * resetting to -1 would replay the entire feed into the downstream
+    * appliers — idempotence would absorb it, but a hand-edited or
+    * corrupted cursor is an operational fault the operator must see,
+    * not a full-table re-read they must pay. */
   def lastProcessed(): Int = {
     val p = Paths.get(statePath)
     if (!Files.exists(p)) -1
     else {
       val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       """"version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(text)
-        .map(_.group(1).toInt).getOrElse(-1)
+        .map(_.group(1).toInt).getOrElse(sys.error(
+          s"ChangeFeedReader: cursor file $statePath exists but holds no " +
+            s"""parseable {"version":N} — refusing to silently replay """ +
+            s"the whole feed; fix or delete the cursor (content: " +
+            s"${text.take(200)})"))
     }
   }
 

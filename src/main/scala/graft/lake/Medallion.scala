@@ -20,19 +20,45 @@ import org.apache.spark.sql.functions._
   *    on the txn marker;
   *  - Gold folds SIGNED algebraic partials (insert = +1, delete = −1 —
   *    count/sum form a GROUP, so DV deletes and rewrites maintain
-  *    exactly, not just monoid appends) into its state table via
-  *    [[VersionedTable.commitOverwriteIdempotent]] tagged
-  *    (`"gold"`, consumed Silver version).
+  *    exactly, not just monoid appends) into a BUCKET-PARTITIONED state
+  *    table via [[VersionedTable.replaceWhereIdempotent]] tagged
+  *    (`"gold"`, consumed Silver version), scoped to exactly the
+  *    buckets the batch touched.
   * A crash between any apply and its cursor advance re-delivers the
   * version range; both appliers commit nothing on the replay
   * (MedallionSpec drives exactly that interleaving).
   *
-  * Aggregates maintained: n / vsum (avg = vsum/n at read). min/max are
-  * NOT delete-maintainable (removal can expose a new extremum only a
-  * rescan finds) and are deliberately absent — the same restriction
-  * every incremental-view engine documents.
+  * Gold refresh cost is CHANGE-proportional in both directions: the
+  * poll reads only the new commits' files, and the state apply reads +
+  * rewrites only the files of the batch's touched buckets (the state
+  * table is written repartitioned by bucket, so file min/max stats
+  * prune the replaceWhere pre-scan to those files — Delta's dynamic
+  * partition overwrite, expressed through data skipping). A batch
+  * touching k of a billion buckets reads k buckets' state, never
+  * O(state).
+  *
+  * Aggregates maintained: n / vsum (avg = vsum/n at read) — plain
+  * signed-group algebra — plus vmin / vmax with the standard
+  * incremental-view rescan fallback: inserts tighten min/max for free;
+  * a delete that ties-or-beats a group's stored extremum triggers a
+  * recompute of JUST that group from the Silver snapshot at the
+  * consumed version (a keyed semi-join rescan, cost proportional to
+  * the affected groups, never the table).
   */
-final class Medallion(spark: SparkSession, root: String) {
+/** One Gold refresh's scale-proof observables: the consumed Silver
+  * version, the buckets the batch touched (= the replaceWhere scope),
+  * and how many groups needed the min/max delete-rescan. */
+case class GoldRefresh(consumedVersion: Int, touchedBuckets: Seq[Any],
+                       rescannedGroups: Long)
+
+/** @param goldStateFiles target file count for the Gold state's
+  *   bucket-aligned layout: state writes hash-repartition by bucket
+  *   into this many partitions (EXPLICIT count — AQE would otherwise
+  *   coalesce a small refresh into one file and the next refresh's
+  *   bucket pruning would have nothing to skip). Size it like shuffle
+  *   partitions: enough that one file's buckets fit an executor. */
+final class Medallion(spark: SparkSession, root: String,
+                      goldStateFiles: Int = 32) {
   val bronze = VersionedTable(spark, s"$root/bronze")
   val silver = VersionedTable(spark, s"$root/silver")
   val gold   = VersionedTable(spark, s"$root/gold")
@@ -100,31 +126,140 @@ final class Medallion(spark: SparkSession, root: String) {
     }
 
   /** Incrementally refresh Gold: fold Silver's changes since the
-    * cursor into the (bucket, key) → (n, vsum) state as signed
-    * partials. Only one state overwrite per refresh; groups whose net
-    * count reaches zero drop out. Returns the consumed Silver version,
-    * None when already caught up. */
+    * cursor into the (bucket, key) → (n, vsum, vmin, vmax) state.
+    * Returns the consumed Silver version, None when already caught up.
+    * See [[refreshGoldStats]] for the full contract. */
   def refreshGold(bucket: Column, key: Column, value: Column): Option[Int] =
-    goldCursor.poll().map { case (changes, head) =>
-      val sign = when(col("_change_type") === "delete", lit(-1L))
-        .otherwise(lit(1L))
-      val parts = changes
-        .groupBy(bucket.as("bucket"), key.as("key"))
-        .agg(sum(sign).as("n"), sum(value * sign).as("vsum"))
-      val merged = gold.latestVersion() match {
-        case None    => parts.filter(col("n") > 0)
-        case Some(_) => gold.read().unionByName(parts)
-          .groupBy("bucket", "key")
-          .agg(sum("n").as("n"), sum("vsum").as("vsum"))
-          .filter(col("n") > 0)
+    refreshGoldStats(bucket, key, value).map(_.consumedVersion)
+
+  /** [[refreshGold]] with the refresh's scale-proof observables: which
+    * buckets the batch touched (= the replaceWhere scope; everything
+    * else's files survive by identity) and how many groups needed the
+    * min/max delete-rescan (0 on insert-only batches).
+    *
+    * Algorithm, change-proportional at every step:
+    *  1. batch partials: one keyed aggregation over the polled change
+    *     rows — signed n/vsum, plus insert-side and delete-side min/max;
+    *  2. `touched` = the partials' distinct buckets (an O(touched)
+    *     driver list — the same dynamic-partition-overwrite accounting
+    *     Delta does);
+    *  3. prior state for ONLY those buckets (file-stats pruning skips
+    *     every other bucket's files) full-outer-joins the partials:
+    *     n/vsum fold algebraically; min/max tighten from inserts for
+    *     free, and a group whose delete-side extremum ties-or-beats its
+    *     candidate min/max is flagged for rescan — conservative, never
+    *     wrong: the rescan recomputes truth;
+    *  4. flagged groups recompute min/max from the Silver snapshot AS OF
+    *     the consumed version (a broadcast semi-join — cost ∝ affected
+    *     groups' rows, and consistent with the n/vsum fold even if
+    *     Silver has moved past `head` meanwhile);
+    *  5. the new touched-bucket state lands via
+    *     [[VersionedTable.replaceWhereIdempotent]] (bucket ∈ touched),
+    *     repartitioned by bucket so the state files stay bucket-aligned
+    *     for the NEXT refresh's pruning. Groups netting to zero drop
+    *     out; untouched buckets' files are never read or rewritten.
+    */
+  def refreshGoldStats(bucket: Column, key: Column,
+                       value: Column): Option[GoldRefresh] =
+    goldCursor.poll().map { case (changes0, head) =>
+      if (gold.lastCommittedBatch("gold").exists(_ >= head.toLong)) {
+        // replay of a fully-landed batch (crash between apply and
+        // advance): skip straight to the cursor
+        goldCursor.advance(head)
+        GoldRefresh(head, Seq.empty, 0L)
+      } else {
+        val isIns = col("_change_type") === "insert"
+        val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
+        val parts = changes0
+          .groupBy(bucket.as("bucket"), key.as("key"))
+          .agg(sum(sign).as("_pn"), sum(value * sign).as("_pvsum"),
+            min(when(isIns, value)).as("_ins_min"),
+            max(when(isIns, value)).as("_ins_max"),
+            min(when(not(isIns), value)).as("_del_min"),
+            max(when(not(isIns), value)).as("_del_max"))
+          .cache()
+        try {
+          val touched = parts.select("bucket").distinct()
+            .collect().map(_.get(0)).toSeq
+          if (touched.nonEmpty) {
+            val empty = parts.select(col("bucket"), col("key"),
+              col("_pn").as("n"), col("_pvsum").as("vsum"),
+              col("_ins_min").as("vmin"), col("_ins_max").as("vmax")).limit(0)
+            val cur = gold.latestVersion() match {
+              case None    => empty
+              // stats-pruned: only the touched buckets' files open
+              case Some(_) => gold.read().filter(col("bucket").isin(touched: _*))
+            }
+            val j = cur.as("c").join(parts.as("p"), Seq("bucket", "key"),
+              "full_outer")
+            val candMin = least(col("c.vmin"), col("p._ins_min"))
+            val candMax = greatest(col("c.vmax"), col("p._ins_max"))
+            // a deleted value that ties-or-beats the candidate extremum
+            // MAY have been the extremum — recompute that group. least/
+            // greatest skip nulls, so insert-only groups never flag.
+            val rescan =
+              (col("p._del_min").isNotNull &&
+                (candMin.isNull || col("p._del_min") <= candMin)) ||
+              (col("p._del_max").isNotNull &&
+                (candMax.isNull || col("p._del_max") >= candMax))
+            val merged = j.select(col("bucket"), col("key"),
+              (coalesce(col("c.n"), lit(0L)) + coalesce(col("p._pn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("c.vsum"), lit(0)) + coalesce(col("p._pvsum"), lit(0)))
+                .as("vsum"),
+              candMin.as("vmin"), candMax.as("vmax"),
+              coalesce(rescan, lit(false)).as("_rescan"))
+              .filter(col("n") > 0).cache()
+            try {
+              val flagged = merged.filter(col("_rescan"))
+                .select("bucket", "key")
+              val nRescan = flagged.count()
+              val state =
+                if (nRescan == 0)
+                  merged.drop("_rescan")
+                else {
+                  // truth for the flagged groups: Silver AS OF the
+                  // consumed version, keyed semi-join (flagged is tiny —
+                  // broadcast), one aggregation over just their rows
+                  val re = silver.read(Some(head))
+                    .select(bucket.as("bucket"), key.as("key"),
+                      value.as("_v"))
+                    .join(broadcast(flagged), Seq("bucket", "key"),
+                      "left_semi")
+                    .groupBy("bucket", "key")
+                    .agg(min("_v").as("_rmin"), max("_v").as("_rmax"))
+                  merged.as("m")
+                    .join(broadcast(re).as("r"), Seq("bucket", "key"),
+                      "left_outer")
+                    .select(col("bucket"), col("key"), col("n"), col("vsum"),
+                      when(col("_rescan"), col("_rmin")).otherwise(col("vmin"))
+                        .as("vmin"),
+                      when(col("_rescan"), col("_rmax")).otherwise(col("vmax"))
+                        .as("vmax"))
+                }
+              // bucket-aligned files: the NEXT refresh's stats pruning
+              // depends on each file covering few buckets
+              val aligned = state.repartition(goldStateFiles, col("bucket"))
+              gold.latestVersion() match {
+                case None => gold.commitOverwriteIdempotent(
+                  aligned, "gold", head.toLong)
+                case Some(_) => gold.replaceWhereIdempotent(
+                  col("bucket").isin(touched: _*), aligned, "gold", head.toLong)
+              }
+              goldCursor.advance(head)
+              GoldRefresh(head, touched, nRescan)
+            } finally merged.unpersist()
+          } else {
+            // a metadata-only / netted-empty range: nothing to fold
+            goldCursor.advance(head)
+            GoldRefresh(head, Seq.empty, 0L)
+          }
+        } finally parts.unpersist()
       }
-      gold.commitOverwriteIdempotent(merged, "gold", head.toLong)
-      goldCursor.advance(head)
-      head
     }
 
   /** Read-time finalization of the Gold state (avg from partials). */
   def goldView(): DataFrame =
     gold.read().select(col("bucket"), col("key"), col("n"), col("vsum"),
-      (col("vsum") / col("n")).as("vavg"))
+      (col("vsum") / col("n")).as("vavg"), col("vmin"), col("vmax"))
 }

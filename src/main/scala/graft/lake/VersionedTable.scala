@@ -485,18 +485,43 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           val claim = java.nio.file.Paths.get(
             new Path(dst.getParent, s".claim-${dst.getName}").toUri.getPath)
           try {
-            java.nio.file.Files.createFile(claim)
+            // O_EXCL create + owner pid in one call: a later writer can
+            // verify the claimant is DEAD before stealing, instead of
+            // guessing from age (a live writer stalled >60s in a GC
+            // pause must never lose its claim — stealing from it would
+            // reinstate the exists+rename TOCTOU this branch prevents)
+            java.nio.file.Files.write(claim,
+              ProcessHandle.current().pid().toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
             try { !fs.exists(dst) && fs.rename(tmp, dst) }
             finally { java.nio.file.Files.deleteIfExists(claim); () }
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
-              val staleMs = 60000L
               val age = try System.currentTimeMillis() -
                 java.nio.file.Files.getLastModifiedTime(claim).toMillis
               catch { case _: Throwable => 0L }
-              if (age > staleMs && !fs.exists(dst)) {
+              val ownerPid = try {
+                val s = new String(java.nio.file.Files.readAllBytes(claim),
+                  java.nio.charset.StandardCharsets.UTF_8).trim
+                if (s.matches("\\d+")) Some(s.toLong) else None
+              } catch { case _: Throwable => None }
+              // steal rules: a claim whose owner is provably dead frees
+              // after a short grace (the owner can never publish); a
+              // claim with NO readable owner (pre-pid format, torn read)
+              // only after a stall far beyond any plausible pause. A
+              // LIVE owner's claim is never stolen.
+              val stealable = ownerPid match {
+                case Some(pid) =>
+                  !ProcessHandle.of(pid).isPresent && age > 5000L
+                case None => age > 600000L
+              }
+              if (stealable && !fs.exists(dst)) {
                 System.err.println(s"[lake] removing stale claim " +
-                  s"${claim.getFileName} (${age}ms old, no published record)")
+                  s"${claim.getFileName} (${age}ms old, owner " +
+                  s"${ownerPid.fold("unknown")(p => s"pid $p dead")}, " +
+                  s"no published record)")
                 java.nio.file.Files.deleteIfExists(claim)
               }
               false // caller raises conflict; its retry finds the claim free
@@ -1471,7 +1496,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                              schemaDdlOverride: String = null,
                              colMapOverride: Seq[(String, String)] = null,
                              droppedPhysOverride: Seq[String] = null,
-                             maxRetries: Int = 10): Int = {
+                             maxRetries: Int = 10,
+                             txnApp: String = "", txnVer: Long = -1L): Int = {
     var attempt = 0
     while (true) {
       val headC = rebaseTarget(action, base, readSet, onDvOverlap)
@@ -1479,6 +1505,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         writeCommit(Commit(headC.version + 1, action, mkFiles(headC),
           if (schemaDdlOverride == null) base.schemaDdl else schemaDdlOverride,
           mkRows(headC), System.currentTimeMillis(),
+          txnApp = txnApp, txnVer = txnVer,
           dvTargets = dvTargets, constraints = mkConstraints(headC),
           colMap = if (colMapOverride == null) base.colMap else colMapOverride,
           droppedPhys =
@@ -1509,7 +1536,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     */
   private[lake] def commitRewrite(action: String, c: Commit, affected: Seq[String],
                             rewritten: DataFrame, newRows: Long,
-                            maxRetries: Int = 10): Int = {
+                            maxRetries: Int = 10,
+                            txnApp: String = "", txnVer: Long = -1L): Int = {
     // every rewrite path hands in a LOGICAL frame aligned to the base
     // snapshot's schema; under column mapping the staged files must
     // store the stable PHYSICAL names
@@ -1521,7 +1549,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     commitRebasing(action, c, readSet,
       mkFiles = headC => headC.files.filterNot(readSet) ++ files,
       mkRows = headC => headC.rows + rowDelta,
-      maxRetries = maxRetries)
+      maxRetries = maxRetries, txnApp = txnApp, txnVer = txnVer)
   }
 
   /** DELETE WHERE: drops rows matching `condition` (null ⇒ kept, SQL
@@ -1806,12 +1834,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * constraint or schema change aborts in [[rebaseTarget]] as usual.
     * Duplicate source keys are rejected up front (a matched target row
     * would be claimed by several source rows — Delta's
-    * multiple-source-rows error). When insert clauses are present the
-    * commit does NOT rebase across racing commits (`maxRetries` forced
-    * to 0): "key absent from the snapshot" is a read-set decision, and
-    * a racing append may have inserted it (same rule as
-    * [[insertOnlyMerge]]). Returns the new version, or None when no
-    * clause claimed any row.
+    * multiple-source-rows error). When insert OR by-source clauses are
+    * present the commit does NOT rebase across racing commits
+    * (`maxRetries` forced to 0): "key absent from the snapshot" and
+    * "target row unmatched by the source" are both read-set decisions
+    * over the WHOLE table — a racing append may have inserted the key,
+    * or added unmatched rows the by-source sweep never probed (Delta
+    * conflicts concurrent appends with by-source merges for exactly
+    * this reason; same rule as [[insertOnlyMerge]]). Returns the new
+    * version, or None when no clause claimed any row.
     *
     * On a NONEXISTENT table there is no target schema to project to,
     * so insert clauses seed the table with the FULL source schema —
@@ -1829,7 +1860,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val bySource = clauses.filter(cl =>
       cl.isInstanceOf[Merge.NotMatchedBySourceDelete] ||
         cl.isInstanceOf[Merge.NotMatchedBySourceUpdate])
-    val retries = if (insertCls.nonEmpty) 0 else maxRetries
+    val retries = if (insertCls.nonEmpty || bySource.nonEmpty) 0 else maxRetries
     latestVersion() match {
       case None =>
         // no table yet: only insert clauses can claim anything
@@ -1948,7 +1979,35 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * stats-based pruning bounds the pre-scan. Returns the new version.
     */
   def replaceWhere(predicate: org.apache.spark.sql.Column,
-                   df: DataFrame): Int = {
+                   df: DataFrame): Int =
+    replaceWhereTxn(predicate, df, "", -1L)
+      .getOrElse(sys.error("unreachable: non-txn replaceWhere never no-ops"))
+
+  /** Idempotent [[replaceWhere]] for incremental-refresh consumers: the
+    * scoped overwrite commits tagged (`appId`, `batchId`) in the same
+    * setTransaction ledger the streaming sinks use, and NO-OPS (None)
+    * when a commit from `appId` with a batch id ≥ `batchId` already
+    * landed. This is the exactly-once anchor for a BUCKET-PARTITIONED
+    * state table maintained from a change feed (batchId = the consumed
+    * source version): a crash between the scoped overwrite and the
+    * consumer's cursor advance replays the batch, and the replay
+    * commits nothing — while the rewrite itself stays bounded by the
+    * touched buckets' files, never the whole state ([[graft.lake.Medallion]]'s
+    * Gold refresh is the canonical caller). */
+  def replaceWhereIdempotent(predicate: org.apache.spark.sql.Column,
+                             df: DataFrame, appId: String,
+                             batchId: Long): Option[Int] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    if (lastCommittedBatch(appId).exists(_ >= batchId)) None
+    else replaceWhereTxn(predicate, df, appId, batchId)
+  }
+
+  /** None only when the degenerate-append path was zombie-fenced by a
+    * racing instance that already committed this (txnApp, txnVer) —
+    * the batch is durable either way. */
+  private def replaceWhereTxn(predicate: org.apache.spark.sql.Column,
+                              df: DataFrame, txnApp: String,
+                              txnVer: Long): Option[Int] = {
     val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
     checkSchema(df, allowNewColumns = false)
     val c = readCommit(v0)
@@ -1969,18 +2028,19 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val (dvs, data) = splitDv(c.files)
     if (data.isEmpty) {
       // empty table: the scoped overwrite degenerates to an append
-      commitAppend(df, maxRetries = 0)
+      appendWithTxn(df, allowNewColumns = false, maxRetries = 0, txnApp, txnVer)
     } else {
       val affected = affectedFiles(c, hit)
-      if (affected.isEmpty) commitAppend(df, maxRetries = 0)
+      if (affected.isEmpty)
+        appendWithTxn(df, allowNewColumns = false, maxRetries = 0, txnApp, txnVer)
       else {
         val before = alignToSchema(readLive(affected, dvs),
           StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
         val kept = before.filter(not(hit))
         val replaced = before.count() - kept.count()
-        commitRewrite("replaceWhere", c, affected,
+        Some(commitRewrite("replaceWhere", c, affected,
           kept.unionByName(df.select(before.columns.map(col): _*)),
-          c.rows - replaced + newRows)
+          c.rows - replaced + newRows, txnApp = txnApp, txnVer = txnVer))
       }
     }
   }
@@ -2096,6 +2156,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .foreach(writeVacuumHorizon)
     deletable.length
   }
+
+  /** The exact data-file list of version `v` (Delta's DESCRIBE DETAIL /
+    * `inputFiles` shape) — lets callers prove file IDENTITY across
+    * commits (a metadata-only commit re-references the same files; a
+    * count-equal rewrite does not). */
+  def commitFiles(v: Int): Seq[String] = readCommit(v).files
 
   /** (version, action, rows, fileCount) per commit, ascending. */
   def history(): Seq[(Int, String, Long, Int)] =

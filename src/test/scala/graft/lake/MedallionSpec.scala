@@ -109,8 +109,10 @@ class MedallionSpec extends AnyFunSuite {
     // txn ledger records which upstream version each commit consumed
     assert(m.silver.history().map(_._2) ==
       Seq("append", "append", "append"))
-    assert(m.gold.history().map(_._2).forall(_ == "overwrite"))
-    assert(m.gold.history().size == 3)
+    // bucket-partitioned state: the first refresh seeds (overwrite),
+    // every later one is a bucket-scoped replaceWhere — never O(state)
+    assert(m.gold.history().map(_._2) ==
+      Seq("overwrite", "replaceWhere", "replaceWhere"))
     assert(m.silverCursor.lastProcessed() == 2) // bronze head
     assert(m.goldCursor.lastProcessed() == 2)   // silver head
     val goldTxns = m.gold.historyDF().select("txn_app", "txn_batch")
@@ -204,6 +206,131 @@ class MedallionSpec extends AnyFunSuite {
     assert(m.refreshSilver(clean, Seq("event_id")).contains(1))
     assert(m.silver.versions() == versions)
     assert(m.silver.read().select("value").as[Double].head() == 9.0)
+  }
+
+  test("a malformed cursor file fails loudly instead of silently replaying the whole feed") {
+    val dir = scratch("graft-cfr")
+    val t = VersionedTable(spark, s"$dir/t")
+    val r = new ChangeFeedReader(t, s"$dir/cursor.json")
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    r.process((_, _) => ())
+    assert(r.lastProcessed() == 0)
+    Files.write(Paths.get(s"$dir/cursor.json"),
+      """{"vursion":banana}""".getBytes("UTF-8"))
+    val e = intercept[RuntimeException](r.lastProcessed())
+    assert(e.getMessage.contains("refusing to silently replay"), e.getMessage)
+  }
+
+  // ---- bucket-partitioned Gold (round 15) -------------------------------
+
+  private def goldFull(m: Medallion): Map[(String, String), (Long, Double, Double, Double)] =
+    m.goldView().select("bucket", "key", "n", "vsum", "vmin", "vmax")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map { case (b, k, n, s, mn, mx) =>
+        (b, k) -> ((n, math.round(s * 100).toDouble / 100, mn, mx)) }
+      .toMap
+
+  test("gold min/max maintain through inserts for free; a delete of a group's extremum rescans ONLY that group") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 5.0), (2L, "a", 1.0), (3L, "b", 7.0)))
+    m.refreshSilver(clean, Seq("event_id"))
+    val r1 = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r1.rescannedGroups == 0)        // insert-only: algebra suffices
+    assert(goldFull(m) == Map(
+      ("a", "all") -> ((2L, 6.0, 1.0, 5.0)),
+      ("b", "all") -> ((1L, 7.0, 7.0, 7.0))))
+    // insert a tighter max into 'a': still no rescan (inserts are free)
+    m.ingest(raw((4L, "a", 9.0)))
+    m.refreshSilver(clean, Seq("event_id"))
+    val r2 = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r2.rescannedGroups == 0 && r2.touchedBuckets == Seq("a"))
+    assert(goldFull(m)(("a", "all")) == ((3L, 15.0, 1.0, 9.0)))
+    // delete the stored max of 'a' (9.0): the new extremum is only
+    // findable by rescanning the group — and ONLY 'a' rescans ('b' is
+    // untouched, and its bucket's files are not even read)
+    assert(m.bronze.deleteMoR(col("event_id") === 4L).nonEmpty)
+    m.refreshSilver(clean, Seq("event_id"))
+    val r3 = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r3.rescannedGroups == 1 && r3.touchedBuckets == Seq("a"))
+    assert(goldFull(m) == Map(
+      ("a", "all") -> ((2L, 6.0, 1.0, 5.0)),
+      ("b", "all") -> ((1L, 7.0, 7.0, 7.0))))
+  }
+
+  test("a delete strictly between a group's min and max needs no rescan") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 1.0), (2L, "a", 3.0), (3L, "a", 9.0)))
+    m.refreshSilver(clean, Seq("event_id"))
+    m.refreshGold(col("etype"), lit("all"), col("value"))
+    assert(m.bronze.deleteMoR(col("event_id") === 2L).nonEmpty) // 3.0: interior
+    m.refreshSilver(clean, Seq("event_id"))
+    val r = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r.rescannedGroups == 0)
+    assert(goldFull(m)(("a", "all")) == ((2L, 10.0, 1.0, 9.0)))
+  }
+
+  test("an extremum inserted and deleted within ONE polled range resolves by rescan (first batch included)") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    // both commits land before the FIRST gold refresh: the range's
+    // insert-side min (0.5) is already dead — naive ins_min would be
+    // wrong; the rescan path recomputes from Silver AS OF the head
+    m.ingest(raw((1L, "a", 0.5), (2L, "a", 4.0)))
+    m.refreshSilver(clean, Seq("event_id"))
+    m.bronze.deleteMoR(col("event_id") === 1L)
+    m.refreshSilver(clean, Seq("event_id"))
+    val r = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r.rescannedGroups == 1)
+    assert(goldFull(m)(("a", "all")) == ((1L, 4.0, 4.0, 4.0)))
+  }
+
+  test("a refresh touching one bucket rewrites ONLY that bucket's files; others survive by identity") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    refreshAll(m)
+    val v0 = m.gold.latestVersion().get
+    val before = m.gold.commitFiles(v0)
+    // second batch touches ONLY bucket 'a'
+    m.ingest(raw((4L, "a", 4.0)))
+    m.refreshSilver(clean, Seq("event_id"))
+    val r = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r.touchedBuckets == Seq("a"))
+    val after = m.gold.commitFiles(m.gold.latestVersion().get)
+    val rewritten = before.filterNot(after.toSet)
+    val survived = before.filter(after.toSet)
+    assert(survived.nonEmpty, "untouched buckets' files must survive by identity")
+    // every rewritten file actually held bucket 'a' rows — the scoped
+    // overwrite never touched a file it didn't have to
+    rewritten.foreach { f =>
+      val buckets = spark.read.parquet(s"${m.gold.tablePath}/$f")
+        .select("bucket").distinct().as[String].collect().toSet
+      assert(buckets.contains("a"), s"file $f rewritten without a touched bucket")
+    }
+    // and no survivor holds bucket 'a' (they'd hold stale state)
+    survived.foreach { f =>
+      val buckets = spark.read.parquet(s"${m.gold.tablePath}/$f")
+        .select("bucket").distinct().as[String].collect().toSet
+      assert(!buckets.contains("a"), s"stale 'a' state survived in $f")
+    }
+    assert(goldFull(m)(("a", "all")) == ((2L, 5.0, 1.0, 4.0)))
+    assert(goldFull(m)(("b", "all")) == ((1L, 2.0, 2.0, 2.0)))
+  }
+
+  test("replay safety through replaceWhere: a re-delivered bucket-scoped refresh commits nothing") {
+    val root = scratch("graft-med")
+    val m = new Medallion(spark, root)
+    m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0))); refreshAll(m)
+    m.ingest(raw((3L, "a", 3.0))); refreshAll(m)   // replaceWhere refresh
+    assert(m.gold.history().map(_._2) == Seq("overwrite", "replaceWhere"))
+    val stateBefore = goldFull(m)
+    // crash between the replaceWhere and the cursor advance
+    Files.write(Paths.get(s"$root/_gold_cursor.json"),
+      """{"version":0}""".getBytes("UTF-8"))
+    val replayed = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(replayed.consumedVersion == 1)
+    assert(replayed.touchedBuckets.isEmpty)        // ledger fast path
+    assert(m.gold.history().size == 2)             // nothing committed
+    assert(goldFull(m) == stateBefore)
+    assert(m.goldCursor.lastProcessed() == 1)      // cursor re-advanced
   }
 
   test("clean()'s filter composes with deletes: rows Silver never admitted don't produce tombstones") {
