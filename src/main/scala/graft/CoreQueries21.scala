@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Twenty-first core tranche (round 15): the versioned lake as a
+  * Structured Streaming SOURCE — `readStream.format("graft-lake")`
+  * (org.apache.spark.sql.graft.GraftLakeSourceProvider) turns the
+  * table's change feed into engine-checkpointed micro-batches, the
+  * read-side completion of the exactly-once sink (CoreQueries18).
+  * Together they close the loop: lake → stream → lake, offsets and
+  * batch ids carried by the engine, no hand-rolled cursor.
+  */
+object CoreQueries21 {
+  import Tables._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Lake-to-lake streaming: Bronze commits (2 appends after the seed,
+    // then a MoR delete of every 'error' event) are consumed by a REAL
+    // streaming query over the graft-lake source — each commit arrives
+    // as one micro-batch whose offset IS the commit version — and
+    // applied to Silver the medallion way: delete leg through a
+    // conditional merge (replay finds the keys gone), insert leg
+    // through a batch-id-keyed idempotent append. In-query asserts pin
+    // the mechanism: 4 micro-batches for 4 commits, the streamed row
+    // multiset equals changesBetween(-1, head), and Silver's txn
+    // ledger records each insert batch exactly once. The oracle
+    // recomputes Silver from the raw events in one batch query —
+    // equality proves the streamed application converges. Scale shape:
+    // each micro-batch reads only its commit's changed files (offset
+    // probe is O(1) log-head metadata), so a 100 TB Bronze streams to
+    // Silver at the cost of the CHANGES, never the table.
+    q("q_lake_stream_source",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS vsum
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = graft.lake.Scratch.dir("graft-lake-src")
+      val bronzeDir = base + "/bronze"
+      val silverDir = base + "/silver"
+      val ckpt = base + "/ckpt"
+      val bronze = graft.lake.VersionedTable(s, bronzeDir)
+      val silver = graft.lake.VersionedTable(s, silverDir)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      def slice(i: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val streamedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+
+      bronze.commitOverwrite(slice(0))                               // v0
+      val query = s.readStream.format("graft-lake").load(bronzeDir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          batches.incrementAndGet()
+          val changes = df.cache()
+          try {
+            streamedRows.addAndGet(changes.count())
+            // medallion-style apply: tombstones first (replay-safe by
+            // semantics — the keys are already gone), then the netted
+            // inserts exactly-once by batch id
+            val delKeys = changes.filter(col("_change_type") === "delete")
+              .select("event_id").distinct()
+            if (silver.latestVersion().nonEmpty && !delKeys.isEmpty)
+              silver.mergeConditional(delKeys, Seq("event_id"),
+                Seq(graft.lake.Merge.MatchedDelete(None)))
+            val ins = changes.filter(col("_change_type") === "insert")
+              .select("event_id", "event_type", "value")
+            if (!ins.isEmpty) {
+              silver.commitAppendIdempotent(ins, "lake2lake", id)
+              ()
+            }
+          } finally { changes.unpersist(); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        query.processAllAvailable()
+        bronze.commitAppend(slice(1))                                // v1
+        query.processAllAvailable()
+        bronze.commitAppend(slice(2))                                // v2
+        query.processAllAvailable()
+        if (bronze.deleteMoR(col("event_type") === "error").isEmpty) // v3
+          sys.error("q_lake_stream_source: fixture has no 'error' events")
+        query.processAllAvailable()
+      } finally query.stop()
+
+      if (batches.get() != 4)
+        sys.error(s"q_lake_stream_source: expected 4 micro-batches for 4 " +
+          s"commits, got ${batches.get()}")
+      // the streamed multiset is exactly the change feed
+      val feedRows = bronze.changesBetween(-1, 3).count()
+      if (streamedRows.get() != feedRows)
+        sys.error(s"q_lake_stream_source: streamed ${streamedRows.get()} " +
+          s"change rows, changesBetween says $feedRows")
+      // exactly-once ledger: one insert commit per insert-bearing batch
+      val ledger = silver.historyDF()
+        .filter(col("txn_app") === "lake2lake")
+        .select("txn_batch").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      if (ledger != Seq(0L, 1L, 2L))
+        sys.error(s"q_lake_stream_source: insert ledger $ledger != 0,1,2")
+      silver.read()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
+        .orderBy("event_type")
+    }
+  )
+}

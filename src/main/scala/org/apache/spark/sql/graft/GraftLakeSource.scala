@@ -1,0 +1,120 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import graft.lake.VersionedTable
+
+/** Structured Streaming SOURCE for the versioned lake — the trigger-
+  * driven completion of [[graft.lake.ChangeFeedReader]]'s poll API:
+  *
+  * {{{
+  *   spark.readStream.format("graft-lake").load(tableDir)
+  * }}}
+  *
+  * yields the table's row-level change feed (`_commit_version`,
+  * `_change_type` columns — the [[VersionedTable.changesBetween]]
+  * shape) as micro-batches, with OFFSETS CHECKPOINTED BY THE ENGINE:
+  * the offset IS the commit version, so a restarted query resumes from
+  * its checkpoint's last committed version and re-delivers exactly the
+  * in-flight batch — compose with an idempotent sink
+  * ([[VersionedTable.commitAppendIdempotent]] keyed by `batchId`) for
+  * end-to-end exactly-once, no hand-rolled cursor file needed.
+  *
+  * Built on the V1 `Source` interface rather than a DataSourceV2
+  * `MicroBatchStream` — deliberately, and for the same reason Delta
+  * Lake's streaming source is a V1 `Source`: `getBatch` returns a
+  * DataFrame, so the lake's own scan machinery (deletion-vector
+  * overlays, column-mapping alignment, per-commit file pruning —
+  * everything `changesBetween` already does) is reused verbatim. A V2
+  * `PartitionReader` would have to re-implement parquet + DV + mapping
+  * decode outside Catalyst. The reference's medallion
+  * (`/root/reference/main.py:557,599`) polls in batch; this closes the
+  * "lake as a live stream" gap on top of it.
+  *
+  * Scale posture: each micro-batch reads ONLY the files that changed
+  * hands in `(start, end]` (the incremental log drives the read — cost
+  * ∝ change, never table size), and the per-batch DataFrame is a plain
+  * distributed parquet scan, so a 1000-executor cluster parallelizes
+  * within the batch. Offsets are O(1) JSON longs.
+  */
+class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error(
+      "graft-lake source requires a table path: .load(<tableDir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft-lake", GraftLakeSource.changeSchema(
+      activeSession(sqlContext), tablePath(parameters)))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftLakeSource(activeSession(sqlContext), tablePath(parameters))
+
+  private def activeSession(sqlContext: SQLContext): SparkSession =
+    sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext].sparkSession
+}
+
+object GraftLakeSource {
+  /** The stream's schema: the table's CURRENT logical schema plus the
+    * change-feed metadata columns. Fixed at query start (streaming
+    * contract); a mid-stream schema evolution fails the query loudly on
+    * the next batch's column mismatch rather than silently widening. */
+  def changeSchema(spark: SparkSession, path: String): StructType = {
+    val t = VersionedTable(spark, path)
+    val v = t.latestVersion().getOrElse(sys.error(
+      s"graft-lake source: no committed versions at $path"))
+    StructType(t.read(Some(v)).schema.fields ++ Seq(
+      StructField("_commit_version", IntegerType, nullable = false),
+      StructField("_change_type", StringType, nullable = false)))
+  }
+}
+
+class GraftLakeSource(spark: SparkSession, path: String) extends Source {
+  private val table = VersionedTable(spark, path)
+
+  override val schema: StructType = GraftLakeSource.changeSchema(spark, path)
+
+  /** Head of the table = head of the stream. The engine diffs this
+    * against its checkpointed offset to decide whether a trigger has
+    * work — an O(1) log-head probe, no file listing. */
+  override def getOffset: Option[OffsetV1] =
+    table.latestVersion().map(v => LongOffset(v.toLong))
+
+  /** Changes in versions `(start, end]` — exactly
+    * [[VersionedTable.changesBetween]], re-tagged `isStreaming` so the
+    * engine accepts it as a micro-batch. `start = None` is the initial
+    * batch: the full current content surfaces as inserts (replaying the
+    * commit history from -1), Delta's starting-snapshot behavior. */
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(version).getOrElse(-1)
+    val to = version(end)
+    val changes = table.changesBetween(from, to)
+      .select(schema.fieldNames.map(col).toSeq: _*) // pin column order
+    val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      changes.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+
+  /** Offsets round-trip through the checkpoint as JSON; a restarted
+    * query hands them back as [[SerializedOffset]]. */
+  private def version(o: OffsetV1): Int = o match {
+    case l: LongOffset       => l.offset.toInt
+    case s: SerializedOffset => s.json.trim.toInt
+    case other               => other.json.trim.toInt
+  }
+}
