@@ -105,6 +105,89 @@ object CoreQueries21 {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
         .orderBy("event_type")
+    },
+
+    // Partition-aligned operational surface over a hive-style layout
+    // (the reference's partitioned Silver write, main.py:623, finally
+    // exploited operationally): events land day-partitioned via
+    // LayerWriter; then the three lifecycle idioms every partitioned
+    // lake runs —
+    //  1. IDEMPOTENT DAY RE-LOAD: the newest day re-lands (values
+    //     doubled as the visible proof) through dynamic partition
+    //     overwrite; the in-query assert pins at the FILE level that
+    //     every other partition survived by identity;
+    //  2. PARTITION-SCOPED RETENTION: the oldest day expires as an O(1)
+    //     directory drop — no scan, no rewrite;
+    //  3. PARTITION-PRUNED READ: a one-day filter reads ONLY that
+    //     partition's files (asserted via inputFiles).
+    // The oracle recomputes the surviving table from raw events. At
+    // 100 TB these three idioms are the daily operating loop of a
+    // partitioned lake; each costs O(one partition), never O(table).
+    q("q_lake_partition_ops",
+      """WITH e AS (SELECT strftime(date_trunc('day', ts::TIMESTAMP),
+        |    '%Y-%m-%d') AS day, event_type, value FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e)
+        |SELECT day, event_type, count(*) AS n,
+        |  round(sum(CASE WHEN day = (SELECT hi FROM b) THEN value * 2
+        |                 ELSE value END), 2) AS vsum
+        |FROM e WHERE day > (SELECT lo FROM b)
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      import graft.lake.{LayerPath, LayerWriter}
+      val base = graft.lake.Scratch.dir("graft-part-ops")
+      val target = LayerPath(base, "Silver", "events", "by_day")
+      val ev = events(s, d).select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      LayerWriter.write(ev, target, partitionCol = Some("day"))
+      val days = ev.select("day").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val (lo, hi) = (days.head, days.last)
+      def partFiles(): Map[String, Set[String]] = {
+        val fs = new org.apache.hadoop.fs.Path(target.path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        days.flatMap { day =>
+          val dir = new org.apache.hadoop.fs.Path(target.path, s"day=$day")
+          if (!fs.exists(dir)) None
+          else Some(day -> fs.listStatus(dir).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSet)
+        }.toMap
+      }
+      val before = partFiles()
+      // 1. idempotent re-load of the NEWEST day (doubled values)
+      LayerWriter.replacePartitions(
+        ev.filter(col("day") === hi)
+          .withColumn("value", col("value") * 2), target, "day")
+      val after = partFiles()
+      days.filter(_ != hi).foreach { day =>
+        if (after(day) != before(day))
+          sys.error(s"q_lake_partition_ops: dynamic overwrite of day=$hi " +
+            s"touched day=$day's files")
+      }
+      if (after(hi) == before(hi))
+        sys.error("q_lake_partition_ops: the re-loaded day kept its old files")
+      // 2. retention: expire the oldest day as a directory drop
+      if (LayerWriter.dropPartitions(s, target, "day", Seq(lo)) != 1)
+        sys.error(s"q_lake_partition_ops: retention drop of day=$lo failed")
+      // 3. pruned read: a one-day filter must plan a PARTITION filter
+      // and open only that directory's files (numFiles metric)
+      val mid = days(days.size / 2)
+      val prunedDf = LayerWriter.read(s, target).filter(col("day") === mid)
+      prunedDf.collect()
+      val scan = prunedDf.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .headOption.getOrElse(sys.error("q_lake_partition_ops: no file scan"))
+      if (scan.partitionFilters.isEmpty)
+        sys.error("q_lake_partition_ops: day filter did not become a " +
+          "partition filter")
+      val nOpened = scan.metrics("numFiles").value
+      val nMid = after(mid).size
+      if (nOpened != nMid)
+        sys.error(s"q_lake_partition_ops: one-day read opened $nOpened " +
+          s"files; partition day=$mid holds $nMid")
+      LayerWriter.read(s, target)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
+        .orderBy("day", "event_type")
     }
   )
 }
