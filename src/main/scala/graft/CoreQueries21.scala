@@ -141,6 +141,9 @@ object CoreQueries21 {
       LayerWriter.write(ev, target, partitionCol = Some("day"))
       val days = ev.select("day").distinct()
         .collect().map(_.getString(0)).sorted.toSeq
+      if (days.size < 3)
+        sys.error(s"q_lake_partition_ops: fixture has ${days.size} day(s); " +
+          s"the re-load/retention/pruned-read trio needs 3 distinct days")
       val (lo, hi) = (days.head, days.last)
       def partFiles(): Map[String, Set[String]] = {
         val fs = new org.apache.hadoop.fs.Path(target.path)

@@ -30,12 +30,18 @@ import org.apache.spark.sql.functions._
   *
   * Gold refresh cost is CHANGE-proportional in both directions: the
   * poll reads only the new commits' files, and the state apply reads +
-  * rewrites only the files of the batch's touched buckets (the state
-  * table is written repartitioned by bucket, so file min/max stats
-  * prune the replaceWhere pre-scan to those files — Delta's dynamic
-  * partition overwrite, expressed through data skipping). A batch
-  * touching k of a billion buckets reads k buckets' state, never
-  * O(state).
+  * rewrites only the FILES holding the batch's touched buckets (the
+  * state is written repartitioned by bucket so every bucket lives in
+  * exactly one file, and file min/max stats prune the replaceWhere
+  * pre-scan — Delta's dynamic partition overwrite, expressed through
+  * data skipping). The unit of refresh I/O is therefore the FILE, and
+  * `goldStateFiles` is the operator's sizing lever exactly like a
+  * partition count: at S bytes of state a one-bucket refresh reads and
+  * rewrites ~S/goldStateFiles bytes, so size goldStateFiles to your
+  * file-size target (128 MB–1 GB each) as the state grows — the same
+  * contract hive-partitioned overwrites have with partition sizing.
+  * With files held at a fixed size, refresh cost stays FLAT as total
+  * state grows (measured: graft.MedallionScale, SCALE.md round 15).
   *
   * Aggregates maintained: n / vsum (avg = vsum/n at read) — plain
   * signed-group algebra — plus vmin / vmax with the standard
@@ -44,19 +50,14 @@ import org.apache.spark.sql.functions._
   * recompute of JUST that group from the Silver snapshot at the
   * consumed version (a keyed semi-join rescan, cost proportional to
   * the affected groups, never the table).
-  */
-/** One Gold refresh's scale-proof observables: the consumed Silver
-  * version, the buckets the batch touched (= the replaceWhere scope),
-  * and how many groups needed the min/max delete-rescan. */
-case class GoldRefresh(consumedVersion: Int, touchedBuckets: Seq[Any],
-                       rescannedGroups: Long)
-
-/** @param goldStateFiles target file count for the Gold state's
+  *
+  * @param goldStateFiles target file count for the Gold state's
   *   bucket-aligned layout: state writes hash-repartition by bucket
   *   into this many partitions (EXPLICIT count — AQE would otherwise
   *   coalesce a small refresh into one file and the next refresh's
-  *   bucket pruning would have nothing to skip). Size it like shuffle
-  *   partitions: enough that one file's buckets fit an executor. */
+  *   bucket pruning would have nothing to skip). See the sizing
+  *   contract above.
+  */
 final class Medallion(spark: SparkSession, root: String,
                       goldStateFiles: Int = 32) {
   val bronze = VersionedTable(spark, s"$root/bronze")
@@ -182,16 +183,33 @@ final class Medallion(spark: SparkSession, root: String,
           val touched = parts.select("bucket").distinct()
             .collect().map(_.get(0)).toSeq
           if (touched.nonEmpty) {
+            // null-SAFE bucket scope: isin() is null-blind, so a batch
+            // whose bucket expression yields NULL for some rows would
+            // otherwise neither read the prior null-bucket state nor
+            // pass the replaceWhere scope check — wedging the refresh
+            val nonNull = touched.filterNot(_ == null)
+            val inNonNull =
+              if (nonNull.nonEmpty) col("bucket").isin(nonNull: _*) else lit(false)
+            val bucketScope =
+              if (touched.contains(null)) inNonNull || col("bucket").isNull
+              else inNonNull
             val empty = parts.select(col("bucket"), col("key"),
               col("_pn").as("n"), col("_pvsum").as("vsum"),
               col("_ins_min").as("vmin"), col("_ins_max").as("vmax")).limit(0)
             val cur = gold.latestVersion() match {
               case None    => empty
-              // stats-pruned: only the touched buckets' files open
-              case Some(_) => gold.read().filter(col("bucket").isin(touched: _*))
+              // readWhere = the lake's own stats pruning BEFORE Spark
+              // ever lists files: only the touched buckets' files are
+              // handed to the scan (read().filter would still open
+              // every state file's footer — O(state files) per refresh)
+              case Some(_) => gold.readWhere(bucketScope)
             }
-            val j = cur.as("c").join(parts.as("p"), Seq("bucket", "key"),
-              "full_outer")
+            // NULL-SAFE group join: bucket/key may legitimately be null
+            // (SQL GROUP BY groups nulls), and a plain equi-join would
+            // fail to fold a null group's prior state with its partial
+            val j = cur.as("c").join(parts.as("p"),
+              col("c.bucket") <=> col("p.bucket") &&
+                col("c.key") <=> col("p.key"), "full_outer")
             val candMin = least(col("c.vmin"), col("p._ins_min"))
             val candMax = greatest(col("c.vmax"), col("p._ins_max"))
             // a deleted value that ties-or-beats the candidate extremum
@@ -202,7 +220,9 @@ final class Medallion(spark: SparkSession, root: String,
                 (candMin.isNull || col("p._del_min") <= candMin)) ||
               (col("p._del_max").isNotNull &&
                 (candMax.isNull || col("p._del_max") >= candMax))
-            val merged = j.select(col("bucket"), col("key"),
+            val merged = j.select(
+              coalesce(col("c.bucket"), col("p.bucket")).as("bucket"),
+              coalesce(col("c.key"), col("p.key")).as("key"),
               (coalesce(col("c.n"), lit(0L)) + coalesce(col("p._pn"), lit(0L)))
                 .as("n"),
               (coalesce(col("c.vsum"), lit(0)) + coalesce(col("p._pvsum"), lit(0)))
@@ -220,31 +240,41 @@ final class Medallion(spark: SparkSession, root: String,
                 else {
                   // truth for the flagged groups: Silver AS OF the
                   // consumed version, keyed semi-join (flagged is tiny —
-                  // broadcast), one aggregation over just their rows
+                  // broadcast), one aggregation over just their rows.
+                  // Null-safe joins throughout: a flagged group's
+                  // bucket/key may be null.
                   val re = silver.read(Some(head))
                     .select(bucket.as("bucket"), key.as("key"),
-                      value.as("_v"))
-                    .join(broadcast(flagged), Seq("bucket", "key"),
-                      "left_semi")
+                      value.as("_v")).as("s")
+                    .join(broadcast(flagged).as("f"),
+                      col("s.bucket") <=> col("f.bucket") &&
+                        col("s.key") <=> col("f.key"), "left_semi")
                     .groupBy("bucket", "key")
                     .agg(min("_v").as("_rmin"), max("_v").as("_rmax"))
                   merged.as("m")
-                    .join(broadcast(re).as("r"), Seq("bucket", "key"),
-                      "left_outer")
-                    .select(col("bucket"), col("key"), col("n"), col("vsum"),
+                    .join(broadcast(re).as("r"),
+                      col("m.bucket") <=> col("r.bucket") &&
+                        col("m.key") <=> col("r.key"), "left_outer")
+                    .select(col("m.bucket").as("bucket"),
+                      col("m.key").as("key"), col("n"), col("vsum"),
                       when(col("_rescan"), col("_rmin")).otherwise(col("vmin"))
                         .as("vmin"),
                       when(col("_rescan"), col("_rmax")).otherwise(col("vmax"))
                         .as("vmax"))
                 }
               // bucket-aligned files: the NEXT refresh's stats pruning
-              // depends on each file covering few buckets
-              val aligned = state.repartition(goldStateFiles, col("bucket"))
+              // depends on each file covering few buckets. The partition
+              // count is bounded by the buckets THIS refresh holds — a
+              // one-bucket refresh stages one file, not goldStateFiles
+              // mostly-empty shuffle tasks
+              val aligned = state.repartition(
+                math.max(1, math.min(goldStateFiles, touched.size)),
+                col("bucket"))
               gold.latestVersion() match {
                 case None => gold.commitOverwriteIdempotent(
                   aligned, "gold", head.toLong)
                 case Some(_) => gold.replaceWhereIdempotent(
-                  col("bucket").isin(touched: _*), aligned, "gold", head.toLong)
+                  bucketScope, aligned, "gold", head.toLong)
               }
               goldCursor.advance(head)
               GoldRefresh(head, touched, nRescan)
@@ -263,3 +293,9 @@ final class Medallion(spark: SparkSession, root: String,
     gold.read().select(col("bucket"), col("key"), col("n"), col("vsum"),
       (col("vsum") / col("n")).as("vavg"), col("vmin"), col("vmax"))
 }
+
+/** One Gold refresh's scale-proof observables: the consumed Silver
+  * version, the buckets the batch touched (= the replaceWhere scope),
+  * and how many groups needed the min/max delete-rescan. */
+case class GoldRefresh(consumedVersion: Int, touchedBuckets: Seq[Any],
+                       rescannedGroups: Long)

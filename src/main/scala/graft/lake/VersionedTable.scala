@@ -65,6 +65,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private val logDir = s"$tablePath/_graft_log"
   private def fs: FileSystem =
     new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** This writer's host identity for claim-file ownership (pid liveness
+    * is only meaningful on the host that observed it). */
+  private lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown-host" }
 
   // ---- log access ----------------------------------------------------
 
@@ -485,13 +490,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           val claim = java.nio.file.Paths.get(
             new Path(dst.getParent, s".claim-${dst.getName}").toUri.getPath)
           try {
-            // O_EXCL create + owner pid in one call: a later writer can
-            // verify the claimant is DEAD before stealing, instead of
-            // guessing from age (a live writer stalled >60s in a GC
-            // pause must never lose its claim — stealing from it would
-            // reinstate the exists+rename TOCTOU this branch prevents)
+            // O_EXCL create + owner identity (pid@host) in one call: a
+            // later SAME-HOST writer can verify the claimant is DEAD
+            // before stealing, instead of guessing from age (a live
+            // writer stalled in a GC pause must never lose its claim —
+            // stealing from it would reinstate the exists+rename TOCTOU
+            // this branch prevents)
             java.nio.file.Files.write(claim,
-              ProcessHandle.current().pid().toString
+              (ProcessHandle.current().pid().toString + "@" + localHost)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8),
               java.nio.file.StandardOpenOption.CREATE_NEW,
               java.nio.file.StandardOpenOption.WRITE)
@@ -502,25 +508,34 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
               val age = try System.currentTimeMillis() -
                 java.nio.file.Files.getLastModifiedTime(claim).toMillis
               catch { case _: Throwable => 0L }
-              val ownerPid = try {
+              val owner = try {
                 val s = new String(java.nio.file.Files.readAllBytes(claim),
                   java.nio.charset.StandardCharsets.UTF_8).trim
-                if (s.matches("\\d+")) Some(s.toLong) else None
+                "^(\\d+)@(.+)$".r.findFirstMatchIn(s)
+                  .map(m => (m.group(1).toLong, m.group(2)))
               } catch { case _: Throwable => None }
-              // steal rules: a claim whose owner is provably dead frees
-              // after a short grace (the owner can never publish); a
-              // claim with NO readable owner (pre-pid format, torn read)
-              // only after a stall far beyond any plausible pause. A
-              // LIVE owner's claim is never stolen.
-              val stealable = ownerPid match {
-                case Some(pid) =>
-                  !ProcessHandle.of(pid).isPresent && age > 5000L
-                case None => age > 600000L
+              // Steal rules, least-risk first:
+              //  - same host + owner pid provably dead → steal after a
+              //    short grace (the owner can never publish);
+              //  - everything else — remote host (its pids mean nothing
+              //    here), unreadable claim, or a pid that LOOKS alive
+              //    (could be the OS recycling a dead writer's pid) —
+              //    only after a stall far beyond any plausible pause,
+              //    and never when the record was in fact published.
+              //    The long window trades a bounded wedge (30 min) for
+              //    never clobbering a live writer; without it a
+              //    recycled pid would wedge the table forever.
+              val longStallMs = 30L * 60 * 1000
+              val stealable = owner match {
+                case Some((pid, host)) if host == localHost =>
+                  if (!ProcessHandle.of(pid).isPresent) age > 5000L
+                  else age > longStallMs
+                case _ => age > longStallMs
               }
               if (stealable && !fs.exists(dst)) {
                 System.err.println(s"[lake] removing stale claim " +
                   s"${claim.getFileName} (${age}ms old, owner " +
-                  s"${ownerPid.fold("unknown")(p => s"pid $p dead")}, " +
+                  s"${owner.fold("unknown") { case (p, h) => s"$p@$h" }}, " +
                   s"no published record)")
                 java.nio.file.Files.deleteIfExists(claim)
               }

@@ -61,7 +61,10 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    new GraftLakeSource(activeSession(sqlContext), tablePath(parameters))
+    // reuse the schema the engine already obtained via sourceSchema —
+    // no second log-head probe + snapshot-schema resolution at start
+    new GraftLakeSource(activeSession(sqlContext), tablePath(parameters),
+      schema)
 
   private def activeSession(sqlContext: SQLContext): SparkSession =
     sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext].sparkSession
@@ -82,10 +85,12 @@ object GraftLakeSource {
   }
 }
 
-class GraftLakeSource(spark: SparkSession, path: String) extends Source {
+class GraftLakeSource(spark: SparkSession, path: String,
+                      providedSchema: Option[StructType] = None) extends Source {
   private val table = VersionedTable(spark, path)
 
-  override val schema: StructType = GraftLakeSource.changeSchema(spark, path)
+  override val schema: StructType = providedSchema
+    .getOrElse(GraftLakeSource.changeSchema(spark, path))
 
   /** Head of the table = head of the stream. The engine diffs this
     * against its checkpointed offset to decide whether a trigger has
@@ -95,17 +100,31 @@ class GraftLakeSource(spark: SparkSession, path: String) extends Source {
 
   /** Changes in versions `(start, end]` — exactly
     * [[VersionedTable.changesBetween]], re-tagged `isStreaming` so the
-    * engine accepts it as a micro-batch. `start = None` is the initial
-    * batch: the full current content surfaces as inserts (replaying the
-    * commit history from -1), Delta's starting-snapshot behavior. */
+    * engine accepts it as a micro-batch.
+    *
+    * `start = None` is the INITIAL batch: the SNAPSHOT at `end`
+    * surfaces as inserts, all tagged `_commit_version = end` — Delta's
+    * starting-snapshot behavior, and deliberately NOT a replay of the
+    * historical change feed. Replaying history would (a) deliver
+    * delete rows for data that no longer exists, which an insert-only
+    * or delete-then-insert consumer would mis-apply into resurrected
+    * rows, (b) cost O(all mutations ever), not O(current data), and
+    * (c) fail outright on a table whose early versions a vacuum
+    * stranded — the snapshot read needs none of them, so a fresh
+    * stream bootstraps on a vacuumed table. */
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(version).getOrElse(-1)
+    import org.apache.spark.sql.functions.lit
     val to = version(end)
-    val changes = table.changesBetween(from, to)
-      .select(schema.fieldNames.map(col).toSeq: _*) // pin column order
+    val changes = start match {
+      case None => table.read(Some(to))
+        .withColumn("_commit_version", lit(to))
+        .withColumn("_change_type", lit("insert"))
+      case Some(s) => table.changesBetween(version(s), to)
+    }
+    val aligned = changes.select(schema.fieldNames.map(col).toSeq: _*) // pin order
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classicSpark.internalCreateDataFrame(
-      changes.queryExecution.toRdd, schema, isStreaming = true)
+      aligned.queryExecution.toRdd, schema, isStreaming = true)
   }
 
   override def stop(): Unit = ()

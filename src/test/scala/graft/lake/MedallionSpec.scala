@@ -315,6 +315,28 @@ class MedallionSpec extends AnyFunSuite {
     assert(goldFull(m)(("b", "all")) == ((1L, 2.0, 2.0, 2.0)))
   }
 
+  test("NULL bucket values refresh like any other bucket (isin is null-blind; the scope must not be)") {
+    val m = new Medallion(spark, scratch("graft-med"))
+    val withNull: (Long, Option[String], Double) => DataFrame =
+      (id, et, v) => Seq((id, et, v)).toDF("event_id", "etype", "value")
+    // batch 1 seeds a null-bucket group and a normal one
+    m.ingest(withNull(1L, None, 1.0).unionByName(withNull(2L, Some("b"), 2.0)))
+    m.refreshSilver(clean, Seq("event_id"))
+    m.refreshGold(col("etype"), lit("all"), col("value"))
+    // batch 2 touches ONLY the null bucket: the refresh must read the
+    // prior null-bucket state (fold to n=2) and pass the replaceWhere
+    // scope check for its own rows
+    m.ingest(withNull(3L, None, 3.0))
+    m.refreshSilver(clean, Seq("event_id"))
+    val r = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
+    assert(r.touchedBuckets == Seq(null))
+    val state = m.goldView().select("bucket", "n", "vsum")
+      .as[(Option[String], Long, Double)].collect()
+      .map { case (b, n, v) => b -> ((n, v)) }.toMap
+    assert(state(None) == ((2L, 4.0)))
+    assert(state(Some("b")) == ((1L, 2.0)))
+  }
+
   test("replay safety through replaceWhere: a re-delivered bucket-scoped refresh commits nothing") {
     val root = scratch("graft-med")
     val m = new Medallion(spark, root)

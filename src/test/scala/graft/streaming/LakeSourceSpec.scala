@@ -42,11 +42,10 @@ class LakeSourceSpec extends AnyFunSuite {
       .start()
     q.processAllAvailable()
 
-    // initial batch: the full history as inserts — exactly changesBetween(-1, 1)
-    val expected0 = t.changesBetween(-1, 1)
-      .select("id", "v", "_commit_version", "_change_type")
-      .as[(Long, String, Int, String)].collect().sorted.toSeq
-    assert(got.size == 1 && got.head._2 == expected0)
+    // initial batch: the SNAPSHOT at the head as inserts (Delta's
+    // starting-snapshot behavior), tagged with the head version
+    assert(got.size == 1 && got.head._2 ==
+      Seq((1L, "a", 1, "insert"), (2L, "b", 1, "insert"), (3L, "c", 1, "insert")))
 
     // appends while the stream runs: delivered incrementally, never rescanned
     t.commitAppend(Seq((4L, "d")).toDF("id", "v"))                 // v2
@@ -117,6 +116,49 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(silver.historyDF().orderBy("version")
       .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
       Seq(("lake2lake", 0L), ("lake2lake", 1L)))
+  }
+
+  test("initial batch is the SNAPSHOT, not a history replay: pre-start deletes never surface") {
+    val dir = scratch("graft-lsrc-snap") + "/t"
+    val ckpt = scratch("graft-lsrc-snap-ckpt")
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    t.deleteMoR(col("id") === 2L)                                  // v1
+    // a history replay would deliver insert(2) + delete(2); an
+    // insert-only consumer would resurrect the deleted row
+    val got = ArrayBuffer.empty[Seq[(Long, String)]]
+    val q = spark.readStream.format("graft-lake").load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.filter(col("_change_type") === "insert")
+          .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+        got.synchronized { got += rows; () }
+      }
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(got.flatten.toSeq == Seq((1L, "a")))
+  }
+
+  test("a fresh stream bootstraps on a table whose early versions a vacuum stranded") {
+    val dir = scratch("graft-lsrc-vac") + "/t"
+    val ckpt = scratch("graft-lsrc-vac-ckpt")
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitOverwrite(Seq((2L, "b")).toDF("id", "v"))
+    t.commitOverwrite(Seq((3L, "c")).toDF("id", "v"))
+    t.vacuum(retainVersions = 2, minAgeMs = 0L)   // horizon = v1
+    // changesBetween(-1, head) would fail below the horizon; the
+    // snapshot-shaped initial batch needs none of the stranded files
+    val got = ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-lake").load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("id").as[Long].collect().sorted.toSeq
+        got.synchronized { got += rows; () }
+      }
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(got.flatten.toSeq == Seq(3L))
   }
 
   test("the source fails loudly on a not-yet-created table instead of streaming nothing") {
