@@ -180,8 +180,19 @@ final class Medallion(spark: SparkSession, root: String,
             max(when(not(isIns), value)).as("_del_max"))
           .cache()
         try {
-          val touched = parts.select("bucket").distinct()
-            .collect().map(_.get(0)).toSeq
+          // one driver round-trip for all the batch metadata: the
+          // touched buckets (collect_set skips nulls — count them
+          // separately), and whether any delete carried a non-null
+          // value (only then can a min/max rescan ever be needed)
+          val meta = parts.agg(
+            collect_set(col("bucket")).as("_bks"),
+            sum(when(col("bucket").isNull, 1L).otherwise(0L)).as("_nullb"),
+            max(col("_del_min").isNotNull || col("_del_max").isNotNull)
+              .as("_mayRescan")).head()
+          val hasNullBucket = !meta.isNullAt(1) && meta.getLong(1) > 0
+          val touched: Seq[Any] = meta.getSeq[Any](0) ++
+            (if (hasNullBucket) Seq(null) else Nil)
+          val mayRescan = !meta.isNullAt(2) && meta.getBoolean(2)
           if (touched.nonEmpty) {
             // null-SAFE bucket scope: isin() is null-blind, so a batch
             // whose bucket expression yields NULL for some rows would
@@ -191,18 +202,29 @@ final class Medallion(spark: SparkSession, root: String,
             val inNonNull =
               if (nonNull.nonEmpty) col("bucket").isin(nonNull: _*) else lit(false)
             val bucketScope =
-              if (touched.contains(null)) inNonNull || col("bucket").isNull
+              if (hasNullBucket) inNonNull || col("bucket").isNull
               else inNonNull
             val empty = parts.select(col("bucket"), col("key"),
               col("_pn").as("n"), col("_pvsum").as("vsum"),
               col("_ins_min").as("vmin"), col("_ins_max").as("vmax")).limit(0)
+            // When the batch touches buckets hashing into most of the
+            // state files, a scoped replaceWhere degenerates to an
+            // overwrite PLUS its scope checks and pre-scans — take the
+            // plain idempotent overwrite instead (it must then fold the
+            // FULL state). k touched buckets over f files expect to hit
+            // f·(1−(1−1/f)^k) files: at k ≥ f/2 that's already ~40–60%,
+            // the crossover where the scoped machinery stops paying.
+            // The scoped path is for the steady state: k touched
+            // buckets out of MANY, k files rewritten.
+            val fullRewrite = touched.size >= math.max(1, goldStateFiles / 2)
             val cur = gold.latestVersion() match {
-              case None    => empty
+              case None                 => empty
+              case Some(_) if fullRewrite => gold.read()
               // readWhere = the lake's own stats pruning BEFORE Spark
               // ever lists files: only the touched buckets' files are
               // handed to the scan (read().filter would still open
               // every state file's footer — O(state files) per refresh)
-              case Some(_) => gold.readWhere(bucketScope)
+              case Some(_)              => gold.readWhere(bucketScope)
             }
             // NULL-SAFE group join: bucket/key may legitimately be null
             // (SQL GROUP BY groups nulls), and a plain equi-join would
@@ -229,11 +251,15 @@ final class Medallion(spark: SparkSession, root: String,
                 .as("vsum"),
               candMin.as("vmin"), candMax.as("vmax"),
               coalesce(rescan, lit(false)).as("_rescan"))
-              .filter(col("n") > 0).cache()
+              .filter(col("n") > 0)
+            // a rescan is only POSSIBLE when the batch deleted a row
+            // with a non-null value (mayRescan, from the metadata agg) —
+            // insert-only refreshes skip the flagged-count job entirely
+            if (mayRescan) merged.cache()
             try {
               val flagged = merged.filter(col("_rescan"))
                 .select("bucket", "key")
-              val nRescan = flagged.count()
+              val nRescan = if (mayRescan) flagged.count() else 0L
               val state =
                 if (nRescan == 0)
                   merged.drop("_rescan")
@@ -273,12 +299,14 @@ final class Medallion(spark: SparkSession, root: String,
               gold.latestVersion() match {
                 case None => gold.commitOverwriteIdempotent(
                   aligned, "gold", head.toLong)
+                case Some(_) if fullRewrite => gold.commitOverwriteIdempotent(
+                  aligned, "gold", head.toLong)
                 case Some(_) => gold.replaceWhereIdempotent(
                   bucketScope, aligned, "gold", head.toLong)
               }
               goldCursor.advance(head)
               GoldRefresh(head, touched, nRescan)
-            } finally merged.unpersist()
+            } finally { if (mayRescan) merged.unpersist(); () }
           } else {
             // a metadata-only / netted-empty range: nothing to fold
             goldCursor.advance(head)
