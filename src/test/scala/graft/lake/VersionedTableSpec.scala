@@ -548,6 +548,35 @@ class VersionedTableSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("replaceWhereIdempotent: the scoped overwrite joins the setTransaction ledger") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "v"))
+    // first delivery of batch 5 commits, tagged in the txn ledger
+    val v = t.replaceWhereIdempotent(col("day") === "d2",
+      Seq((20L, "d2", "B")).toDF("id", "day", "v"), "refresher", 5L)
+    assert(v.contains(1))
+    assert(t.lastCommittedBatch("refresher").contains(5L))
+    assert(t.historyDF().filter(col("version") === 1)
+      .select("txn_app", "txn_batch").as[(String, Long)].head() ==
+      (("refresher", 5L)))
+    // a replay of the SAME batch (crash between apply and cursor
+    // advance) commits nothing — so does any older batch id
+    assert(t.replaceWhereIdempotent(col("day") === "d2",
+      Seq((21L, "d2", "X")).toDF("id", "day", "v"), "refresher", 5L).isEmpty)
+    assert(t.replaceWhereIdempotent(col("day") === "d2",
+      Seq((21L, "d2", "X")).toDF("id", "day", "v"), "refresher", 4L).isEmpty)
+    assert(t.latestVersion().contains(1))
+    assert(t.read().count() == 2)
+    // the NEXT batch lands; the degenerate empty-scope path (append)
+    // carries the marker too
+    assert(t.replaceWhereIdempotent(col("day") === "d9",
+      Seq((90L, "d9", "z")).toDF("id", "day", "v"), "refresher", 6L).contains(2))
+    assert(t.lastCommittedBatch("refresher").contains(6L))
+    assert(t.historyDF().filter(col("version") === 2)
+      .select("txn_app", "txn_batch").as[(String, Long)].head() ==
+      (("refresher", 6L)))
+  }
+
   // ---- deletion vectors (merge-on-read deletes) ------------------------
 
   test("MoR delete: rows gone, data files untouched, time travel intact, live-row accounting") {

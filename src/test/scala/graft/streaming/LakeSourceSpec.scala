@@ -161,6 +161,42 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(got.flatten.toSeq == Seq(3L))
   }
 
+  test("mid-stream DDL: an added column is invisible (schema fixed at start); a rename fails the query loudly") {
+    val dir = scratch("graft-lsrc-ddl") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    def start(ckpt: String) = {
+      val got = ArrayBuffer.empty[Seq[Long]]
+      val q = spark.readStream.format("graft-lake").load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.select("id").as[Long].collect().toSeq
+          got.synchronized { got += rows; () }
+        }
+        .option("checkpointLocation", ckpt).start()
+      (q, got)
+    }
+    val (q1, got1) = start(scratch("graft-lsrc-ddl-ck1"))
+    q1.processAllAvailable()
+    // schema EVOLUTION mid-stream: the stream's schema is fixed at
+    // start, so the new column simply doesn't surface — no failure,
+    // the pinned projection carries on
+    t.commitAppend(Seq((2L, "b", 9.0)).toDF("id", "v", "extra"),
+      allowNewColumns = true)
+    q1.processAllAvailable()
+    assert(got1.flatten.sorted == Seq(1L, 2L))
+    // a RENAME breaks the pinned projection: the LIVE query fails
+    // loudly on its next batch instead of silently streaming the
+    // wrong shape (a fresh start simply adopts the new schema)
+    t.renameColumn("v", "label")
+    t.commitAppend(Seq((3L, "c", 1.0)).toDF("id", "label", "extra"))
+    val e = intercept[Exception] {
+      q1.processAllAvailable()
+      q1.stop()
+    }
+    assert(e.getMessage != null, "rename under a live stream must fail it")
+  }
+
   test("the source fails loudly on a not-yet-created table instead of streaming nothing") {
     val dir = scratch("graft-lsrc-empty") + "/t"
     val e = intercept[Exception] {
