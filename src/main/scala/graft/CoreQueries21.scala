@@ -107,6 +107,58 @@ object CoreQueries21 {
         .orderBy("event_type")
     },
 
+    // The SINK side of the format string (round 15): lake → stream →
+    // lake with NO foreachBatch — writeStream.format("graft-lake")
+    // lands each micro-batch as a batch-id-keyed idempotent append
+    // (GraftLakeSink), the engine carries the offsets, the commit
+    // ledger carries delivery. Three Bronze commits arrive as three
+    // micro-batches; after the stream stops, the last batch is
+    // re-delivered through the same idempotent path (the restart
+    // shape) and must no-op. The in-query ledger asserts pin one sink
+    // commit per batch id; the output re-aggregates Silver, and the
+    // oracle recomputes it from raw events. Blind appends: per-batch
+    // sink cost is O(batch) at any table size.
+    q("q_lake_stream_sink_fmt",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS vsum
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = graft.lake.Scratch.dir("graft-lake-snk")
+      val bronzeDir = base + "/bronze"
+      val silverDir = base + "/silver"
+      val bronze = graft.lake.VersionedTable(s, bronzeDir)
+      val silver = graft.lake.VersionedTable(s, silverDir)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      def slice(i: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      bronze.commitOverwrite(slice(0))                                // v0
+      val query = s.readStream.format("graft-lake").load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type")
+        .writeStream.format("graft-lake")
+        .option("appId", "fmt-sink")
+        .option("checkpointLocation", base + "/ckpt")
+        .start(silverDir)
+      try {
+        query.processAllAvailable()
+        bronze.commitAppend(slice(1))                                 // v1
+        query.processAllAvailable()
+        bronze.commitAppend(slice(2))                                 // v2
+        query.processAllAvailable()
+      } finally query.stop()
+      // restart-shaped replay: batch 2 re-delivered → ledger no-op
+      if (silver.commitAppendIdempotent(slice(2), "fmt-sink", 2L).nonEmpty)
+        sys.error("q_lake_stream_sink_fmt: replayed batch 2 re-committed")
+      val ledger = silver.historyDF().orderBy("version")
+        .select("txn_app", "txn_batch")
+        .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toSeq
+      if (ledger != Seq(("fmt-sink", 0L), ("fmt-sink", 1L), ("fmt-sink", 2L)))
+        sys.error(s"q_lake_stream_sink_fmt: sink ledger $ledger")
+      silver.read()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
+        .orderBy("event_type")
+    },
+
     // Partition-aligned operational surface over a hive-style layout
     // (the reference's partitioned Silver write, main.py:623, finally
     // exploited operationally): events land day-partitioned via

@@ -1,10 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 import graft.lake.VersionedTable
@@ -42,7 +43,20 @@ import graft.lake.VersionedTable
   * distributed parquet scan, so a 1000-executor cluster parallelizes
   * within the batch. Offsets are O(1) JSON longs.
   */
-class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+/** One registered format, both directions: `readStream.format
+  * ("graft-lake")` streams a table's change feed OUT (see
+  * [[GraftLakeSource]]); `writeStream.format("graft-lake")
+  * .option("appId", ...).start(tableDir)` streams INTO a table with
+  * exactly-once appends and no hand-written foreachBatch — each
+  * micro-batch lands through
+  * [[VersionedTable.commitAppendIdempotent]] keyed by the engine's
+  * batch id, so a restart's re-delivered batch commits nothing (the
+  * same ledger the foreachBatch pattern uses, now behind the format
+  * string). Composing both gives lake → stream → lake with offsets
+  * AND delivery idempotence carried entirely by the engine + commit
+  * log. */
+class GraftLakeSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
 
   private def tablePath(parameters: Map[String, String]): String =
@@ -66,8 +80,48 @@ class GraftLakeSourceProvider extends StreamSourceProvider with DataSourceRegist
     new GraftLakeSource(activeSession(sqlContext), tablePath(parameters),
       schema)
 
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(), "graft-lake sink supports " +
+      s"Append output mode only (got $outputMode) — aggregations stream " +
+      "through foreachBatch + commitOverwriteIdempotent/replaceWhereIdempotent")
+    require(partitionColumns.isEmpty, "graft-lake sink does not take " +
+      "partitionBy — the lake prunes via file stats and Z-order")
+    new GraftLakeSink(activeSession(sqlContext), tablePath(parameters),
+      parameters.getOrElse("appId", "graft-lake-sink"))
+  }
+
   private def activeSession(sqlContext: SQLContext): SparkSession =
     sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext].sparkSession
+}
+
+/** The exactly-once streaming SINK behind `writeStream.format
+  * ("graft-lake")`: every micro-batch is one idempotent lake append
+  * tagged (`appId`, engine batchId). The engine re-delivers whole
+  * batches on restart/failover; the commit ledger makes the replay a
+  * no-op — Delta's txn-keyed sink contract. Distinct queries writing
+  * the SAME table must set distinct `appId`s (their batch-id sequences
+  * are independent). Blind appends: per-batch cost is O(batch) at any
+  * table size — no snapshot read, no key merge. */
+class GraftLakeSink(spark: SparkSession, path: String, appId: String)
+    extends Sink {
+  private val table = VersionedTable(spark, path)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // V1 sink contract: `data` is the engine's streaming-internal
+    // frame — re-wrap its physical RDD as a batch DataFrame before
+    // handing it to the lake writer (FileStreamSink/DeltaSink do the
+    // same), or df.write refuses the streaming plan
+    val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val batchDf = classicSpark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    table.commitAppendIdempotent(batchDf, appId, batchId)
+    ()
+  }
+
+  override def toString: String = s"GraftLakeSink[$path, appId=$appId]"
 }
 
 object GraftLakeSource {

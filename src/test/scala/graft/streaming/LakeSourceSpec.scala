@@ -197,6 +197,69 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(e.getMessage != null, "rename under a live stream must fail it")
   }
 
+  test("format-string lake-to-lake: source AND sink via format(graft-lake), exactly-once across a crash replay") {
+    val bronzeDir = scratch("graft-lsnk-b") + "/bronze"
+    val silverDir = scratch("graft-lsnk-s") + "/silver"
+    val ckpt = scratch("graft-lsnk-ck")
+    val bronze = VersionedTable(spark, bronzeDir)
+    bronze.commitOverwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value"))
+
+    // no foreachBatch anywhere: the engine carries the offsets, the
+    // sink carries the delivery ledger
+    def run(checkpoint: String) =
+      spark.readStream.format("graft-lake").load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type")
+        .writeStream.format("graft-lake")
+        .option("appId", "l2l")
+        .option("checkpointLocation", checkpoint)
+        .start(silverDir)
+
+    val q1 = run(ckpt); q1.processAllAvailable(); q1.stop()
+    val silver = VersionedTable(spark, silverDir)
+    assert(silver.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(silver.lastCommittedBatch("l2l").contains(0L))
+
+    // crash between the sink's commit and the engine's marker: clone
+    // the checkpoint, drop the marker, restart — the re-delivered
+    // batch 0 must no-op on the sink's ledger
+    val ckpt2 = scratch("graft-lsnk-ck2")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).forEach { p =>
+      val dst = java.nio.file.Paths.get(ckpt2)
+        .resolve(java.nio.file.Paths.get(ckpt).relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(new java.io.File(new java.io.File(ckpt2, "commits"), "0").delete())
+    new java.io.File(new java.io.File(ckpt2, "commits"), ".0.crc").delete()
+    bronze.commitAppend(Seq((3L, 3.0)).toDF("id", "value"))
+
+    val q2 = run(ckpt2); q2.processAllAvailable(); q2.stop()
+    assert(silver.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(silver.historyDF().orderBy("version")
+      .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
+      Seq(("l2l", 0L), ("l2l", 1L)))
+  }
+
+  test("the sink rejects non-append output modes and partitionBy loudly") {
+    val bronzeDir = scratch("graft-lsnk-rej") + "/t"
+    VersionedTable(spark, bronzeDir)
+      .commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-lake").load(bronzeDir)
+        .groupBy("v").count()
+        .writeStream.format("graft-lake")
+        .outputMode("complete")
+        .option("checkpointLocation", scratch("graft-lsnk-rej-ck"))
+        .start(scratch("graft-lsnk-rej-out") + "/out")
+    }
+    assert(e.getMessage.contains("Append output mode only"), e.getMessage)
+  }
+
   test("the source fails loudly on a not-yet-created table instead of streaming nothing") {
     val dir = scratch("graft-lsrc-empty") + "/t"
     val e = intercept[Exception] {
