@@ -55,18 +55,16 @@ object LayerWriter {
     * [[VersionedTable.replaceWhere]]). At 100 TB this is the difference
     * between re-landing one day and rewriting the table. */
   def replacePartitions(df: DataFrame, target: LayerPath,
-                        partitionCol: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.repartition(df(partitionCol)).write.partitionBy(partitionCol)
+                        partitionCol: String): Unit =
+    // per-WRITE option, not the session conf: toggling
+    // spark.sql.sources.partitionOverwriteMode globally would leak
+    // dynamic-overwrite semantics into any concurrent write on the same
+    // SparkSession (or, racing restores, turn a dynamic re-load into a
+    // full-table overwrite) — the writer option scopes the mode to
+    // exactly this write
+    df.repartition(df(partitionCol)).write.partitionBy(partitionCol)
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(target.path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
 
   /** Partition-scoped retention: drop whole partition directories (the
     * hive-layout idiom for "expire data older than X" — an O(1)

@@ -98,7 +98,8 @@ final class Medallion(spark: SparkSession, root: String,
     *     the (appId="silver", batchId=consumed version) marker.
     */
   def refreshSilver(clean: DataFrame => DataFrame,
-                    keys: Seq[String]): Option[Int] =
+                    keys: Seq[String]): Option[Int] = {
+    fastForward(silver, "silver", silverCursor)
     silverCursor.poll().map { case (changes0, head) =>
       val alreadyLanded =
         silver.lastCommittedBatch("silver").exists(_ >= head.toLong)
@@ -124,6 +125,24 @@ final class Medallion(spark: SparkSession, root: String,
       }
       silverCursor.advance(head)
       head
+    }
+  }
+
+  /** The ledger-over-cursor replay guard: the txn ledger is the DURABLE
+    * record of what landed, the cursor file only an optimization over
+    * it — so every refresh starts by fast-forwarding the cursor to the
+    * ledger. Without this, a crash between the idempotent apply and the
+    * cursor advance, followed by NEW upstream commits before the retry,
+    * makes the next poll span (staleCursor, newHead]: batchId = newHead
+    * passes the `>= head` ledger check and the already-applied prefix
+    * would double-apply (double-counted n/vsum in Gold, duplicate
+    * insert-leg rows in Silver). Fast-forwarded, the poll can never
+    * include an already-committed range. MedallionSpec drives exactly
+    * this interleaving. */
+  private def fastForward(layer: VersionedTable, appId: String,
+                          cursor: ChangeFeedReader): Unit =
+    layer.lastCommittedBatch(appId).foreach { b =>
+      if (b > cursor.lastProcessed()) cursor.advance(b.toInt)
     }
 
   /** Incrementally refresh Gold: fold Silver's changes since the
@@ -161,7 +180,8 @@ final class Medallion(spark: SparkSession, root: String,
     *     out; untouched buckets' files are never read or rewritten.
     */
   def refreshGoldStats(bucket: Column, key: Column,
-                       value: Column): Option[GoldRefresh] =
+                       value: Column): Option[GoldRefresh] = {
+    fastForward(gold, "gold", goldCursor)
     goldCursor.poll().map { case (changes0, head) =>
       if (gold.lastCommittedBatch("gold").exists(_ >= head.toLong)) {
         // replay of a fully-landed batch (crash between apply and
@@ -315,6 +335,7 @@ final class Medallion(spark: SparkSession, root: String,
         } finally parts.unpersist()
       }
     }
+  }
 
   /** Read-time finalization of the Gold state (avg from partials). */
   def goldView(): DataFrame =

@@ -90,7 +90,24 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     require(partitionColumns.isEmpty, "graft-lake sink does not take " +
       "partitionBy — the lake prunes via file stats and Z-order")
     new GraftLakeSink(activeSession(sqlContext), tablePath(parameters),
-      parameters.getOrElse("appId", "graft-lake-sink"))
+      sinkAppId(parameters))
+  }
+
+  /** The sink's txn-ledger identity. Two queries writing the SAME table
+    * under one appId would share one batch-id ledger — whichever
+    * query's ids lag gets silently no-opped, dropped data with no
+    * error — so a shared hardcoded default is forbidden: the appId is
+    * the user's explicit option, or is DERIVED from the query's
+    * checkpoint location (unique per query by construction — the engine
+    * refuses to share checkpoints), and otherwise fails loudly. */
+  private def sinkAppId(parameters: Map[String, String]): String = {
+    def opt(k: String) = parameters.collectFirst {
+      case (key, v) if key.equalsIgnoreCase(k) => v }
+    opt("appId").orElse(opt("checkpointLocation").map(c =>
+      s"graft-lake-sink@${c.stripSuffix("/")}")).getOrElse(sys.error(
+      "graft-lake sink requires an explicit .option(\"appId\", ...) " +
+        "(or a .option(\"checkpointLocation\", ...) to derive one): " +
+        "distinct queries writing one table must not share a txn ledger"))
   }
 
   private def activeSession(sqlContext: SQLContext): SparkSession =
