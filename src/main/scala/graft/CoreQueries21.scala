@@ -159,6 +159,62 @@ object CoreQueries21 {
         .orderBy("event_type")
     },
 
+    // BOUNDED backlog consumption (round 16): a stream that was down
+    // while six Bronze commits accumulated must NOT swallow the backlog
+    // as one giant micro-batch — with maxCommitsPerTrigger=2 the
+    // restart drains it as exactly three bounded batches (every batch
+    // boundary a consistent table version), each landing through the
+    // format sink's idempotent append. The sink's txn ledger is the
+    // proof: batch ids 0 (the pre-outage snapshot) through 3, one
+    // commit each — a single-batch drain would show id 1 only. At
+    // 100 TB this is the difference between a post-outage restart
+    // making checkpointed progress and one unbounded batch that redoes
+    // everything on any mid-batch failure. The oracle recomputes the
+    // streamed table from raw events.
+    q("q_lake_stream_backlog",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS vsum
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = graft.lake.Scratch.dir("graft-lake-bkl")
+      val bronzeDir = base + "/bronze"
+      val silverDir = base + "/silver"
+      val bronze = graft.lake.VersionedTable(s, bronzeDir)
+      val silver = graft.lake.VersionedTable(s, silverDir)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      def slice(i: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(7)) === i)
+      def run() = s.readStream.format("graft-lake")
+        .option("maxCommitsPerTrigger", 2)
+        .load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type")
+        .writeStream.format("graft-lake")
+        .option("appId", "backlog-sink")
+        .option("checkpointLocation", base + "/ckpt")
+        .start(silverDir)
+      bronze.commitOverwrite(slice(0))                              // v0
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()                // batch 0
+      // the outage: six commits land while the query is down
+      (1 to 6).foreach(i => bronze.commitAppend(slice(i)))          // v1..v6
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      val ledger = silver.historyDF().orderBy("version")
+        .select("txn_app", "txn_batch")
+        .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toSeq
+      if (ledger != (0L to 3L).map(("backlog-sink", _)))
+        sys.error(s"q_lake_stream_backlog: a 6-commit backlog at " +
+          s"maxCommitsPerTrigger=2 must drain as batches 1..3 after the " +
+          s"snapshot batch 0; ledger was $ledger")
+      val (nS, nB) = (silver.read().count(), bronze.read().count())
+      if (nS != nB)
+        sys.error(s"q_lake_stream_backlog: streamed $nS rows, bronze has $nB")
+      silver.read()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
+        .orderBy("event_type")
+    },
+
     // Partition-aligned operational surface over a hive-style layout
     // (the reference's partitioned Silver write, main.py:623, finally
     // exploited operationally): events land day-partitioned via

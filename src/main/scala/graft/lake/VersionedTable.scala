@@ -855,6 +855,58 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Data files (deletion vectors excluded) of the snapshot at
+    * `version`, in a DETERMINISTIC order (sorted by name — names are
+    * globally unique). This is the stable file index the streaming
+    * source's CHUNKED initial snapshot points into: an offset that says
+    * "delivered through file i" must resolve to the same files after a
+    * restart, any number of process generations later. */
+  def snapshotDataFiles(version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    version.foreach(checkVacuumHorizon(_, "time travel to"))
+    splitDv(readCommit(v).files)._2.sorted
+  }
+
+  /** Snapshot rows restricted to `dataFiles` (a subset of
+    * [[snapshotDataFiles]] at the same version), read through the FULL
+    * snapshot's deletion-vector overlay and column mapping — DV entries
+    * for files outside the subset never match the anti-join key, so the
+    * union of disjoint chunks equals `read(version)` exactly. The
+    * streaming source's bounded-bootstrap unit. */
+  def readSnapshotFiles(dataFiles: Seq[String],
+                        version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    version.foreach(checkVacuumHorizon(_, "time travel to"))
+    val c = readCommit(v)
+    val schema = StructType.fromDDL(c.schemaDdl)
+    if (dataFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val (dvs, _) = splitDv(c.files)
+      alignToSchema(readLive(dataFiles, dvs), schema, colMap = physMap(c))
+    }
+  }
+
+  /** Lowest version whose CHANGE FEED is still fully readable: reading
+    * version v's changes touches files removed at v, which live in
+    * snapshot v−1, so a feed can start no earlier than the vacuum
+    * horizon + 1. Returns 0 when no stranding vacuum ever ran. */
+  def changeFeedFloor(): Int = {
+    val h = vacuumHorizon()
+    if (h > 0) h + 1 else 0
+  }
+
+  /** Files that changed hands in commit `v` (adds + removes) — O(1)
+    * log-record metadata, the streaming source's admission-control
+    * unit for bounding a backlog's micro-batches. */
+  def commitChangedFileCount(v: Int): Int = {
+    val d = readDelta(v)
+    d.add.size + d.remove.size
+  }
+
   private def nextVersion: Int = latestVersion().map(_ + 1).getOrElse(0)
 
   private def checkSchema(df: DataFrame, allowNewColumns: Boolean): Unit =

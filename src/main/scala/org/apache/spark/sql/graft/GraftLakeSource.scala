@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
@@ -14,17 +14,39 @@ import graft.lake.VersionedTable
   * driven completion of [[graft.lake.ChangeFeedReader]]'s poll API:
   *
   * {{{
-  *   spark.readStream.format("graft-lake").load(tableDir)
+  *   spark.readStream.format("graft-lake")
+  *     .option("maxFilesPerTrigger", 1000)      // admission control (default 1000)
+  *     .option("maxCommitsPerTrigger", 10)      // optional: cap versions per batch
+  *     .option("startingVersion", 7)            // optional: feed from v7, no snapshot
+  *     .load(tableDir)
   * }}}
   *
   * yields the table's row-level change feed (`_commit_version`,
   * `_change_type` columns — the [[VersionedTable.changesBetween]]
-  * shape) as micro-batches, with OFFSETS CHECKPOINTED BY THE ENGINE:
-  * the offset IS the commit version, so a restarted query resumes from
-  * its checkpoint's last committed version and re-delivers exactly the
-  * in-flight batch — compose with an idempotent sink
-  * ([[VersionedTable.commitAppendIdempotent]] keyed by `batchId`) for
-  * end-to-end exactly-once, no hand-rolled cursor file needed.
+  * shape) as micro-batches, with OFFSETS CHECKPOINTED BY THE ENGINE.
+  * Compose with an idempotent sink ([[VersionedTable.commitAppendIdempotent]]
+  * keyed by `batchId`) for end-to-end exactly-once.
+  *
+  * BOUNDED micro-batches (the 100-TB admission-control story, Delta's
+  * `maxFilesPerTrigger` shape):
+  *  - the INITIAL SNAPSHOT is chunked: the offset carries a file INDEX
+  *    into the snapshot's deterministic file list
+  *    ([[VersionedTable.snapshotDataFiles]]), so a 100-TB bootstrap
+  *    lands as many checkpointable batches of `maxFilesPerTrigger`
+  *    files each — a mid-bootstrap failure resumes at the last chunk,
+  *    never redoes the table;
+  *  - a COMMIT BACKLOG (first trigger after a long outage) is split by
+  *    a cumulative changed-file budget of `maxFilesPerTrigger` per
+  *    batch (always ≥ 1 commit, so progress is guaranteed even past an
+  *    oversized commit), and additionally by `maxCommitsPerTrigger`
+  *    when set. Offsets stay whole versions in this phase — each batch
+  *    boundary is a consistent table version.
+  *
+  * `startingVersion` / `startingTimestamp` (mutually exclusive) skip
+  * the snapshot and start the change feed at that version (inclusive) /
+  * the first commit at-or-after that instant — failing loudly at query
+  * start when a vacuum already stranded the requested range
+  * ([[VersionedTable.changeFeedFloor]]).
   *
   * Built on the V1 `Source` interface rather than a DataSourceV2
   * `MicroBatchStream` — deliberately, and for the same reason Delta
@@ -37,11 +59,11 @@ import graft.lake.VersionedTable
   * (`/root/reference/main.py:557,599`) polls in batch; this closes the
   * "lake as a live stream" gap on top of it.
   *
-  * Scale posture: each micro-batch reads ONLY the files that changed
-  * hands in `(start, end]` (the incremental log drives the read — cost
-  * ∝ change, never table size), and the per-batch DataFrame is a plain
-  * distributed parquet scan, so a 1000-executor cluster parallelizes
-  * within the batch. Offsets are O(1) JSON longs.
+  * Scale posture: each micro-batch reads ONLY its chunk's files (the
+  * incremental log drives the read — cost ∝ change, never table size),
+  * and the per-batch DataFrame is a plain distributed parquet scan, so
+  * a 1000-executor cluster parallelizes within the batch. Offsets are
+  * O(1) JSON records.
   */
 /** One registered format, both directions: `readStream.format
   * ("graft-lake")` streams a table's change feed OUT (see
@@ -78,7 +100,7 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     // reuse the schema the engine already obtained via sourceSchema —
     // no second log-head probe + snapshot-schema resolution at start
     new GraftLakeSource(activeSession(sqlContext), tablePath(parameters),
-      schema)
+      schema, parameters)
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -154,43 +176,201 @@ object GraftLakeSource {
       StructField("_commit_version", IntegerType, nullable = false),
       StructField("_change_type", StringType, nullable = false)))
   }
+
+  /** Offset position: `(version, index)`. `index == -1` ⇒ everything
+    * through `version` is delivered (the steady state; every batch
+    * boundary is a consistent table version). `index >= 0` ⇒ the
+    * initial snapshot at `version` is delivered through its first
+    * `index` files (chunked bootstrap in progress). Serialized as
+    * canonical JSON so [[SerializedOffset]] string equality is exact;
+    * pre-r16 checkpoints (a bare version long) parse as `(v, -1)`. */
+  private[graft] def offsetJson(version: Int, index: Long): String =
+    if (index < 0) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index}"""
+
+  private[graft] def parseOffset(o: OffsetV1): (Int, Long) = o match {
+    case l: LongOffset => (l.offset.toInt, -1L)
+    case other =>
+      val j = other.json.trim
+      if (j.matches("-?\\d+")) (j.toInt, -1L)
+      else {
+        val v = """"version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(j)
+          .map(_.group(1).toInt).getOrElse(sys.error(
+            s"graft-lake: unparseable offset $j"))
+        val i = """"index"\s*:\s*(-?\d+)""".r.findFirstMatchIn(j)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        (v, i)
+      }
+  }
 }
 
 class GraftLakeSource(spark: SparkSession, path: String,
-                      providedSchema: Option[StructType] = None) extends Source {
+                      providedSchema: Option[StructType] = None,
+                      options: Map[String, String] = Map.empty) extends Source {
+  import GraftLakeSource._
+
   private val table = VersionedTable(spark, path)
+
+  private def opt(k: String): Option[String] = options.collectFirst {
+    case (key, v) if key.equalsIgnoreCase(k) => v }
+  private def intOpt(k: String): Option[Int] = opt(k).map { raw =>
+    val v = try raw.trim.toInt catch { case _: NumberFormatException =>
+      sys.error(s"graft-lake source: option $k must be an integer, got '$raw'") }
+    if (v <= 0) sys.error(s"graft-lake source: option $k must be > 0, got $v")
+    v
+  }
+
+  /** Per-trigger admission control, Delta's default: at most this many
+    * files per micro-batch — chunking the initial snapshot AND bounding
+    * a commit backlog by its cumulative changed-file count. */
+  private val maxFilesPerTrigger: Int =
+    intOpt("maxFilesPerTrigger").getOrElse(1000)
+  /** Optional additional cap: at most this many commit VERSIONS per
+    * micro-batch in the steady state. */
+  private val maxCommitsPerTrigger: Option[Int] = intOpt("maxCommitsPerTrigger")
+
+  /** Feed start (inclusive version), resolved once at query start;
+    * None = bootstrap from the current snapshot (Delta's default). */
+  private val startingVersion: Option[Int] = {
+    val byVersion = opt("startingVersion").map { raw =>
+      try raw.trim.toInt catch { case _: NumberFormatException =>
+        sys.error(s"graft-lake source: startingVersion must be an " +
+          s"integer, got '$raw'") }
+    }
+    val byTs = opt("startingTimestamp").map { raw =>
+      val ms = try java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
+        catch { case _: IllegalArgumentException =>
+          try raw.trim.toLong catch { case _: NumberFormatException =>
+            sys.error(s"graft-lake source: startingTimestamp must be " +
+              s"'yyyy-MM-dd HH:mm:ss[.fff]' or epoch millis, got '$raw'") } }
+      // first version committed AT or AFTER the instant (Delta's
+      // startingTimestamp contract): the latest version strictly
+      // before it, plus one — 0 when the table postdates the instant
+      table.versionAt(ms - 1).map(_ + 1).getOrElse(0)
+    }
+    if (byVersion.nonEmpty && byTs.nonEmpty) sys.error(
+      "graft-lake source: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    val sv = byVersion.orElse(byTs)
+    sv.foreach { v =>
+      if (v < 0) sys.error(s"graft-lake source: startingVersion must be " +
+        s">= 0, got $v")
+      val floor = table.changeFeedFloor()
+      if (v < floor) sys.error(
+        s"graft-lake source: startingVersion $v is below the vacuum " +
+          s"horizon — replaced files of vacuumed versions are gone; the " +
+          s"earliest streamable version is $floor (or drop the option to " +
+          s"bootstrap from the current snapshot, which needs no history)")
+    }
+    sv
+  }
 
   override val schema: StructType = providedSchema
     .getOrElse(GraftLakeSource.changeSchema(spark, path))
 
-  /** Head of the table = head of the stream. The engine diffs this
-    * against its checkpointed offset to decide whether a trigger has
-    * work — an O(1) log-head probe, no file listing. */
-  override def getOffset: Option[OffsetV1] =
-    table.latestVersion().map(v => LongOffset(v.toLong))
+  /** Rate-limit position: the highest offset handed to the engine so
+    * far. Re-seeded on restart by the V1 contract — MicroBatchExecution
+    * replays the last logged batch's `getBatch(start, end)` BEFORE the
+    * first `getOffset` ("certain sources assume on restart the last
+    * batch will be executed before getOffset is called again"), so this
+    * is always initialized from the checkpoint before it gates new
+    * offsets. LakeSourceSpec's kill/restart-mid-backlog row pins it. */
+  private var lastReturned: Option[(Int, Long)] = None
 
-  /** Changes in versions `(start, end]` — exactly
-    * [[VersionedTable.changesBetween]], re-tagged `isStreaming` so the
-    * engine accepts it as a micro-batch.
-    *
-    * `start = None` is the INITIAL batch: the SNAPSHOT at `end`
-    * surfaces as inserts, all tagged `_commit_version = end` — Delta's
-    * starting-snapshot behavior, and deliberately NOT a replay of the
-    * historical change feed. Replaying history would (a) deliver
-    * delete rows for data that no longer exists, which an insert-only
-    * or delete-then-insert consumer would mis-apply into resurrected
-    * rows, (b) cost O(all mutations ever), not O(current data), and
-    * (c) fail outright on a table whose early versions a vacuum
-    * stranded — the snapshot read needs none of them, so a fresh
-    * stream bootstraps on a vacuumed table. */
+  // ordering key: within a version, -1 (complete) ranks above any index
+  private def rank(o: (Int, Long)): (Int, Long) =
+    (o._1, if (o._2 < 0) Long.MaxValue else o._2)
+  private def bump(o: (Int, Long)): Unit =
+    if (!lastReturned.exists(p => Ordering[(Int, Long)].gteq(rank(p), rank(o))))
+      lastReturned = Some(o)
+
+  /** The snapshot file list is deterministic per version (sorted unique
+    * names), so caching it is pure memoization — and a restarted source
+    * recomputes the identical list from the log. */
+  private var snapshotCache: Option[(Int, Seq[String])] = None
+  private def snapshotFiles(v: Int): Seq[String] = snapshotCache match {
+    case Some((cv, fs)) if cv == v => fs
+    case _ =>
+      val fs = table.snapshotDataFiles(Some(v))
+      snapshotCache = Some((v, fs)); fs
+  }
+
+  /** Next BOUNDED offset, or None when caught up. An O(log-metadata)
+    * probe: the log head, plus per-commit changed-file counts for the
+    * backlog budget — never a file listing or data read. */
+  override def getOffset: Option[OffsetV1] = {
+    val headOpt = table.latestVersion()
+    val next: Option[(Int, Long)] = headOpt.flatMap { head =>
+      lastReturned match {
+        case None =>
+          startingVersion match {
+            case Some(sv) =>
+              // no snapshot: the feed starts at version sv (inclusive)
+              if (head < sv) None
+              else Some((boundedEnd(sv - 1, head), -1L))
+            case None =>
+              val files = snapshotFiles(head)
+              if (files.size > maxFilesPerTrigger)
+                Some((head, maxFilesPerTrigger.toLong))
+              else Some((head, -1L))
+          }
+        case Some((v, i)) if i >= 0 =>
+          // mid-bootstrap: finish chunking the snapshot at v before
+          // consuming commits (they are diffs against it)
+          val files = snapshotFiles(v)
+          val ni = math.min(i + maxFilesPerTrigger, files.size.toLong)
+          Some(if (ni >= files.size) (v, -1L) else (v, ni))
+        case Some((v, _)) =>
+          if (head <= v) None else Some((boundedEnd(v, head), -1L))
+      }
+    }
+    next.foreach(bump)
+    next.map(o => SerializedOffset(offsetJson(o._1, o._2)))
+  }
+
+  /** End version for a commit-phase batch starting after `from`: walk
+    * forward while the cumulative changed-file count stays within
+    * `maxFilesPerTrigger` and the version count within
+    * `maxCommitsPerTrigger` — always at least one version, so an
+    * oversized single commit still makes progress (it is one
+    * transaction; splitting it would expose a non-version boundary). */
+  private def boundedEnd(from: Int, head: Int): Int = {
+    val capCommits = maxCommitsPerTrigger.getOrElse(Int.MaxValue)
+    var v = from + 1
+    var budget = maxFilesPerTrigger.toLong - table.commitChangedFileCount(v)
+    while (v < head && (v - from) < capCommits) {
+      val nf = table.commitChangedFileCount(v + 1)
+      if (budget - nf < 0) return v
+      budget -= nf
+      v += 1
+    }
+    v
+  }
+
+  /** The rows of offsets `(start, end]`:
+    *  - bootstrap chunks — snapshot files `[i, j)` at the pinned
+    *    version, surfaced as inserts tagged with it (Delta's
+    *    starting-snapshot behavior, deliberately NOT a history replay:
+    *    a replay would resurrect deletes through insert-only sinks,
+    *    cost O(all mutations ever) and fail on vacuumed tables);
+    *  - steady state — exactly [[VersionedTable.changesBetween]];
+    * re-tagged `isStreaming` so the engine accepts it as a micro-batch.
+    */
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val to = version(end)
-    val changes = start match {
-      case None => table.read(Some(to))
-        .withColumn("_commit_version", lit(to))
-        .withColumn("_change_type", lit("insert"))
-      case Some(s) => table.changesBetween(version(s), to)
+    val (ev, ei) = parseOffset(end)
+    bump((ev, ei)) // restart contract: re-seed the rate-limit position
+    val changes: DataFrame = (start.map(parseOffset), startingVersion) match {
+      case (None, Some(sv)) =>
+        table.changesBetween(sv - 1, ev)
+      case (None, None) =>
+        snapshotChunk(ev, 0L, if (ei < 0) Long.MaxValue else ei)
+      case (Some((v, i)), _) if i >= 0 =>
+        if (ev != v) sys.error(s"graft-lake source: bootstrap offsets " +
+          s"must chunk one version (start v$v file $i, end v$ev)")
+        snapshotChunk(v, i, if (ei < 0) Long.MaxValue else ei)
+      case (Some((v, _)), _) =>
+        if (ev == v) snapshotChunk(v, 0L, 0L) // same-offset replay: empty
+        else table.changesBetween(v, ev)
     }
     val aligned = changes.select(schema.fieldNames.map(col).toSeq: _*) // pin order
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -198,13 +378,16 @@ class GraftLakeSource(spark: SparkSession, path: String,
       aligned.queryExecution.toRdd, schema, isStreaming = true)
   }
 
-  override def stop(): Unit = ()
-
-  /** Offsets round-trip through the checkpoint as JSON; a restarted
-    * query hands them back as [[SerializedOffset]]. */
-  private def version(o: OffsetV1): Int = o match {
-    case l: LongOffset       => l.offset.toInt
-    case s: SerializedOffset => s.json.trim.toInt
-    case other               => other.json.trim.toInt
+  /** Snapshot files `[from, until)` at version `v` as insert rows. */
+  private def snapshotChunk(v: Int, from: Long, until: Long): DataFrame = {
+    val files = snapshotFiles(v)
+    val hi = math.min(until, files.size.toLong).toInt
+    val chunk = if (from >= hi) Seq.empty[String]
+                else files.slice(from.toInt, hi)
+    table.readSnapshotFiles(chunk, Some(v))
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_change_type", lit("insert"))
   }
+
+  override def stop(): Unit = ()
 }

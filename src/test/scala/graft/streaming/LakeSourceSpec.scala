@@ -260,6 +260,149 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Append output mode only"), e.getMessage)
   }
 
+  test("a commit backlog lands as BOUNDED micro-batches (maxCommitsPerTrigger), and a kill/restart mid-backlog resumes exactly") {
+    val dir = scratch("graft-lsrc-bk") + "/t"
+    val ckpt = scratch("graft-lsrc-bk-ckpt")
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((0L, "seed")).toDF("id", "v"))           // v0
+
+    // run 1: consume the snapshot, then go down
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Int)]]()
+    val failAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def run() = spark.readStream.format("graft-lake")
+      .option("maxCommitsPerTrigger", 2)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.select("id", "_commit_version")
+          .as[(Long, Int)].collect().sorted.toSeq
+        got.put(id, rows)
+        if (id == failAt.get()) sys.error("injected crash mid-backlog")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    assert(got.size == 1) // the snapshot batch
+
+    // a 10-commit backlog accumulates while the query is down
+    (1L to 10L).foreach(i => t.commitAppend(Seq((i, s"r$i")).toDF("id", "v")))
+
+    // run 2: the backlog must arrive as ceil(10/2)=5 BOUNDED batches,
+    // each spanning at most 2 versions and ending on a version
+    // boundary — and we kill the query on its 3rd backlog batch
+    failAt.set(3L)
+    val q2 = run()
+    intercept[Exception] { q2.processAllAvailable(); q2.awaitTermination() }
+    // run 3: restart resumes at the checkpoint — the killed batch
+    // re-delivers with the SAME id and range (map overwrite), the rest
+    // follows; no loss, no duplicates
+    failAt.set(-1L)
+    val q3 = run(); q3.processAllAvailable(); q3.stop()
+
+    val batches = got.asInstanceOf[java.util.Map[Long, Seq[(Long, Int)]]]
+    val ids = batches.keySet().toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    assert(ids.toSeq == (0L to 5L), s"expected 6 batch ids, got ${ids.toSeq}")
+    // every backlog batch is bounded: at most 2 commit versions
+    (1L to 5L).foreach { id =>
+      val vs = batches.get(id).map(_._2).distinct
+      assert(vs.nonEmpty && vs.size <= 2, s"batch $id spanned versions $vs")
+    }
+    // exactly-once across the kill: the union is precisely the table
+    val all = (0L to 5L).flatMap(id => batches.get(id).map(_._1)).sorted
+    assert(all == (0L to 10L), s"lost/duplicated rows: $all")
+  }
+
+  test("the initial snapshot is CHUNKED by maxFilesPerTrigger; a crash mid-bootstrap resumes at the last chunk") {
+    val dir = scratch("graft-lsrc-ch") + "/t"
+    val ckpt = scratch("graft-lsrc-ch-ckpt")
+    val t = VersionedTable(spark, dir)
+    // 8 data files: a bootstrap at maxFilesPerTrigger=3 must land as
+    // ceil(8/3) = 3 checkpointable batches, never one giant scan
+    t.commitOverwrite((1L to 80L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(8))
+    assert(t.snapshotDataFiles().size == 8)
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val failAt = new java.util.concurrent.atomic.AtomicLong(1L)
+    def run() = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", 3)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val vs = df.select("_commit_version").distinct().as[Int].collect().toSeq
+        assert(vs.forall(_ == 0), s"bootstrap rows must tag the pinned version, got $vs")
+        got.put(id, df.select("id").as[Long].collect().sorted.toSeq)
+        if (id == failAt.get()) sys.error("injected crash mid-bootstrap")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    // run 1 dies on its second chunk; the first chunk's offset is
+    // checkpointed — the restart must NOT redo it
+    val q1 = run()
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    failAt.set(-1L)
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+
+    val ids = got.keySet().toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L), s"expected 3 bootstrap chunks, got ${ids.toSeq}")
+    (0L to 2L).foreach(id => assert(got.get(id).nonEmpty, s"chunk $id empty"))
+    val all = (0L to 2L).flatMap(id => got.get(id)).sorted
+    assert(all == (1L to 80L), s"bootstrap lost/duplicated rows")
+  }
+
+  test("startingVersion streams the feed from that version (no snapshot); below the vacuum horizon it fails loudly at start") {
+    val dir = scratch("graft-lsrc-sv") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))              // v0
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))                 // v1
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))                 // v2
+    t.deleteMoR(col("id") === 2L)                                  // v3
+
+    val got = ArrayBuffer.empty[(Long, Int, String)]
+    val q = spark.readStream.format("graft-lake")
+      .option("startingVersion", 2)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("id", "_commit_version", "_change_type")
+          .as[(Long, Int, String)].collect().toSeq
+        got.synchronized { got ++= rows; () }
+      }
+      .option("checkpointLocation", scratch("graft-lsrc-sv-ck")).start()
+    q.processAllAvailable(); q.stop()
+    // the feed from v2 inclusive == changesBetween(1, head), multiset
+    val expect = t.changesBetween(1, 3)
+      .select("id", "_commit_version", "_change_type")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+    assert(got.forall(_._2 >= 2), "nothing before startingVersion may surface")
+
+    // two overwrites orphan every pre-v4 file (the MoR-delete version
+    // v3 still references the originals, so ONE overwrite strands
+    // nothing); the vacuum then writes a horizon — a feed from v1 is
+    // no longer reconstructible
+    t.commitOverwrite(Seq((9L, "z")).toDF("id", "v"))              // v4
+    t.commitOverwrite(Seq((10L, "w")).toDF("id", "v"))             // v5
+    t.vacuum(retainVersions = 2, minAgeMs = 0L)
+    assert(t.changeFeedFloor() > 1, "fixture must strand v1")
+    // createSource runs on the stream thread, so the loud failure
+    // surfaces through the query, not through .start()
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("graft-lake")
+        .option("startingVersion", 1)
+        .load(dir)
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .option("checkpointLocation", scratch("graft-lsrc-sv-ck2")).start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("vacuum horizon"), chain(e))
+  }
+
   test("the source fails loudly on a not-yet-created table instead of streaming nothing") {
     val dir = scratch("graft-lsrc-empty") + "/t"
     val e = intercept[Exception] {
