@@ -159,6 +159,65 @@ object CoreQueries21 {
         .orderBy("event_type")
     },
 
+    // The lake's SQL front door (round 16): batch reads AND writes
+    // behind the format string, so a plain-SQL user can query a
+    // versioned table without touching the Scala API. The write door
+    // lands overwrite/append as versioned commits; the read door is a
+    // V1 PrunedFilteredScan built on the lake's own reader, so a WHERE
+    // clause typed into spark.sql flows: Catalyst filter → pushed
+    // sources.Filter → readWhere's min/max file skipping → pruned scan
+    // (asserted in-query: the scan opened exactly candidateFiles(pred),
+    // strictly fewer than the table's files), with deletion vectors and
+    // versionAsOf time travel applying behind the view. The oracle
+    // recomputes from raw customer minus the MoR-deleted keys. At
+    // 100 TB this is what turns an analyst's day-filter through a SQL
+    // view into a few file reads instead of a table scan.
+    q("q_lake_sql",
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal
+        |FROM customer WHERE c_custkey <= 150 AND c_custkey % 10 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = graft.lake.Scratch.dir("graft-lake-sql") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      val cust = customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal")
+      // batch WRITE door: two halves land as versioned commits (range-
+      // partitioned so custkey stats are tight per file)
+      cust.filter(col("c_custkey") % 2 === 0)
+        .repartitionByRange(8, col("c_custkey"))
+        .write.format("graft-lake").mode("overwrite").save(dir)       // v0
+      cust.filter(col("c_custkey") % 2 === 1)
+        .repartitionByRange(8, col("c_custkey"))
+        .write.format("graft-lake").mode("append").save(dir)          // v1
+      if (t.history().map(_._2) != Seq("overwrite", "append"))
+        sys.error(s"q_lake_sql: format writes did not land as commits: " +
+          s"${t.history().map(_._2)}")
+      t.deleteMoR(col("c_custkey") % 10 === 3)                        // v2
+      s.read.format("graft-lake").load(dir)
+        .createOrReplaceTempView("lake_customer")
+      // a selective predicate through PLAIN SQL must reach the lake's
+      // skipping layer: the scan opens exactly the stats-surviving
+      // files, strictly fewer than the table holds
+      s.sql("SELECT count(*) AS n FROM lake_customer WHERE c_custkey <= 150")
+        .collect()
+      val scanned = Option(org.apache.spark.sql.graft.GraftLakeRelation
+        .lastScanFiles.get(dir)).map(_.toInt).getOrElse(-1)
+      val expect = t.candidateFiles(col("c_custkey") <= 150).size
+      val total = t.snapshotDataFiles().size
+      if (scanned != expect || scanned >= total)
+        sys.error(s"q_lake_sql: SQL predicate did not prune: scanned " +
+          s"$scanned, stats say $expect, table holds $total files")
+      // time travel door: the pre-delete version still shows every row
+      val v1n = s.read.format("graft-lake").option("versionAsOf", 1)
+        .load(dir).count()
+      if (v1n != cust.count())
+        sys.error(s"q_lake_sql: versionAsOf=1 shows $v1n rows, want " +
+          s"${cust.count()}")
+      s.sql("""SELECT c_mktsegment AS segment, count(*) AS n,
+              |  round(sum(c_acctbal), 2) AS bal
+              |FROM lake_customer WHERE c_custkey <= 150
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // BOUNDED backlog consumption (round 16): a stream that was down
     // while six Bronze commits accumulated must NOT swallow the backlog
     // as one giant micro-batch — with maxCommitsPerTrigger=2 the

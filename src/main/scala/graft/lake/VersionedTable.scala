@@ -820,8 +820,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, logical(st))))
   }
 
-  private[lake] def candidateFiles(predicate: org.apache.spark.sql.Column,
-                                   version: Option[Int] = None): Seq[String] = {
+  /** Data files of the snapshot that MAY hold rows matching
+    * `predicate` per the min/max sidecar stats — the pruning decision
+    * [[readWhere]] acts on, exposed for mutation pre-scans and for the
+    * format-string relation's skipping observability. */
+  def candidateFiles(predicate: org.apache.spark.sql.Column,
+                     version: Option[Int] = None): Seq[String] = {
     val v = version.orElse(latestVersion())
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     val c = readCommit(v)

@@ -1,10 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -78,12 +78,62 @@ import graft.lake.VersionedTable
   * AND delivery idempotence carried entirely by the engine + commit
   * log. */
 class GraftLakeSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
 
   private def tablePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(
       "graft-lake source requires a table path: .load(<tableDir>)"))
+
+  /** BATCH read behind the format string (see [[GraftLakeRelation]]):
+    * `spark.read.format("graft-lake").load(dir)` ≡ `VersionedTable
+    * .read()`, with optional `versionAsOf` / `timestampAsOf` time
+    * travel and stats-pruning pushdown through `readWhere`. Also the
+    * resolution target of `CREATE TABLE ... USING graft-lake`. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    def opt(k: String) = parameters.collectFirst {
+      case (key, v) if key.equalsIgnoreCase(k) => v }
+    val spark = activeSession(sqlContext)
+    val path = tablePath(parameters)
+    if (opt("versionAsOf").nonEmpty && opt("timestampAsOf").nonEmpty)
+      sys.error("graft-lake: versionAsOf and timestampAsOf are mutually exclusive")
+    val byVersion = opt("versionAsOf").map(_.trim.toInt)
+    val byTs = opt("timestampAsOf").map { raw =>
+      val t = VersionedTable(spark, path)
+      val ms = try java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
+        catch { case _: IllegalArgumentException => raw.trim.toLong }
+      t.versionAt(ms).getOrElse(sys.error(
+        s"graft-lake: no version committed at or before '$raw' at $path"))
+    }
+    new GraftLakeRelation(spark, path, byVersion.orElse(byTs))
+  }
+
+  /** BATCH write behind the format string: `df.write.format
+    * ("graft-lake").mode(...).save(dir)` lands as a versioned commit —
+    * append/overwrite map to the lake's commit modes, ErrorIfExists
+    * and Ignore honor the lake's notion of existence (any committed
+    * version). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = activeSession(sqlContext)
+    val path = tablePath(parameters)
+    val t = VersionedTable(spark, path)
+    val exists = t.latestVersion().nonEmpty
+    mode match {
+      case SaveMode.Overwrite            => t.commitOverwrite(data)
+      case SaveMode.Append if !exists    => t.commitOverwrite(data)
+      case SaveMode.Append               => t.commitAppend(data)
+      case SaveMode.ErrorIfExists if exists => sys.error(
+        s"graft-lake: table already exists at $path (mode ErrorIfExists)")
+      case SaveMode.ErrorIfExists        => t.commitOverwrite(data)
+      case SaveMode.Ignore if exists     => ()
+      case SaveMode.Ignore               => t.commitOverwrite(data)
+    }
+    new GraftLakeRelation(spark, path, None)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],

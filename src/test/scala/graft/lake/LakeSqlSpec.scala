@@ -1,0 +1,98 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import org.apache.spark.sql.graft.GraftLakeRelation
+
+/** The lake's BATCH format string (org.apache.spark.sql.graft.
+  * GraftLakeRelation): `spark.read/write.format("graft-lake")`, the
+  * SQL front door (temp views and `CREATE TABLE ... USING`), pushdown
+  * translation edges, and time-travel options.
+  */
+class LakeSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scratch(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("format-string writes land as versioned commits; all four save modes honor lake existence") {
+    val dir = scratch("graft-sql-w") + "/t"
+    val t = VersionedTable(spark, dir)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.format("graft-lake").mode("overwrite").save(dir)        // v0
+    df.filter(col("id") === 1L).withColumn("id", col("id") + 10)
+      .write.format("graft-lake").mode("append").save(dir)           // v1
+    assert(t.history().map(_._2) == Seq("overwrite", "append"))
+    assert(spark.read.format("graft-lake").load(dir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
+    // Ignore on an existing table: no-op
+    df.write.format("graft-lake").mode("ignore").save(dir)
+    assert(t.versions().size == 2)
+    // ErrorIfExists on an existing table: loud
+    val e = intercept[Exception] {
+      df.write.format("graft-lake").mode("errorifexists").save(dir)
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // both creation modes seed a fresh table
+    val dir2 = scratch("graft-sql-w2") + "/t"
+    df.write.format("graft-lake").mode("errorifexists").save(dir2)
+    assert(VersionedTable(spark, dir2).read().count() == 2)
+  }
+
+  test("read equality with the Scala API, DV overlay included; untranslatable predicates stay correct (just unpruned)") {
+    val dir = scratch("graft-sql-r") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite((1L to 100L).map(i => (i, i % 7)).toDF("id", "m")
+      .repartitionByRange(4, col("id")))
+    t.deleteMoR(col("id") % 10 === 0L)
+    val viaFormat = spark.read.format("graft-lake").load(dir)
+    assert(viaFormat.select("id").as[Long].collect().sorted.toSeq ==
+      t.read().select("id").as[Long].collect().sorted.toSeq)
+    viaFormat.createOrReplaceTempView("sqlspec_t")
+    // translatable range predicate: prunes files AND returns the truth
+    val pruned = spark.sql("SELECT id FROM sqlspec_t WHERE id <= 25")
+      .as[Long].collect().sorted.toSeq
+    assert(pruned == (1L to 25L).filterNot(_ % 10 == 0))
+    assert(GraftLakeRelation.lastScanFiles.get(dir) < 4)
+    // arithmetic predicate: no sources.Filter shape exists for it, so
+    // nothing prunes — but the engine's re-applied filter keeps it true
+    val unpruned = spark.sql("SELECT id FROM sqlspec_t WHERE id % 3 = 0")
+      .as[Long].collect().sorted.toSeq
+    assert(unpruned == (1L to 100L).filter(i => i % 3 == 0 && i % 10 != 0))
+    assert(GraftLakeRelation.lastScanFiles.get(dir) == 4)
+    // OR with an untranslatable side must drop the WHOLE disjunction
+    // from pruning (a half-applied OR would prune wrongly)
+    val orRows = spark.sql(
+      "SELECT id FROM sqlspec_t WHERE id <= 5 OR id % 97 = 0")
+      .as[Long].collect().sorted.toSeq
+    assert(orRows == Seq(1L, 2L, 3L, 4L, 5L, 97L))
+    assert(GraftLakeRelation.lastScanFiles.get(dir) == 4)
+  }
+
+  test("CREATE TABLE ... USING graft-lake registers the lake in the catalog; SQL queries and time travel work against it") {
+    val dir = scratch("graft-sql-ct") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))     // v0
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))                   // v1
+    spark.sql("DROP TABLE IF EXISTS lake_ct")
+    spark.sql(s"CREATE TABLE lake_ct USING `graft-lake` OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM lake_ct")
+        .as[Long].head() == 3L)
+      assert(spark.sql("SELECT v FROM lake_ct WHERE id = 3").as[String]
+        .head() == "c")
+    } finally spark.sql("DROP TABLE IF EXISTS lake_ct")
+    // time travel via read options
+    assert(spark.read.format("graft-lake").option("versionAsOf", 0)
+      .load(dir).count() == 2)
+    val e = intercept[Exception] {
+      spark.read.format("graft-lake")
+        .option("versionAsOf", 0).option("timestampAsOf", "2020-01-01 00:00:00")
+        .load(dir)
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+}
