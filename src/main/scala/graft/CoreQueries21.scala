@@ -159,6 +159,103 @@ object CoreQueries21 {
         .orderBy("event_type")
     },
 
+    // Streaming AGGREGATIONS behind the format sink (round 16): no
+    // foreachBatch anywhere — Complete mode routes each micro-batch
+    // (the full result) to an idempotent OVERWRITE keyed by the
+    // engine's batch id. Three Bronze commits drive three refreshes of
+    // a live Gold aggregate; the ledger pins one overwrite per batch,
+    // and the restart-shaped replay (same batchId through the same
+    // primitive) must no-op. The oracle recomputes the aggregate from
+    // raw events in one batch query — equality proves the streamed
+    // maintenance converges.
+    q("q_lake_stream_complete",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS vsum
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = graft.lake.Scratch.dir("graft-lake-cm")
+      val bronzeDir = base + "/bronze"
+      val goldDir = base + "/gold"
+      val bronze = graft.lake.VersionedTable(s, bronzeDir)
+      val gold = graft.lake.VersionedTable(s, goldDir)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      def slice(i: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      bronze.commitOverwrite(slice(0))                                // v0
+      val query = s.readStream.format("graft-lake").load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
+        .writeStream.format("graft-lake")
+        .outputMode("complete")
+        .option("appId", "cm-agg")
+        .option("checkpointLocation", base + "/ckpt")
+        .start(goldDir)
+      try {
+        query.processAllAvailable()
+        bronze.commitAppend(slice(1))                                 // v1
+        query.processAllAvailable()
+        bronze.commitAppend(slice(2))                                 // v2
+        query.processAllAvailable()
+      } finally query.stop()
+      if (gold.history().map(_._2) != Seq("overwrite", "overwrite", "overwrite"))
+        sys.error(s"q_lake_stream_complete: Complete mode must land one " +
+          s"overwrite per batch: ${gold.history().map(_._2)}")
+      val ledger = gold.historyDF().orderBy("version")
+        .select("txn_app", "txn_batch")
+        .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toSeq
+      if (ledger != (0L to 2L).map(("cm-agg", _)))
+        sys.error(s"q_lake_stream_complete: ledger $ledger")
+      // restart-shaped replay of the last batch: must no-op
+      if (gold.commitOverwriteIdempotent(gold.read(), "cm-agg", 2L).nonEmpty)
+        sys.error("q_lake_stream_complete: replayed batch 2 re-committed")
+      gold.read().orderBy("event_type")
+    },
+
+    // Update mode through the format sink (round 16): a keyed streaming
+    // aggregation where each micro-batch carries only the CHANGED keys'
+    // rows, landed as a key-scoped idempotent replaceWhere — the
+    // Medallion's bucket-refresh contract with zero user code. The
+    // second batch touches only 'click' events, so the commit chain
+    // shows a scoped rewrite, never a full overwrite; content equality
+    // with the batch recompute proves convergence. At 100 TB Update
+    // mode is the difference between rewriting a key's file and
+    // rewriting the aggregate table per trigger.
+    q("q_lake_stream_update",
+      """WITH e AS (SELECT event_type, value FROM events
+        |  WHERE event_id % 3 = 0
+        |     OR (event_id % 3 = 1 AND event_type = 'click'))
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS vsum
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = graft.lake.Scratch.dir("graft-lake-up")
+      val bronzeDir = base + "/bronze"
+      val goldDir = base + "/gold"
+      val bronze = graft.lake.VersionedTable(s, bronzeDir)
+      val gold = graft.lake.VersionedTable(s, goldDir)
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      bronze.commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 0)) // v0
+      val query = s.readStream.format("graft-lake").load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("vsum"))
+        .writeStream.format("graft-lake")
+        .outputMode("update")
+        .option("updateKeys", "event_type")
+        .option("appId", "up-agg")
+        .option("checkpointLocation", base + "/ckpt")
+        .start(goldDir)
+      try {
+        query.processAllAvailable()
+        // second batch touches ONLY one key
+        bronze.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1)
+          .filter(col("event_type") === "click"))                     // v1
+        query.processAllAvailable()
+      } finally query.stop()
+      if (gold.history().map(_._2) != Seq("overwrite", "replaceWhere"))
+        sys.error(s"q_lake_stream_update: a one-key batch must land as a " +
+          s"key-scoped replaceWhere: ${gold.history().map(_._2)}")
+      gold.read().orderBy("event_type")
+    },
+
     // The lake's SQL front door (round 16): batch reads AND writes
     // behind the format string, so a plain-SQL user can query a
     // versioned table without touching the Scala API. The write door

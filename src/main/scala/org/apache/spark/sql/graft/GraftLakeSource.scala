@@ -156,13 +156,21 @@ class GraftLakeSourceProvider extends StreamSourceProvider
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(), "graft-lake sink supports " +
-      s"Append output mode only (got $outputMode) — aggregations stream " +
-      "through foreachBatch + commitOverwriteIdempotent/replaceWhereIdempotent")
     require(partitionColumns.isEmpty, "graft-lake sink does not take " +
       "partitionBy — the lake prunes via file stats and Z-order")
+    def opt(k: String) = parameters.collectFirst {
+      case (key, v) if key.equalsIgnoreCase(k) => v }
+    val updateKeys = opt("updateKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (outputMode == OutputMode.Update())
+      require(updateKeys.nonEmpty, "graft-lake sink in Update mode " +
+        "requires .option(\"updateKeys\", \"k1,k2\"): each micro-batch " +
+        "replaces exactly its keys' rows (replaceWhere scope) — without " +
+        "declared keys there is no sound scope. Complete mode needs none.")
+    val maxUpdateKeys = opt("maxUpdateKeysPerBatch").map(_.trim.toInt)
+      .getOrElse(10000)
     new GraftLakeSink(activeSession(sqlContext), tablePath(parameters),
-      sinkAppId(parameters))
+      sinkAppId(parameters), outputMode, updateKeys, maxUpdateKeys)
   }
 
   /** The sink's txn-ledger identity. Two queries writing the SAME table
@@ -187,14 +195,33 @@ class GraftLakeSourceProvider extends StreamSourceProvider
 }
 
 /** The exactly-once streaming SINK behind `writeStream.format
-  * ("graft-lake")`: every micro-batch is one idempotent lake append
+  * ("graft-lake")`: every micro-batch is one idempotent lake commit
   * tagged (`appId`, engine batchId). The engine re-delivers whole
   * batches on restart/failover; the commit ledger makes the replay a
-  * no-op — Delta's txn-keyed sink contract. Distinct queries writing
-  * the SAME table must set distinct `appId`s (their batch-id sequences
-  * are independent). Blind appends: per-batch cost is O(batch) at any
-  * table size — no snapshot read, no key merge. */
-class GraftLakeSink(spark: SparkSession, path: String, appId: String)
+  * no-op — Delta's txn-keyed sink contract, for all three output
+  * modes:
+  *  - **Append**: a blind idempotent append — per-batch cost O(batch)
+  *    at any table size, no snapshot read, no key merge;
+  *  - **Complete**: each batch is the full result — an idempotent
+  *    OVERWRITE ([[VersionedTable.commitOverwriteIdempotent]]), the
+  *    natural landing for small streaming aggregations;
+  *  - **Update**: each batch holds only the CHANGED keys' rows — an
+  *    idempotent scoped overwrite
+  *    ([[VersionedTable.replaceWhereIdempotent]]) keyed by the
+  *    declared `updateKeys`: exactly those keys' rows are replaced,
+  *    untouched keys' files are never read or rewritten (the
+  *    Medallion's bucket-refresh contract behind the format string).
+  *    The scope predicate is built from the batch's DISTINCT key
+  *    tuples (null-safe `<=>`), an O(changed keys) driver list bounded
+  *    by `maxUpdateKeysPerBatch` (default 10000) — a batch beyond it
+  *    fails loudly with the advice to use Complete, rather than
+  *    silently shipping a megabyte predicate.
+  * Distinct queries writing the SAME table must set distinct `appId`s
+  * (their batch-id sequences are independent). */
+class GraftLakeSink(spark: SparkSession, path: String, appId: String,
+                    outputMode: OutputMode = OutputMode.Append(),
+                    updateKeys: Seq[String] = Nil,
+                    maxUpdateKeys: Int = 10000)
     extends Sink {
   private val table = VersionedTable(spark, path)
 
@@ -206,11 +233,47 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String)
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val batchDf = classicSpark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
-    table.commitAppendIdempotent(batchDf, appId, batchId)
+    outputMode match {
+      case m if m == OutputMode.Append() =>
+        table.commitAppendIdempotent(batchDf, appId, batchId)
+      case m if m == OutputMode.Complete() =>
+        table.commitOverwriteIdempotent(batchDf, appId, batchId)
+      case _ =>
+        // Update: replace exactly the batch's keys. Two passes over the
+        // batch (key collect + staged write) — cache so the upstream
+        // micro-batch plan runs once
+        val cached = batchDf.cache()
+        try {
+          if (table.latestVersion().isEmpty) {
+            // first-ever batch: the changed keys ARE the whole state
+            table.commitOverwriteIdempotent(cached, appId, batchId)
+            ()
+          } else {
+            val keyRows = cached.select(updateKeys.map(col): _*)
+              .distinct().collect()
+            if (keyRows.length > maxUpdateKeys) sys.error(
+              s"graft-lake sink (Update): batch $batchId updates " +
+                s"${keyRows.length} distinct key tuples, over the " +
+                s"$maxUpdateKeys cap (maxUpdateKeysPerBatch) — the scope " +
+                s"predicate would be unbounded; raise the cap or use " +
+                s"Complete mode")
+            if (keyRows.nonEmpty) {
+              val scope = keyRows.map { r =>
+                updateKeys.zipWithIndex
+                  .map { case (k, i) => col(k) <=> lit(r.get(i)) }
+                  .reduce(_ && _)
+              }.reduce(_ || _)
+              table.replaceWhereIdempotent(scope, cached, appId, batchId)
+              ()
+            }
+          }
+        } finally { cached.unpersist(); () }
+    }
     ()
   }
 
-  override def toString: String = s"GraftLakeSink[$path, appId=$appId]"
+  override def toString: String =
+    s"GraftLakeSink[$path, appId=$appId, mode=$outputMode]"
 }
 
 object GraftLakeSource {

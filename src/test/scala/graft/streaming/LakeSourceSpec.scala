@@ -245,7 +245,91 @@ class LakeSourceSpec extends AnyFunSuite {
       Seq(("l2l", 0L), ("l2l", 1L)))
   }
 
-  test("the sink rejects non-append output modes and partitionBy loudly") {
+  test("Complete mode: a streaming aggregation lands as idempotent overwrites, exactly-once across a crash replay") {
+    val bronzeDir = scratch("graft-lsnk-cm-b") + "/bronze"
+    val goldDir = scratch("graft-lsnk-cm-g") + "/gold"
+    val ckpt = scratch("graft-lsnk-cm-ck")
+    val bronze = VersionedTable(spark, bronzeDir)
+    bronze.commitOverwrite(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "value"))
+
+    def run(checkpoint: String) =
+      spark.readStream.format("graft-lake").load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("value").as("vsum"))
+        .writeStream.format("graft-lake")
+        .outputMode("complete")
+        .option("appId", "cm")
+        .option("checkpointLocation", checkpoint)
+        .start(goldDir)
+
+    val q1 = run(ckpt)
+    q1.processAllAvailable()
+    bronze.commitAppend(Seq(("b", 4.0)).toDF("k", "value"))
+    q1.processAllAvailable()
+    q1.stop()
+    val gold = VersionedTable(spark, goldDir)
+    def state() = gold.read().select("k", "n", "vsum")
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(state() == Seq(("a", 2L, 3.0), ("b", 2L, 7.0)))
+    assert(gold.history().map(_._2) == Seq("overwrite", "overwrite"))
+    assert(gold.historyDF().orderBy("version")
+      .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
+      Seq(("cm", 0L), ("cm", 1L)))
+
+    // crash between the sink's overwrite and the engine's marker:
+    // clone the checkpoint, drop batch 1's marker, restart — the
+    // re-delivered batch recomputes the same aggregate and must NO-OP
+    // on the ledger instead of stacking a third overwrite
+    val ckpt2 = scratch("graft-lsnk-cm-ck2")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).forEach { p =>
+      val dst = java.nio.file.Paths.get(ckpt2)
+        .resolve(java.nio.file.Paths.get(ckpt).relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(new java.io.File(new java.io.File(ckpt2, "commits"), "1").delete())
+    new java.io.File(new java.io.File(ckpt2, "commits"), ".1.crc").delete()
+    val q2 = run(ckpt2); q2.processAllAvailable(); q2.stop()
+    assert(gold.history().size == 2, "replayed Complete batch re-committed")
+    assert(state() == Seq(("a", 2L, 3.0), ("b", 2L, 7.0)))
+  }
+
+  test("Update mode: each batch replaces exactly its keys' rows via scoped overwrite; unchanged keys survive") {
+    val bronzeDir = scratch("graft-lsnk-up-b") + "/bronze"
+    val goldDir = scratch("graft-lsnk-up-g") + "/gold"
+    val bronze = VersionedTable(spark, bronzeDir)
+    bronze.commitOverwrite(
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "value"))
+    val q = spark.readStream.format("graft-lake").load(bronzeDir)
+      .filter(col("_change_type") === "insert")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("value").as("vsum"))
+      .writeStream.format("graft-lake")
+      .outputMode("update")
+      .option("updateKeys", "k")
+      .option("appId", "up")
+      .option("checkpointLocation", scratch("graft-lsnk-up-ck"))
+      .start(goldDir)
+    try {
+      q.processAllAvailable()            // batch 0: seeds the state
+      bronze.commitAppend(Seq(("a", 4.0)).toDF("k", "value"))
+      q.processAllAvailable()            // batch 1: ONLY key 'a' changed
+    } finally q.stop()
+    val gold = VersionedTable(spark, goldDir)
+    // first batch seeds (overwrite on the empty table); the incremental
+    // batch is a key-scoped replaceWhere, never a full rewrite
+    assert(gold.history().map(_._2) == Seq("overwrite", "replaceWhere"))
+    assert(gold.read().select("k", "n", "vsum")
+      .as[(String, Long, Double)].collect().sorted.toSeq ==
+      Seq(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+    assert(gold.historyDF().orderBy("version")
+      .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
+      Seq(("up", 0L), ("up", 1L)))
+  }
+
+  test("the sink rejects Update without updateKeys, and partitionBy, loudly") {
     val bronzeDir = scratch("graft-lsnk-rej") + "/t"
     VersionedTable(spark, bronzeDir)
       .commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
@@ -253,11 +337,22 @@ class LakeSourceSpec extends AnyFunSuite {
       spark.readStream.format("graft-lake").load(bronzeDir)
         .groupBy("v").count()
         .writeStream.format("graft-lake")
-        .outputMode("complete")
+        .outputMode("update")
+        .option("appId", "rej")
         .option("checkpointLocation", scratch("graft-lsnk-rej-ck"))
         .start(scratch("graft-lsnk-rej-out") + "/out")
     }
-    assert(e.getMessage.contains("Append output mode only"), e.getMessage)
+    assert(e.getMessage.contains("updateKeys"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-lake").load(bronzeDir)
+        .drop("_commit_version", "_change_type")
+        .writeStream.format("graft-lake")
+        .partitionBy("v")
+        .option("appId", "rej2")
+        .option("checkpointLocation", scratch("graft-lsnk-rej-ck2"))
+        .start(scratch("graft-lsnk-rej-out2") + "/out")
+    }
+    assert(e2.getMessage.contains("partitionBy"), e2.getMessage)
   }
 
   test("a commit backlog lands as BOUNDED micro-batches (maxCommitsPerTrigger), and a kill/restart mid-backlog resumes exactly") {
