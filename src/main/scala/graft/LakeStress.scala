@@ -102,6 +102,25 @@ object LakeStress {
         // default window exists for; VersionedTableSpec pins the
         // single-process version of this)
         t.vacuum(retainVersions = 5)
+      if (id == 1 && (seq == 5 || seq == 12))
+        // OPTIMIZE mid-hammer: the read-set-validated rewrite class.
+        // Racing appends REBASE under it (disjoint files); a racing DV
+        // commit or rewrite overlaps its whole-snapshot read-set and
+        // must abort loudly — which surfaces here as a client retry,
+        // never a fork. The rewritten snapshot must carry every
+        // committed row through (the parent's zero-lost-rows assert).
+        retrying("optimize")(t.optimize(targetRowsPerFile = 50))
+      if (id == 2 && seq == n - 1 && n >= 10)
+        // MoR DELETE racing appends and optimize: row-level DV
+        // concurrency (disjoint-row deletes land, overlapping rewrites
+        // abort-and-retry). Deletes this writer's own first 5 rows —
+        // committed sequentially above, so the end state is
+        // deterministic for the parent's accounting.
+        retrying("deleteMoR") {
+          if (t.deleteMoR(col("writer") === 2 && col("seq") < 5).isEmpty)
+            sys.error("deleteMoR found no rows to mark — writer 2's own " +
+              "committed rows must be visible")
+        }
     }
     println(s"DONE writer=$id conflicts=$conflicts")
     spark.stop()
@@ -147,22 +166,36 @@ object LakeStress {
     val versions = t.versions()
     require(versions == (0 to versions.max).toSeq,
       s"version chain has gaps/forks: $versions")
+    // writer 2 MoR-deleted its own first 5 rows at the end of its run
+    // (deterministic: they were committed sequentially before the
+    // delete); everything else must survive the optimize/vacuum/DV mix
+    val deleted: Set[(Int, Int)] =
+      if (nWriters >= 3 && perWriter >= 10) (0 until 5).map((2, _)).toSet
+      else Set.empty
     val rows = t.read().filter(col("writer") >= 0)
       .select("writer", "seq").as[(Int, Int)].collect().toSeq
     val dup = rows.groupBy(identity).filter(_._2.size > 1).keys.toSeq
     require(dup.isEmpty, s"DUPLICATED rows (double-applied commits): $dup")
     val expected = (for (w <- 0 until nWriters; s <- 0 until perWriter)
-      yield (w, s)).toSet
+      yield (w, s)).toSet -- deleted
     val lost = expected -- rows.toSet
     require(lost.isEmpty, s"LOST rows (dropped by a racing rebase): $lost")
-    require(rows.size == nWriters * perWriter,
-      s"row count ${rows.size} != ${nWriters * perWriter}")
-    // row accounting integrity: each commit's recorded total replays
+    val resurrected = rows.toSet.intersect(deleted)
+    require(resurrected.isEmpty,
+      s"DELETED rows resurfaced (a rewrite dropped the DV overlay): $resurrected")
+    require(rows.size == expected.size,
+      s"row count ${rows.size} != ${expected.size}")
+    // row accounting integrity: each commit's recorded total replays —
+    // appends +1, optimize content-neutral, the MoR delete exactly -5
     val hist = t.history()
     hist.sliding(2).foreach {
       case Seq((_, _, r0, _), (v1, a1, r1, _)) =>
         if (a1 == "append") require(r1 == r0 + 1,
           s"v$v1 append accounting broke: $r0 -> $r1")
+        else if (a1 == "optimize") require(r1 == r0,
+          s"v$v1 optimize changed the row count: $r0 -> $r1")
+        else if (a1 == "delete-dv") require(r1 == r0 - 5,
+          s"v$v1 MoR delete accounting broke: $r0 -> $r1")
       case _ => ()
     }
     require(t.constraints().exists(_._1 == "seq_nonneg"),
@@ -170,8 +203,15 @@ object LakeStress {
     val nAppends = hist.count(_._2 == "append")
     require(nAppends == nWriters * perWriter,
       s"append commits $nAppends != ${nWriters * perWriter}")
+    val nOptimize = hist.count(_._2 == "optimize")
+    if (nWriters >= 2) require(nOptimize >= 1,
+      s"optimize commits $nOptimize — the rewrite class never landed")
+    if (deleted.nonEmpty) require(hist.count(_._2 == "delete-dv") == 1,
+      "the MoR delete must land exactly once")
     println(f"STRESS OK: writers=$nWriters appends=${nWriters * perWriter} " +
-      f"versions=${versions.size} conflicts_retried=$conflictTotal " +
+      f"versions=${versions.size} optimizes=$nOptimize " +
+      f"morDeletes=${hist.count(_._2 == "delete-dv")} " +
+      f"conflicts_retried=$conflictTotal " +
       f"constraint=landed vacuum=ran wall=${wallSec}%.1fs")
     spark.stop()
   }
