@@ -103,7 +103,14 @@ object CoreQueries20 {
         |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
         |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
       val root = graft.lake.Scratch.dir("graft-medb")
-      val m = new graft.lake.Medallion(s, root)
+      // crossover pinned past 1.0: this query PROVES the scoped path's
+      // file-identity contract, which the default hit-fraction policy
+      // may legitimately skip on a state this small (a handful of
+      // hash-collided files). The policy itself is pinned
+      // deterministically in MedallionSpec and measured in
+      // MedallionScale (SCALE.md).
+      val m = new graft.lake.Medallion(s, root,
+        goldStateFiles = 32, goldRefreshCrossover = 1.1)
       val ev = events(s, d)
       val clean: DataFrame => DataFrame = df =>
         df.filter(col("value").isNotNull)

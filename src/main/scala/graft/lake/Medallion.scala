@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   *  - Gold folds SIGNED algebraic partials (insert = +1, delete = −1 —
   *    count/sum form a GROUP, so DV deletes and rewrites maintain
   *    exactly, not just monoid appends) into a BUCKET-PARTITIONED state
-  *    table via [[VersionedTable.replaceWhereIdempotent]] tagged
-  *    (`"gold"`, consumed Silver version), scoped to exactly the
-  *    buckets the batch touched.
+  *    table via [[VersionedTable.replaceFilesIdempotent]] tagged
+  *    (`"gold"`, consumed Silver version), swapping exactly the state
+  *    FILES whose stats intersect the batch's touched buckets.
   * A crash between any apply and its cursor advance re-delivers the
   * version range; both appliers commit nothing on the replay
   * (MedallionSpec drives exactly that interleaving).
@@ -57,9 +57,26 @@ import org.apache.spark.sql.functions._
   *   coalesce a small refresh into one file and the next refresh's
   *   bucket pruning would have nothing to skip). See the sizing
   *   contract above.
+  * @param goldRefreshCrossover the hit-file fraction above which a
+  *   Gold refresh abandons the FILE-scoped path
+  *   ([[VersionedTable.replaceFilesIdempotent]]: read the hit files
+  *   once, fold, swap exactly those files — survivors ride through by
+  *   identity) for a plain idempotent overwrite. The scoped path's
+  *   cost is ≈ hit-fraction × the overwrite's (one read + one write of
+  *   hit files vs of all files; the fold join is shared and smaller),
+  *   plus a metadata-only stats probe — so it pays almost to hit =
+  *   total. Measured (graft.MedallionScale, 4M-group state, SCALE.md
+  *   round 16): a half-the-buckets batch hits 62% of files and runs
+  *   0.66–0.79× of the forced-overwrite wall; a one-bucket batch reads
+  *   1 of 205 files at a flat ~1s regardless of state size. The
+  *   default 0.9 falls back only when nearly every file is hit anyway —
+  *   there the overwrite is strictly simpler AND re-balances the state
+  *   into `goldStateFiles` fresh files. 0 forces the full overwrite
+  *   every refresh (the measurement baseline); ≥ 1 never falls back.
   */
 final class Medallion(spark: SparkSession, root: String,
-                      goldStateFiles: Int = 32) {
+                      goldStateFiles: Int = 32,
+                      goldRefreshCrossover: Double = 0.9) {
   val bronze = VersionedTable(spark, s"$root/bronze")
   val silver = VersionedTable(spark, s"$root/silver")
   val gold   = VersionedTable(spark, s"$root/gold")
@@ -163,21 +180,23 @@ final class Medallion(spark: SparkSession, root: String,
     *  2. `touched` = the partials' distinct buckets (an O(touched)
     *     driver list — the same dynamic-partition-overwrite accounting
     *     Delta does);
-    *  3. prior state for ONLY those buckets (file-stats pruning skips
-    *     every other bucket's files) full-outer-joins the partials:
-    *     n/vsum fold algebraically; min/max tighten from inserts for
-    *     free, and a group whose delete-side extremum ties-or-beats its
-    *     candidate min/max is flagged for rescan — conservative, never
-    *     wrong: the rescan recomputes truth;
+    *  3. prior state from ONLY the files whose stats intersect those
+    *     buckets (one read, survivors included — they pass through the
+    *     fold untouched) full-outer-joins the partials: n/vsum fold
+    *     algebraically; min/max tighten from inserts for free, and a
+    *     group whose delete-side extremum ties-or-beats its candidate
+    *     min/max is flagged for rescan — conservative, never wrong: the
+    *     rescan recomputes truth;
     *  4. flagged groups recompute min/max from the Silver snapshot AS OF
     *     the consumed version (a broadcast semi-join — cost ∝ affected
     *     groups' rows, and consistent with the n/vsum fold even if
     *     Silver has moved past `head` meanwhile);
-    *  5. the new touched-bucket state lands via
-    *     [[VersionedTable.replaceWhereIdempotent]] (bucket ∈ touched),
-    *     repartitioned by bucket so the state files stay bucket-aligned
-    *     for the NEXT refresh's pruning. Groups netting to zero drop
-    *     out; untouched buckets' files are never read or rewritten.
+    *  5. the new state for the hit files (touched buckets' groups plus
+    *     their file-sharing survivors) lands via
+    *     [[VersionedTable.replaceFilesIdempotent]], repartitioned by
+    *     bucket so the state files stay bucket-aligned for the NEXT
+    *     refresh's pruning. Groups netting to zero drop out; files the
+    *     touched buckets don't reach are never read or rewritten.
     */
   def refreshGoldStats(bucket: Column, key: Column,
                        value: Column): Option[GoldRefresh] = {
@@ -227,24 +246,35 @@ final class Medallion(spark: SparkSession, root: String,
             val empty = parts.select(col("bucket"), col("key"),
               col("_pn").as("n"), col("_pvsum").as("vsum"),
               col("_ins_min").as("vmin"), col("_ins_max").as("vmax")).limit(0)
-            // When the batch touches buckets hashing into most of the
-            // state files, a scoped replaceWhere degenerates to an
-            // overwrite PLUS its scope checks and pre-scans — take the
-            // plain idempotent overwrite instead (it must then fold the
-            // FULL state). k touched buckets over f files expect to hit
-            // f·(1−(1−1/f)^k) files: at k ≥ f/2 that's already ~40–60%,
-            // the crossover where the scoped machinery stops paying.
-            // The scoped path is for the steady state: k touched
-            // buckets out of MANY, k files rewritten.
-            val fullRewrite = touched.size >= math.max(1, goldStateFiles / 2)
+            // FILE-granular scope (round 16, was a bucket-scoped
+            // replaceWhere behind a touched ≥ files/2 fallback): ask
+            // the stats layer WHICH state files the touched buckets hit
+            // (O(log metadata)), read those files ONCE — every row,
+            // including survivor buckets that merely share a file with
+            // a touched one: they flow through the fold untouched (no
+            // partial joins to them) and are re-included in the
+            // replacement content — and land via replaceFilesIdempotent,
+            // which swaps exactly those files. One read + one write of
+            // the hit files, where the predicate path (replaceWhere)
+            // paid ~three reads for its pre-scan + kept-rows machinery
+            // (measured 1.5× SLOWER than a full overwrite at
+            // half-the-buckets; the file path measures 0.66–0.79× at a
+            // 62% hit fraction, MedallionScale/SCALE.md r16). The plain
+            // overwrite remains
+            // the fallback when the hit FRACTION crosses
+            // `goldRefreshCrossover` — at that point reading the rest
+            // of the state costs less than the scope bookkeeping.
+            val (hitFiles, totalFiles) = gold.latestVersion() match {
+              case None => (Seq.empty[String], 0)
+              case Some(_) => (gold.candidateFiles(bucketScope),
+                gold.snapshotDataFiles().size)
+            }
+            val fullRewrite = totalFiles > 0 &&
+              hitFiles.size >= totalFiles * goldRefreshCrossover
             val cur = gold.latestVersion() match {
               case None                 => empty
               case Some(_) if fullRewrite => gold.read()
-              // readWhere = the lake's own stats pruning BEFORE Spark
-              // ever lists files: only the touched buckets' files are
-              // handed to the scan (read().filter would still open
-              // every state file's footer — O(state files) per refresh)
-              case Some(_)              => gold.readWhere(bucketScope)
+              case Some(_)              => gold.readSnapshotFiles(hitFiles)
             }
             // NULL-SAFE group join: bucket/key may legitimately be null
             // (SQL GROUP BY groups nulls), and a plain equi-join would
@@ -310,22 +340,28 @@ final class Medallion(spark: SparkSession, root: String,
                 }
               // bucket-aligned files: the NEXT refresh's stats pruning
               // depends on each file covering few buckets. The partition
-              // count is bounded by the buckets THIS refresh holds — a
-              // one-bucket refresh stages one file, not goldStateFiles
-              // mostly-empty shuffle tasks
+              // count is bounded by what THIS refresh replaces — k hit
+              // files come back as ~k files (a one-bucket refresh stages
+              // one file, not goldStateFiles mostly-empty shuffle
+              // tasks) — EXCEPT on the full-rewrite path, whose output
+              // is the ENTIRE state and must respect the sizing contract
+              // regardless of how few buckets triggered it
               val aligned = state.repartition(
-                math.max(1, math.min(goldStateFiles, touched.size)),
+                if (fullRewrite) goldStateFiles
+                else math.max(1, math.min(goldStateFiles,
+                  math.max(touched.size, hitFiles.size))),
                 col("bucket"))
               gold.latestVersion() match {
                 case None => gold.commitOverwriteIdempotent(
                   aligned, "gold", head.toLong)
                 case Some(_) if fullRewrite => gold.commitOverwriteIdempotent(
                   aligned, "gold", head.toLong)
-                case Some(_) => gold.replaceWhereIdempotent(
-                  bucketScope, aligned, "gold", head.toLong)
+                case Some(_) => gold.replaceFilesIdempotent(
+                  hitFiles, aligned, "gold", head.toLong)
               }
               goldCursor.advance(head)
-              GoldRefresh(head, touched, nRescan)
+              GoldRefresh(head, touched, nRescan,
+                if (fullRewrite) totalFiles else hitFiles.size, totalFiles)
             } finally { if (mayRescan) merged.unpersist(); () }
           } else {
             // a metadata-only / netted-empty range: nothing to fold
@@ -344,7 +380,11 @@ final class Medallion(spark: SparkSession, root: String,
 }
 
 /** One Gold refresh's scale-proof observables: the consumed Silver
-  * version, the buckets the batch touched (= the replaceWhere scope),
-  * and how many groups needed the min/max delete-rescan. */
+  * version, the buckets the batch touched, how many groups needed the
+  * min/max delete-rescan, and the refresh's file economics — how many
+  * state files the touched buckets hit (= what was read and replaced)
+  * out of how many the state holds (0/0 on a seeding or skipped
+  * refresh). */
 case class GoldRefresh(consumedVersion: Int, touchedBuckets: Seq[Any],
-                       rescannedGroups: Long)
+                       rescannedGroups: Long, hitFiles: Int = 0,
+                       totalFiles: Int = 0)

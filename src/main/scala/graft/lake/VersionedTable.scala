@@ -599,8 +599,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(tablePath, s"_stage-v$v-$nonce")
     df.write.parquet(stageDir.toString)
-    val parts = fs.listStatus(stageDir).map(_.getPath)
+    // drop ZERO-ROW part files (empty shuffle partitions write them):
+    // they carry no data but would ride the snapshot forever, and with
+    // no min/max stats to prune on, every stats-scoped read and rewrite
+    // keeps them conservatively — O(1) footer reads here buy that back
+    val parts0 = fs.listStatus(stageDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = {
+      import scala.collection.parallel.CollectionConverters._
+      parts0.par.filter { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount > 0 finally r.close()
+      }.seq
+    }
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
       if (!fs.rename(p, new Path(tablePath, name)))
@@ -2114,6 +2127,78 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           c.rows - replaced + newRows, txnApp = txnApp, txnVer = txnVer))
       }
     }
+  }
+
+  /** Replace an EXPLICIT set of snapshot data files with `df` in one
+    * rewrite commit — the FILE-granular building block under
+    * bucket-refresh writers ([[graft.lake.Medallion]]'s Gold refresh is
+    * the canonical caller). Unlike [[replaceWhere]], which re-reads the
+    * affected files to compute the kept rows itself (predicate
+    * semantics demand it), this primitive trusts the caller to have
+    * ALREADY read the files and re-included every surviving row in
+    * `df` — so the whole refresh costs ONE read + ONE write of the hit
+    * files, where the predicate path pays ~three reads. Rows of
+    * `replaced` files not re-included in `df` are PERMANENTLY dropped:
+    * that is the contract, not a failure mode.
+    *
+    * Row accounting is metadata-only: replaced files' live counts come
+    * from the stats sidecars minus their deletion-vector marks (a
+    * stats-less file falls back to one footer-count scan of just that
+    * file). Conflict class = rewrite of exactly `replaced`: racing
+    * appends rebase under it, racing rewrites or DV commits touching
+    * those files abort loudly. */
+  def replaceFiles(replaced: Seq[String], df: DataFrame): Int =
+    replaceFilesTxn(replaced, df, "", -1L)
+
+  /** Idempotent [[replaceFiles]] keyed (`appId`, `batchId`) in the same
+    * setTransaction ledger as every streaming/refresh writer: a replay
+    * with a batch id the ledger already covers commits nothing. */
+  def replaceFilesIdempotent(replaced: Seq[String], df: DataFrame,
+                             appId: String, batchId: Long): Option[Int] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    if (lastCommittedBatch(appId).exists(_ >= batchId)) None
+    else Some(replaceFilesTxn(replaced, df, appId, batchId))
+  }
+
+  private def replaceFilesTxn(replaced: Seq[String], df: DataFrame,
+                              txnApp: String, txnVer: Long): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val (dvs, data) = splitDv(c.files)
+    val dataSet = data.toSet
+    val bad = replaced.filterNot(dataSet)
+    if (bad.nonEmpty) sys.error(
+      s"replaceFiles: ${bad.size} file(s) are not data files of the " +
+        s"current snapshot (e.g. ${bad.head}) — the replace set must come " +
+        s"from snapshotDataFiles/candidateFiles at the same version")
+    checkSchema(df, allowNewColumns = false)
+    checkConstraints(df, c.constraints)
+    val replacedLive = liveRowCount(replaced, dvs)
+    val files = stage(
+      toPhysical(df, StructType.fromDDL(c.schemaDdl), physMap(c)),
+      nextVersion)
+    val newRows = stagedRowCount(files)
+    val readSet = replaced.toSet
+    commitRebasing("replaceFiles", c, readSet,
+      mkFiles = headC => headC.files.filterNot(readSet) ++ files,
+      mkRows = headC => headC.rows - replacedLive + newRows,
+      maxRetries = 10, txnApp = txnApp, txnVer = txnVer)
+  }
+
+  /** Live rows in `files`: footer-exact rows from the stats sidecars
+    * minus the deletion-vector marks targeting them — metadata, never
+    * a data scan (stats-less files pay one footer count each). */
+  private def liveRowCount(files: Seq[String], dvs: Seq[String]): Long = {
+    val stats = readAllStats()
+    def statRows(f: String): Option[Long] =
+      stats.get(f).flatMap(_.values.headOption).map(_.rows)
+    val missing = files.filter(statRows(_).isEmpty)
+    val counted = files.flatMap(statRows).sum +
+      (if (missing.isEmpty) 0L else readFiles(missing).count())
+    val marks =
+      if (dvs.isEmpty) 0L
+      else readFiles(dvs).filter(col("file").isin(files: _*)).count()
+    counted - marks
   }
 
   /** Compact the current snapshot to ~targetRowsPerFile (content

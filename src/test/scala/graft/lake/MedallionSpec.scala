@@ -96,7 +96,11 @@ class MedallionSpec extends AnyFunSuite {
       .toMap
 
   test("three append rounds maintain Gold incrementally; equals batch recompute") {
-    val m = new Medallion(spark, scratch("graft-med"))
+    // crossover pinned past 1.0: tiny 3-bucket states hash into so few
+    // files that the default hit-fraction rule may legitimately choose
+    // a full overwrite — this test pins the SCOPED path's semantics
+    val m = new Medallion(spark, scratch("graft-med"),
+      goldStateFiles = 32, goldRefreshCrossover = 1.1)
     val batches = Seq(
       raw((1L, "a", 1.5), (2L, "b", 2.0)),
       raw((3L, "a", 3.0), (4L, "c", 4.5)),
@@ -110,9 +114,9 @@ class MedallionSpec extends AnyFunSuite {
     assert(m.silver.history().map(_._2) ==
       Seq("append", "append", "append"))
     // bucket-partitioned state: the first refresh seeds (overwrite),
-    // every later one is a bucket-scoped replaceWhere — never O(state)
+    // every later one swaps only the hit FILES — never O(state)
     assert(m.gold.history().map(_._2) ==
-      Seq("overwrite", "replaceWhere", "replaceWhere"))
+      Seq("overwrite", "replaceFiles", "replaceFiles"))
     assert(m.silverCursor.lastProcessed() == 2) // bronze head
     assert(m.goldCursor.lastProcessed() == 2)   // silver head
     val goldTxns = m.gold.historyDF().select("txn_app", "txn_batch")
@@ -148,6 +152,26 @@ class MedallionSpec extends AnyFunSuite {
     assert(m.goldCursor.lastProcessed() == 1)
     assert(goldMap(m) == goldBefore)
     assert(m.gold.history().size == 2)              // still two refreshes
+  }
+
+  test("the file-granular crossover: an every-file batch lands as a plain overwrite, and the knob disables the fallback") {
+    // ONE bucket in the whole state = deterministically one hit file of
+    // one — fraction 1.0 ≥ the default 0.9, so the refresh must take
+    // the plain idempotent overwrite (scoped machinery is pure overhead
+    // when every file is rewritten anyway)
+    val m = new Medallion(spark, scratch("graft-med"))
+    m.ingest(raw((1L, "a", 1.0), (2L, "a", 2.0))); refreshAll(m)
+    m.ingest(raw((3L, "a", 3.0))); refreshAll(m)
+    assert(m.gold.history().map(_._2) == Seq("overwrite", "overwrite"))
+    assert(goldMap(m) == Map("a" -> ((3L, 6.0))))
+    // same shape with the fallback disabled: the scoped path runs even
+    // at fraction 1.0 and converges to the same state
+    val m2 = new Medallion(spark, scratch("graft-med"),
+      goldStateFiles = 32, goldRefreshCrossover = 1.1)
+    m2.ingest(raw((1L, "a", 1.0), (2L, "a", 2.0))); refreshAll(m2)
+    m2.ingest(raw((3L, "a", 3.0))); refreshAll(m2)
+    assert(m2.gold.history().map(_._2) == Seq("overwrite", "replaceFiles"))
+    assert(goldMap(m2) == Map("a" -> ((3L, 6.0))))
   }
 
   test("crash between apply and advance with NEW upstream commits before the retry: no double-apply (ADVICE r15 medium)") {
@@ -313,13 +337,24 @@ class MedallionSpec extends AnyFunSuite {
   }
 
   test("a refresh touching one bucket rewrites ONLY that bucket's files; others survive by identity") {
-    val m = new Medallion(spark, scratch("graft-med"))
-    m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // crossover pinned past 1.0 (see above): this pins the scoped
+    // path's file-identity contract, not the fallback policy
+    val m = new Medallion(spark, scratch("graft-med"),
+      goldStateFiles = 32, goldRefreshCrossover = 1.1)
+    // EIGHT buckets so the hash layout spreads them over several files
+    // (a 3-bucket state can legitimately collide into one file, where
+    // nothing could survive any refresh); touching 'a' — the MINIMUM
+    // bucket value — makes the hit set deterministic: a file's
+    // [min,max] range covers 'a' only if the file actually holds it
+    m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0), (5L, "e", 5.0), (6L, "f", 6.0),
+      (7L, "g", 7.0), (8L, "h", 8.0)))
     refreshAll(m)
     val v0 = m.gold.latestVersion().get
     val before = m.gold.commitFiles(v0)
+    assert(before.size >= 2, s"fixture must spread over files: $before")
     // second batch touches ONLY bucket 'a'
-    m.ingest(raw((4L, "a", 4.0)))
+    m.ingest(raw((9L, "a", 4.0)))
     m.refreshSilver(clean, Seq("event_id"))
     val r = m.refreshGoldStats(col("etype"), lit("all"), col("value")).get
     assert(r.touchedBuckets == Seq("a"))
@@ -370,14 +405,15 @@ class MedallionSpec extends AnyFunSuite {
     assert(state(Some("b")) == ((1L, 2.0)))
   }
 
-  test("replay safety through replaceWhere: a re-delivered bucket-scoped refresh commits nothing") {
+  test("replay safety through replaceFiles: a re-delivered file-scoped refresh commits nothing") {
     val root = scratch("graft-med")
-    val m = new Medallion(spark, root)
+    val m = new Medallion(spark, root,
+      goldStateFiles = 32, goldRefreshCrossover = 1.1)
     m.ingest(raw((1L, "a", 1.0), (2L, "b", 2.0))); refreshAll(m)
-    m.ingest(raw((3L, "a", 3.0))); refreshAll(m)   // replaceWhere refresh
-    assert(m.gold.history().map(_._2) == Seq("overwrite", "replaceWhere"))
+    m.ingest(raw((3L, "a", 3.0))); refreshAll(m)   // file-scoped refresh
+    assert(m.gold.history().map(_._2) == Seq("overwrite", "replaceFiles"))
     val stateBefore = goldFull(m)
-    // crash between the replaceWhere and the cursor advance: the ledger
+    // crash between the replaceFiles and the cursor advance: the ledger
     // is ahead of the cursor, so the refresh fast-forwards and reports
     // caught-up — nothing is re-polled, nothing committed
     Files.write(Paths.get(s"$root/_gold_cursor.json"),
