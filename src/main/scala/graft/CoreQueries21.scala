@@ -272,7 +272,9 @@ object CoreQueries21 {
     q("q_lake_sql",
       """SELECT c_mktsegment AS segment, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS bal
-        |FROM customer WHERE c_custkey <= 150 AND c_custkey % 10 <> 3
+        |FROM customer
+        |WHERE c_custkey <= (SELECT max(c_custkey) // 10 FROM customer)
+        |  AND c_custkey % 10 <> 3
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val dir = graft.lake.Scratch.dir("graft-lake-sql") + "/t"
       val t = graft.lake.VersionedTable(s, dir)
@@ -293,12 +295,15 @@ object CoreQueries21 {
         .createOrReplaceTempView("lake_customer")
       // a selective predicate through PLAIN SQL must reach the lake's
       // skipping layer: the scan opens exactly the stats-surviving
-      // files, strictly fewer than the table holds
-      s.sql("SELECT count(*) AS n FROM lake_customer WHERE c_custkey <= 150")
+      // files, strictly fewer than the table holds. The cutoff is
+      // SCALE-RELATIVE (max key / 10) so the selectivity — and the
+      // pruning this asserts — holds at every fixture size
+      val cut = cust.agg(max("c_custkey")).head().getAs[Number](0).longValue / 10
+      s.sql(s"SELECT count(*) AS n FROM lake_customer WHERE c_custkey <= $cut")
         .collect()
       val scanned = Option(org.apache.spark.sql.graft.GraftLakeRelation
         .lastScanFiles.get(dir)).map(_.toInt).getOrElse(-1)
-      val expect = t.candidateFiles(col("c_custkey") <= 150).size
+      val expect = t.candidateFiles(col("c_custkey") <= cut).size
       val total = t.snapshotDataFiles().size
       if (scanned != expect || scanned >= total)
         sys.error(s"q_lake_sql: SQL predicate did not prune: scanned " +
@@ -309,9 +314,9 @@ object CoreQueries21 {
       if (v1n != cust.count())
         sys.error(s"q_lake_sql: versionAsOf=1 shows $v1n rows, want " +
           s"${cust.count()}")
-      s.sql("""SELECT c_mktsegment AS segment, count(*) AS n,
+      s.sql(s"""SELECT c_mktsegment AS segment, count(*) AS n,
               |  round(sum(c_acctbal), 2) AS bal
-              |FROM lake_customer WHERE c_custkey <= 150
+              |FROM lake_customer WHERE c_custkey <= $cut
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
