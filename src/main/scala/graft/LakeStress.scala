@@ -204,7 +204,9 @@ object LakeStress {
     require(nAppends == nWriters * perWriter,
       s"append commits $nAppends != ${nWriters * perWriter}")
     val nOptimize = hist.count(_._2 == "optimize")
-    if (nWriters >= 2) require(nOptimize >= 1,
+    // writer 1 optimizes at seq 5 and 12 — only reachable when the
+    // per-writer append count gets there
+    if (nWriters >= 2 && perWriter >= 6) require(nOptimize >= 1,
       s"optimize commits $nOptimize — the rewrite class never landed")
     if (deleted.nonEmpty) require(hist.count(_._2 == "delete-dv") == 1,
       "the MoR delete must land exactly once")

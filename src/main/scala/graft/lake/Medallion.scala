@@ -203,8 +203,10 @@ final class Medallion(spark: SparkSession, root: String,
     fastForward(gold, "gold", goldCursor)
     goldCursor.poll().map { case (changes0, head) =>
       if (gold.lastCommittedBatch("gold").exists(_ >= head.toLong)) {
-        // replay of a fully-landed batch (crash between apply and
-        // advance): skip straight to the cursor
+        // CROSS-PROCESS second chance: the in-process replay window is
+        // closed by fastForward above (cursor >= ledger before every
+        // poll), but a CONCURRENT refresher can land this range between
+        // our fast-forward and this check — skip straight to the cursor
         goldCursor.advance(head)
         GoldRefresh(head, Seq.empty, 0L)
       } else {

@@ -602,28 +602,36 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // drop ZERO-ROW part files (empty shuffle partitions write them):
     // they carry no data but would ride the snapshot forever, and with
     // no min/max stats to prune on, every stats-scoped read and rewrite
-    // keeps them conservatively — O(1) footer reads here buy that back
+    // keeps them conservatively. The footer pass that decides this also
+    // MEMOIZES each survivor's row count, so [[stagedRowCount]] right
+    // after the commit doesn't re-open the same footers
     val parts0 = fs.listStatus(stageDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val conf = spark.sparkContext.hadoopConfiguration
-    val parts = {
+    val counted = {
       import scala.collection.parallel.CollectionConverters._
-      parts0.par.filter { p =>
+      parts0.par.map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount > 0 finally r.close()
+        try (p, r.getRecordCount) finally r.close()
       }.seq
     }
-    val named = parts.zipWithIndex.map { case (p, i) =>
+    val named = counted.filter(_._2 > 0).zipWithIndex.map { case ((p, cnt), i) =>
       val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
       if (!fs.rename(p, new Path(tablePath, name)))
         sys.error(s"failed to move staged file $p")
+      stagedCounts.put(name, cnt)
       name
     }
     fs.delete(stageDir, true)
     if (collectStats) writeStats(named.toSeq, v, nonce)
     named.toSeq
   }
+
+  /** Row counts of files this instance staged, consumed (removed) by
+    * the first [[stagedRowCount]] that asks — a bounded memo, never a
+    * correctness dependency (misses fall back to the footer). */
+  private val stagedCounts = scala.collection.concurrent.TrieMap[String, Long]()
 
   // ---- deletion vectors (merge-on-read deletes) ------------------------
   //
@@ -1286,10 +1294,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     import scala.collection.parallel.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     files.par.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(s"$tablePath/$f"), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      stagedCounts.remove(f).getOrElse {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(s"$tablePath/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
     }.sum
   }
 

@@ -48,15 +48,21 @@ class GraftLakeRelation(spark: SparkSession, path: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val pred = filters.flatMap(GraftLakeRelation.translate)
+    val pred = filters.flatMap(f => GraftLakeRelation.translate(f).map(_._1))
       .reduceOption(_ && _)
-    GraftLakeRelation.lastScanFiles.put(path, pred match {
-      case Some(p) => table.candidateFiles(p, version).size
-      case None    => table.snapshotDataFiles(version).size
-    })
+    // ONE stats pass: decide the surviving files here and hand exactly
+    // those to the chunk reader (readWhere would recompute the same
+    // candidateFiles internally — a duplicated O(files × columns)
+    // metadata pass on every scan)
     val base = pred match {
-      case Some(p) => table.readWhere(p, version)
-      case None    => table.read(version)
+      case Some(p) =>
+        val keep = table.candidateFiles(p, version)
+        GraftLakeRelation.lastScanFiles.put(path, keep.size)
+        table.readSnapshotFiles(keep, version).filter(p)
+      case None =>
+        val all = table.snapshotDataFiles(version)
+        GraftLakeRelation.lastScanFiles.put(path, all.size)
+        table.read(version)
     }
     val projected =
       if (requiredColumns.isEmpty) base.select()
@@ -75,32 +81,44 @@ object GraftLakeRelation {
     * predicate reached the lake's skipping layer. */
   val lastScanFiles = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
-  /** `sources.Filter` → lake predicate. Conservative by construction:
-    * an untranslatable node contributes nothing (its containing OR/NOT
-    * is dropped whole — a partial disjunction would prune wrongly),
-    * while AND keeps whichever sides translate (a conjunct alone
-    * selects a superset, always safe). The engine re-applies every
-    * filter above the scan regardless. */
-  private[graft] def translate(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v)        => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v)           => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a)                => Some(col(a).isNull)
-    case IsNotNull(a)             => Some(col(a).isNotNull)
-    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
-    case StringContains(a, v)     => Some(col(a).contains(v))
+  /** `sources.Filter` → lake predicate, as (column, exact). The
+    * translated predicate is applied as a REAL row filter (the engine's
+    * re-applied copy sits above it), so only SUPERSET translations are
+    * safe: a weaker predicate keeps extra rows for the engine to drop;
+    * a stricter one silently loses rows. Hence:
+    *  - AND may keep whichever sides translate (a conjunct alone is a
+    *    superset) but the result is then marked INEXACT;
+    *  - OR needs both sides (a half-applied disjunction would be
+    *    stricter); exactness is the conjunction of the sides';
+    *  - NOT flips superset into subset, so it only translates an EXACT
+    *    child — negating an inexact translation is how
+    *    `Not(And(a, untranslatable))` would silently drop rows. */
+  private[graft] def translate(f: Filter): Option[(Column, Boolean)] = f match {
+    case EqualTo(a, v)            => Some((col(a) === lit(v), true))
+    case EqualNullSafe(a, v)      => Some((col(a) <=> lit(v), true))
+    case GreaterThan(a, v)        => Some((col(a) > lit(v), true))
+    case GreaterThanOrEqual(a, v) => Some((col(a) >= lit(v), true))
+    case LessThan(a, v)           => Some((col(a) < lit(v), true))
+    case LessThanOrEqual(a, v)    => Some((col(a) <= lit(v), true))
+    case In(a, vs)                => Some((col(a).isin(vs.toIndexedSeq: _*), true))
+    case IsNull(a)                => Some((col(a).isNull, true))
+    case IsNotNull(a)             => Some((col(a).isNotNull, true))
+    case StringStartsWith(a, v)   => Some((col(a).startsWith(v), true))
+    case StringEndsWith(a, v)     => Some((col(a).endsWith(v), true))
+    case StringContains(a, v)     => Some((col(a).contains(v), true))
     case And(l, r) => (translate(l), translate(r)) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case (one, other)       => one.orElse(other)
+      case (Some((a, ae)), Some((b, be))) => Some((a && b, ae && be))
+      case (Some((a, _)), None)           => Some((a, false))
+      case (None, Some((b, _)))           => Some((b, false))
+      case _                              => None
     }
     case Or(l, r) =>
-      for { a <- translate(l); b <- translate(r) } yield a || b
-    case Not(c) => translate(c).map(!_)
+      for { (a, ae) <- translate(l); (b, be) <- translate(r) }
+        yield (a || b, ae && be)
+    case Not(c) => translate(c) match {
+      case Some((p, true)) => Some((!p, true))
+      case _               => None
+    }
     case _ => None
   }
 }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
@@ -93,18 +94,15 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     * resolution target of `CREATE TABLE ... USING graft-lake`. */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    def opt(k: String) = parameters.collectFirst {
-      case (key, v) if key.equalsIgnoreCase(k) => v }
+    def opt(k: String) = LakeOptions.opt(parameters, k)
     val spark = activeSession(sqlContext)
     val path = tablePath(parameters)
     if (opt("versionAsOf").nonEmpty && opt("timestampAsOf").nonEmpty)
       sys.error("graft-lake: versionAsOf and timestampAsOf are mutually exclusive")
     val byVersion = opt("versionAsOf").map(_.trim.toInt)
     val byTs = opt("timestampAsOf").map { raw =>
-      val t = VersionedTable(spark, path)
-      val ms = try java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
-        catch { case _: IllegalArgumentException => raw.trim.toLong }
-      t.versionAt(ms).getOrElse(sys.error(
+      val ms = LakeOptions.timestampMs(raw, "timestampAsOf")
+      VersionedTable(spark, path).versionAt(ms).getOrElse(sys.error(
         s"graft-lake: no version committed at or before '$raw' at $path"))
     }
     new GraftLakeRelation(spark, path, byVersion.orElse(byTs))
@@ -158,8 +156,7 @@ class GraftLakeSourceProvider extends StreamSourceProvider
                           outputMode: OutputMode): Sink = {
     require(partitionColumns.isEmpty, "graft-lake sink does not take " +
       "partitionBy — the lake prunes via file stats and Z-order")
-    def opt(k: String) = parameters.collectFirst {
-      case (key, v) if key.equalsIgnoreCase(k) => v }
+    def opt(k: String) = LakeOptions.opt(parameters, k)
     val updateKeys = opt("updateKeys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     if (outputMode == OutputMode.Update())
@@ -181,8 +178,7 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     * checkpoint location (unique per query by construction — the engine
     * refuses to share checkpoints), and otherwise fails loudly. */
   private def sinkAppId(parameters: Map[String, String]): String = {
-    def opt(k: String) = parameters.collectFirst {
-      case (key, v) if key.equalsIgnoreCase(k) => v }
+    def opt(k: String) = LakeOptions.opt(parameters, k)
     opt("appId").orElse(opt("checkpointLocation").map(c =>
       s"graft-lake-sink@${c.stripSuffix("/")}")).getOrElse(sys.error(
       "graft-lake sink requires an explicit .option(\"appId\", ...) " +
@@ -276,6 +272,22 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
     s"GraftLakeSink[$path, appId=$appId, mode=$outputMode]"
 }
 
+/** Option plumbing shared by the provider and the source — one
+  * case-insensitive lookup and one timestamp grammar, so the surfaces
+  * can't drift apart. */
+private[graft] object LakeOptions {
+  def opt(params: Map[String, String], k: String): Option[String] =
+    params.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+
+  /** 'yyyy-MM-dd[ T]HH:mm:ss[.fff]' or epoch millis → millis. */
+  def timestampMs(raw: String, what: String): Long =
+    try java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
+    catch { case _: IllegalArgumentException =>
+      try raw.trim.toLong catch { case _: NumberFormatException =>
+        sys.error(s"graft-lake: $what must be " +
+          s"'yyyy-MM-dd HH:mm:ss[.fff]' or epoch millis, got '$raw'") } }
+}
+
 object GraftLakeSource {
   /** The stream's schema: the table's CURRENT logical schema plus the
     * change-feed metadata columns. Fixed at query start (streaming
@@ -294,14 +306,18 @@ object GraftLakeSource {
     * through `version` is delivered (the steady state; every batch
     * boundary is a consistent table version). `index >= 0` ⇒ the
     * initial snapshot at `version` is delivered through its first
-    * `index` files (chunked bootstrap in progress). Serialized as
-    * canonical JSON so [[SerializedOffset]] string equality is exact;
-    * pre-r16 checkpoints (a bare version long) parse as `(v, -1)`. */
+    * `index` files (chunked bootstrap in progress). Serialized
+    * canonically so [[SerializedOffset]] string equality is exact —
+    * and the steady state serializes as the BARE version long, the
+    * pre-r16 format, so a checkpoint written by the old source
+    * compares EQUAL to the same logical position (a JSON-shape change
+    * would read as new data and push one spurious empty batch through
+    * the sink on the first post-upgrade restart). */
   private[graft] def offsetJson(version: Int, index: Long): String =
-    if (index < 0) s"""{"version":$version}"""
+    if (index < 0) version.toString
     else s"""{"version":$version,"index":$index}"""
 
-  private[graft] def parseOffset(o: OffsetV1): (Int, Long) = o match {
+  private[graft] def parseOffset(o: OffsetV2): (Int, Long) = o match {
     case l: LongOffset => (l.offset.toInt, -1L)
     case other =>
       val j = other.json.trim
@@ -319,13 +335,13 @@ object GraftLakeSource {
 
 class GraftLakeSource(spark: SparkSession, path: String,
                       providedSchema: Option[StructType] = None,
-                      options: Map[String, String] = Map.empty) extends Source {
+                      options: Map[String, String] = Map.empty)
+    extends Source with SupportsTriggerAvailableNow {
   import GraftLakeSource._
 
   private val table = VersionedTable(spark, path)
 
-  private def opt(k: String): Option[String] = options.collectFirst {
-    case (key, v) if key.equalsIgnoreCase(k) => v }
+  private def opt(k: String): Option[String] = LakeOptions.opt(options, k)
   private def intOpt(k: String): Option[Int] = opt(k).map { raw =>
     val v = try raw.trim.toInt catch { case _: NumberFormatException =>
       sys.error(s"graft-lake source: option $k must be an integer, got '$raw'") }
@@ -351,15 +367,21 @@ class GraftLakeSource(spark: SparkSession, path: String,
           s"integer, got '$raw'") }
     }
     val byTs = opt("startingTimestamp").map { raw =>
-      val ms = try java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
-        catch { case _: IllegalArgumentException =>
-          try raw.trim.toLong catch { case _: NumberFormatException =>
-            sys.error(s"graft-lake source: startingTimestamp must be " +
-              s"'yyyy-MM-dd HH:mm:ss[.fff]' or epoch millis, got '$raw'") } }
+      val ms = LakeOptions.timestampMs(raw, "startingTimestamp")
       // first version committed AT or AFTER the instant (Delta's
       // startingTimestamp contract): the latest version strictly
-      // before it, plus one — 0 when the table postdates the instant
-      table.versionAt(ms - 1).map(_ + 1).getOrElse(0)
+      // before it, plus one — 0 when the table postdates the instant.
+      // An instant AFTER the last commit fails loudly (Delta does too):
+      // it is almost always a typo, and the silent alternative is a
+      // stream that starts cleanly and never emits anything
+      val sv = table.versionAt(ms - 1).map(_ + 1).getOrElse(0)
+      val head = table.latestVersion().getOrElse(sys.error(
+        s"graft-lake source: no committed versions at $path"))
+      if (sv > head) sys.error(
+        s"graft-lake source: startingTimestamp '$raw' is after the last " +
+          s"commit (v$head) — the stream would never emit; check the " +
+          s"timestamp or use startingVersion for a future start")
+      sv
     }
     if (byVersion.nonEmpty && byTs.nonEmpty) sys.error(
       "graft-lake source: startingVersion and startingTimestamp are " +
@@ -408,22 +430,67 @@ class GraftLakeSource(spark: SparkSession, path: String,
       snapshotCache = Some((v, fs)); fs
   }
 
-  /** Next BOUNDED offset, or None when caught up. An O(log-metadata)
-    * probe: the log head, plus per-commit changed-file counts for the
-    * backlog budget — never a file listing or data read. */
+  /** Trigger.AvailableNow's frozen end-of-run target: everything
+    * committed as of query start. The engine then runs BOUNDED batches
+    * (it passes [[getDefaultReadLimit]] each trigger) until the source
+    * stops advancing — which [[nextOffset]] guarantees by clamping to
+    * this cap — and terminates. Without [[SupportsTriggerAvailableNow]]
+    * Spark would wrap a plain rate-limited V1 source and pin its FIRST
+    * bounded offset as the whole run's target: one chunk delivered,
+    * the rest of the backlog silently skipped. */
+  private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.latestVersion()
+
+  /** The per-trigger admission unit the engine echoes back on every
+    * normal trigger. Trigger.Once instead passes ReadAllAvailable —
+    * one batch, caps ignored (Kafka's and Delta's documented Once
+    * behavior). */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  /** Admission-controlled offset discovery (the engine prefers this
+    * over [[getOffset]] once [[SupportsTriggerAvailableNow]] is
+    * implemented): `startOffset` is the previous end, so rate-limit
+    * progress needs no source-side position state. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(startOffset).map(parseOffset)
+    val next = nextOffset(base, unbounded = limit.isInstanceOf[ReadAllAvailable])
+    next.foreach(bump)
+    next.map(o => SerializedOffset(offsetJson(o._1, o._2))).orNull
+  }
+
+  /** Legacy V1 offset discovery (kept for direct callers; the engine
+    * uses [[latestOffset]]): bounded steps from the highest offset
+    * handed out so far. */
   override def getOffset: Option[OffsetV1] = {
+    val next = nextOffset(lastReturned, unbounded = false)
+    next.foreach(bump)
+    next.map(o => SerializedOffset(offsetJson(o._1, o._2)))
+  }
+
+  /** Next offset after `base`, or None when caught up. An
+    * O(log-metadata) probe: the log head, plus per-commit changed-file
+    * counts for the backlog budget — never a file listing or data
+    * read. `unbounded` skips the per-trigger caps (Trigger.Once);
+    * either way the result never passes the AvailableNow cap. */
+  private def nextOffset(base: Option[(Int, Long)],
+                         unbounded: Boolean): Option[(Int, Long)] = {
     val headOpt = table.latestVersion()
-    val next: Option[(Int, Long)] = headOpt.flatMap { head =>
-      lastReturned match {
+      .map(h => availableNowCap.fold(h)(math.min(h, _)))
+    headOpt.flatMap { head =>
+      base match {
         case None =>
           startingVersion match {
             case Some(sv) =>
               // no snapshot: the feed starts at version sv (inclusive)
               if (head < sv) None
+              else if (unbounded) Some((head, -1L))
               else Some((boundedEnd(sv - 1, head), -1L))
             case None =>
               val files = snapshotFiles(head)
-              if (files.size > maxFilesPerTrigger)
+              if (!unbounded && files.size > maxFilesPerTrigger)
                 Some((head, maxFilesPerTrigger.toLong))
               else Some((head, -1L))
           }
@@ -431,14 +498,15 @@ class GraftLakeSource(spark: SparkSession, path: String,
           // mid-bootstrap: finish chunking the snapshot at v before
           // consuming commits (they are diffs against it)
           val files = snapshotFiles(v)
-          val ni = math.min(i + maxFilesPerTrigger, files.size.toLong)
+          val ni = if (unbounded) files.size.toLong
+                   else math.min(i + maxFilesPerTrigger, files.size.toLong)
           Some(if (ni >= files.size) (v, -1L) else (v, ni))
         case Some((v, _)) =>
-          if (head <= v) None else Some((boundedEnd(v, head), -1L))
+          if (head <= v) None
+          else if (unbounded) Some((head, -1L))
+          else Some((boundedEnd(v, head), -1L))
       }
     }
-    next.foreach(bump)
-    next.map(o => SerializedOffset(offsetJson(o._1, o._2)))
   }
 
   /** End version for a commit-phase batch starting after `from`: walk

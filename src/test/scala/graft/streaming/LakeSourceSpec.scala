@@ -447,6 +447,55 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(all == (1L to 80L), s"bootstrap lost/duplicated rows")
   }
 
+  test("Trigger.AvailableNow drains the WHOLE backlog as bounded batches and terminates (SupportsTriggerAvailableNow)") {
+    val dir = scratch("graft-lsrc-an") + "/t"
+    val t = VersionedTable(spark, dir)
+    // 9 one-file commits: a rate-limited source without the
+    // AvailableNow contract would have its FIRST bounded offset pinned
+    // as the run's target — one chunk delivered, the rest silently
+    // skipped, query 'successfully' terminated
+    t.commitOverwrite(Seq((0L, "seed")).toDF("id", "v"))
+    (1L to 8L).foreach(i => t.commitAppend(Seq((i, s"r$i")).toDF("id", "v")))
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", 3)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        got.put(id, df.select("id").as[Long].collect().sorted.toSeq); ()
+      }
+      .option("checkpointLocation", scratch("graft-lsrc-an-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L), "AvailableNow query must terminate")
+    val ids = got.keySet().toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    assert(ids.length >= 3, s"a 9-file bootstrap at maxFilesPerTrigger=3 " +
+      s"must land as >= 3 bounded batches, got ${ids.toSeq}")
+    val all = ids.flatMap(got.get(_)).sorted.toSeq
+    assert(all == (0L to 8L), s"AvailableNow under-consumed: $all")
+  }
+
+  test("Trigger.Once ignores the per-trigger caps: one batch, everything (the Kafka/Delta Once contract)") {
+    val dir = scratch("graft-lsrc-once") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((0L, "seed")).toDF("id", "v"))
+    (1L to 6L).foreach(i => t.commitAppend(Seq((i, s"r$i")).toDF("id", "v")))
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", 2)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        got.put(id, df.select("id").as[Long].collect().sorted.toSeq); ()
+      }
+      .option("checkpointLocation", scratch("graft-lsrc-once-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    assert(q.awaitTermination(120000L), "Once query must terminate")
+    assert(got.size == 1, s"Trigger.Once must deliver ONE batch, got ${got.size}")
+    assert(got.get(0L) == (0L to 6L), s"Once under-consumed: ${got.get(0L)}")
+  }
+
   test("startingVersion streams the feed from that version (no snapshot); below the vacuum horizon it fails loudly at start") {
     val dir = scratch("graft-lsrc-sv") + "/t"
     val t = VersionedTable(spark, dir)
