@@ -84,5 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinBanding)
+    // SQL DML over catalog lake tables: UPDATE / MERGE INTO / arbitrary-
+    // predicate DELETE route to the lake's file-granular primitives
+    // (Delta's DeltaAnalysis shape — see GraftDmlRules)
+    ext.injectResolutionRule(s => org.apache.spark.sql.graft.GraftDmlRules(s))
   }
 }

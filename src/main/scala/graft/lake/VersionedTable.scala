@@ -616,6 +616,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         try (p, r.getRecordCount) finally r.close()
       }.seq
     }
+    // the memo is consumed by stagedRowCount, but not every staging
+    // path asks (rewrite commits derive rows from the commit metadata)
+    // — cap it so orphaned entries can't accumulate on a long-lived
+    // instance (it's an optimization only; a miss re-opens the footer)
+    if (stagedCounts.size > 8192) stagedCounts.clear()
     val named = counted.filter(_._2 > 0).zipWithIndex.map { case ((p, cnt), i) =>
       val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
       if (!fs.rename(p, new Path(tablePath, name)))
@@ -1082,6 +1087,32 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       droppedPhysOverride = (c.droppedPhys :+ phys).distinct)
   }
 
+  /** Add a nullable column as a METADATA-ONLY commit (`ALTER TABLE ...
+    * ADD COLUMN`): no file is touched — existing files simply lack the
+    * field and every read null-backfills it through snapshot-schema
+    * alignment, exactly what an append-evolution read of pre-evolution
+    * files already shows. Re-adding a previously DROPPED logical name
+    * binds a FRESH physical id (`freshPhys` skips live and tombstoned
+    * physicals), so the dropped column's residual bytes can never
+    * resurface under the new column.
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val schema = StructType.fromDDL(c.schemaDdl)
+    if (schema.fieldNames.contains(name))
+      sys.error(s"addColumn: column '$name' already exists")
+    val map = physMap(c)
+    val used = schema.fieldNames.map(n => map.getOrElse(n, n)).toSet ++
+      c.droppedPhys
+    val phys = freshPhys(name, used, c.version + 1)
+    val newMap = if (phys == name) map else map + (name -> phys)
+    commitRebasing("add-column", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      schemaDdlOverride = schema.add(name, dataType, nullable = true).toDDL,
+      colMapOverride = newMap.toSeq.sortBy(_._1))
+  }
+
   // ---- public API ----------------------------------------------------
 
   /** Replace the table contents (a new version; history is preserved).
@@ -1315,11 +1346,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(c.schemaDdl))
-    else if (c.colMap.isEmpty && c.droppedPhys.isEmpty) readLive(data, dvs)
-    // column mapping active (a rename's overlay entry, or a drop's
-    // tombstone even with an empty overlay): resolve physical file
-    // columns to the logical schema — renames apply, dropped columns'
-    // residual bytes are never selected
+    // ALWAYS resolve the physical file columns to the commit's logical
+    // schema (readWhere/readSnapshotFiles already do): renames apply,
+    // dropped columns' residual bytes are never selected, and a
+    // metadata-only ADD COLUMN — which leaves the mapping overlay empty
+    // when the name is collision-free — null-backfills even though no
+    // data file carries the field yet. On an unevolved table this is an
+    // identical projection Catalyst collapses; gating it on the overlay
+    // being non-empty is exactly how addColumn's field used to vanish.
     else alignToSchema(readLive(data, dvs), StructType.fromDDL(c.schemaDdl),
       colMap = physMap(c))
   }

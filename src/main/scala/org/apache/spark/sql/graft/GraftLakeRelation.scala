@@ -47,28 +47,8 @@ class GraftLakeRelation(spark: SparkSession, path: String,
   override val schema: StructType = table.read(version).schema
 
   override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
-    val pred = filters.flatMap(f => GraftLakeRelation.translate(f).map(_._1))
-      .reduceOption(_ && _)
-    // ONE stats pass: decide the surviving files here and hand exactly
-    // those to the chunk reader (readWhere would recompute the same
-    // candidateFiles internally — a duplicated O(files × columns)
-    // metadata pass on every scan)
-    val base = pred match {
-      case Some(p) =>
-        val keep = table.candidateFiles(p, version)
-        GraftLakeRelation.lastScanFiles.put(path, keep.size)
-        table.readSnapshotFiles(keep, version).filter(p)
-      case None =>
-        val all = table.snapshotDataFiles(version)
-        GraftLakeRelation.lastScanFiles.put(path, all.size)
-        table.read(version)
-    }
-    val projected =
-      if (requiredColumns.isEmpty) base.select()
-      else base.select(requiredColumns.map(col).toSeq: _*)
-    projected.rdd
-  }
+                         filters: Array[Filter]): RDD[Row] =
+    GraftLakeRelation.scanRows(table, path, version, requiredColumns, filters)
 
   override def toString: String =
     s"GraftLakeRelation[$path${version.map(v => s"@v$v").getOrElse("")}]"
@@ -80,6 +60,35 @@ object GraftLakeRelation {
     * pruning — the `numFiles`-style proof that a selective SQL
     * predicate reached the lake's skipping layer. */
   val lastScanFiles = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** The shared V1 scan body — used by this relation's
+    * `PrunedFilteredScan` AND by the catalog table's `V1Scan` bridge
+    * ([[catalog.GraftTable]]), so both SQL doors prune by file stats
+    * through the exact same path. ONE stats pass: the surviving files
+    * are decided here and handed straight to the chunk reader
+    * (`readWhere` would recompute the same candidateFiles internally —
+    * a duplicated O(files × columns) metadata pass on every scan). */
+  private[graft] def scanRows(table: VersionedTable, path: String,
+                              version: Option[Int],
+                              requiredColumns: Array[String],
+                              filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(f => translate(f).map(_._1))
+      .reduceOption(_ && _)
+    val base = pred match {
+      case Some(p) =>
+        val keep = table.candidateFiles(p, version)
+        lastScanFiles.put(path, keep.size)
+        table.readSnapshotFiles(keep, version).filter(p)
+      case None =>
+        val all = table.snapshotDataFiles(version)
+        lastScanFiles.put(path, all.size)
+        table.read(version)
+    }
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
 
   /** `sources.Filter` → lake predicate, as (column, exact). The
     * translated predicate is applied as a REAL row filter (the engine's
@@ -94,6 +103,8 @@ object GraftLakeRelation {
     *    child — negating an inexact translation is how
     *    `Not(And(a, untranslatable))` would silently drop rows. */
   private[graft] def translate(f: Filter): Option[(Column, Boolean)] = f match {
+    case AlwaysTrue()             => Some((lit(true), true))
+    case AlwaysFalse()            => Some((lit(false), true))
     case EqualTo(a, v)            => Some((col(a) === lit(v), true))
     case EqualNullSafe(a, v)      => Some((col(a) <=> lit(v), true))
     case GreaterThan(a, v)        => Some((col(a) > lit(v), true))

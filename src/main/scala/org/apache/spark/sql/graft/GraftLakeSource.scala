@@ -97,6 +97,8 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     def opt(k: String) = LakeOptions.opt(parameters, k)
     val spark = activeSession(sqlContext)
     val path = tablePath(parameters)
+    if (opt("readChangeFeed").exists(_.trim.equalsIgnoreCase("true")))
+      return changeFeedRelation(spark, path, parameters)
     if (opt("versionAsOf").nonEmpty && opt("timestampAsOf").nonEmpty)
       sys.error("graft-lake: versionAsOf and timestampAsOf are mutually exclusive")
     val byVersion = opt("versionAsOf").map(_.trim.toInt)
@@ -188,6 +190,64 @@ class GraftLakeSourceProvider extends StreamSourceProvider
 
   private def activeSession(sqlContext: SQLContext): SparkSession =
     sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext].sparkSession
+
+  /** BATCH change-feed read (Delta's `readChangeFeed` option):
+    *
+    * {{{
+    *   spark.read.format("graft-lake")
+    *     .option("readChangeFeed", "true")
+    *     .option("startingVersion", 3)        // or startingTimestamp
+    *     .option("endingVersion", 7)          // optional; default head
+    *     .load(dir)
+    * }}}
+    *
+    * yields [[VersionedTable.changesBetween]]'s row-level feed
+    * (`_commit_version`, `_change_type`) for versions
+    * [startingVersion, endingVersion] — the same inclusive-start
+    * contract and at-or-after timestamp resolution as the streaming
+    * source, and the same loud failure below the vacuum horizon. Per
+    * version only the files that changed hands are read, so a
+    * downstream sync pays for the CHANGES, never the table. */
+  private def changeFeedRelation(spark: SparkSession, path: String,
+                                 parameters: Map[String, String]): BaseRelation = {
+    def opt(k: String) = LakeOptions.opt(parameters, k)
+    Seq("versionAsOf", "timestampAsOf").foreach { k =>
+      if (opt(k).nonEmpty) sys.error(
+        s"graft-lake: $k cannot combine with readChangeFeed — the feed " +
+          "is already a version range (startingVersion/endingVersion)")
+    }
+    val table = VersionedTable(spark, path)
+    val head = table.latestVersion().getOrElse(sys.error(
+      s"graft-lake: no committed versions at $path"))
+    val byVersion = opt("startingVersion").map(_.trim.toInt)
+    val byTs = opt("startingTimestamp").map(raw =>
+      GraftLakeSource.resolveStartingTimestamp(table, raw, "graft-lake"))
+    if (byVersion.nonEmpty && byTs.nonEmpty) sys.error(
+      "graft-lake: startingVersion and startingTimestamp are mutually " +
+        "exclusive")
+    val from = byVersion.orElse(byTs).getOrElse(sys.error(
+      "graft-lake: readChangeFeed requires startingVersion or " +
+        "startingTimestamp (the feed is a version range, not a snapshot)"))
+    val to = opt("endingVersion").map(_.trim.toInt).getOrElse(head)
+    if (to > head) sys.error(
+      s"graft-lake: endingVersion $to is beyond the last commit " +
+        s"(v$head) — a later version's log record does not exist yet")
+    if (from < 0 || from > to) sys.error(
+      s"graft-lake: invalid change-feed range [$from, $to]")
+    val floor = table.changeFeedFloor()
+    if (from < floor) sys.error(
+      s"graft-lake: startingVersion $from is below the vacuum horizon " +
+        s"($floor) — those versions' files are gone; start at $floor+")
+    // changesBetween is (from, to] — shift for the inclusive-start option
+    val changes = table.changesBetween(from - 1, to)
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = spark.sqlContext
+      override def schema: StructType = changes.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        changes.rdd
+      override def toString: String = s"GraftLakeChangeFeed[$path v$from..v$to]"
+    }
+  }
 }
 
 /** The exactly-once streaming SINK behind `writeStream.format
@@ -313,6 +373,25 @@ object GraftLakeSource {
     * compares EQUAL to the same logical position (a JSON-shape change
     * would read as new data and push one spurious empty batch through
     * the sink on the first post-upgrade restart). */
+  /** First version committed AT or AFTER the instant — Delta's
+    * startingTimestamp contract, shared by the STREAMING source and
+    * the batch `readChangeFeed` door so the two can't drift. An
+    * instant after the last commit fails loudly (it is almost always
+    * a typo, and the silent alternative is a feed that starts cleanly
+    * and never emits anything). */
+  private[graft] def resolveStartingTimestamp(table: VersionedTable,
+                                              raw: String, ctx: String): Int = {
+    val ms = LakeOptions.timestampMs(raw, "startingTimestamp")
+    val sv = table.versionAt(ms - 1).map(_ + 1).getOrElse(0)
+    val head = table.latestVersion().getOrElse(sys.error(
+      s"$ctx: no committed versions at the table path"))
+    if (sv > head) sys.error(
+      s"$ctx: startingTimestamp '$raw' is after the last " +
+        s"commit (v$head) — the feed would never emit; check the " +
+        "timestamp or use startingVersion for a future start")
+    sv
+  }
+
   private[graft] def offsetJson(version: Int, index: Long): String =
     if (index < 0) version.toString
     else s"""{"version":$version,"index":$index}"""
@@ -366,23 +445,9 @@ class GraftLakeSource(spark: SparkSession, path: String,
         sys.error(s"graft-lake source: startingVersion must be an " +
           s"integer, got '$raw'") }
     }
-    val byTs = opt("startingTimestamp").map { raw =>
-      val ms = LakeOptions.timestampMs(raw, "startingTimestamp")
-      // first version committed AT or AFTER the instant (Delta's
-      // startingTimestamp contract): the latest version strictly
-      // before it, plus one — 0 when the table postdates the instant.
-      // An instant AFTER the last commit fails loudly (Delta does too):
-      // it is almost always a typo, and the silent alternative is a
-      // stream that starts cleanly and never emits anything
-      val sv = table.versionAt(ms - 1).map(_ + 1).getOrElse(0)
-      val head = table.latestVersion().getOrElse(sys.error(
-        s"graft-lake source: no committed versions at $path"))
-      if (sv > head) sys.error(
-        s"graft-lake source: startingTimestamp '$raw' is after the last " +
-          s"commit (v$head) — the stream would never emit; check the " +
-          s"timestamp or use startingVersion for a future start")
-      sv
-    }
+    val byTs = opt("startingTimestamp").map(raw =>
+      GraftLakeSource.resolveStartingTimestamp(table, raw,
+        "graft-lake source"))
     if (byVersion.nonEmpty && byTs.nonEmpty) sys.error(
       "graft-lake source: startingVersion and startingTimestamp are " +
         "mutually exclusive")
@@ -438,10 +503,14 @@ class GraftLakeSource(spark: SparkSession, path: String,
     * Spark would wrap a plain rate-limited V1 source and pin its FIRST
     * bounded offset as the whole run's target: one chunk delivered,
     * the rest of the backlog silently skipped. */
-  private var availableNowCap: Option[Int] = None
+  // outer None = not an AvailableNow run; Some(None) = prepared on a
+  // table with no commits yet, which must deliver NOTHING — an
+  // unwrapped Option couldn't tell that apart from "no cap", leaving
+  // the run unbounded exactly when a concurrent writer starts
+  private var availableNowCap: Option[Option[Int]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = table.latestVersion()
+    availableNowCap = Some(table.latestVersion())
 
   /** The per-trigger admission unit the engine echoes back on every
     * normal trigger. Trigger.Once instead passes ReadAllAvailable —
@@ -477,8 +546,13 @@ class GraftLakeSource(spark: SparkSession, path: String,
     * either way the result never passes the AvailableNow cap. */
   private def nextOffset(base: Option[(Int, Long)],
                          unbounded: Boolean): Option[(Int, Long)] = {
-    val headOpt = table.latestVersion()
-      .map(h => availableNowCap.fold(h)(math.min(h, _)))
+    val headOpt = table.latestVersion().flatMap { h =>
+      availableNowCap match {
+        case None            => Some(h)              // normal trigger run
+        case Some(Some(cap)) => Some(math.min(h, cap))
+        case Some(None)      => None // empty at AvailableNow start: done
+      }
+    }
     headOpt.flatMap { head =>
       base match {
         case None =>

@@ -1,0 +1,292 @@
+package org.apache.spark.sql.graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.VersionedTable
+
+/** A Spark V2 [[TableCatalog]] over versioned lake tables — the SQL
+  * catalog front door:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "org.apache.spark.sql.graft.catalog.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/lake")
+  *
+  *   spark.sql("CREATE TABLE graft.events (id BIGINT, kind STRING)")
+  *   spark.sql("INSERT INTO graft.events VALUES (1, 'click')")
+  *   spark.sql("SELECT * FROM graft.events VERSION AS OF 0")
+  *   spark.sql("DELETE FROM graft.events WHERE kind = 'bot'")
+  *   spark.sql("ALTER TABLE graft.events RENAME COLUMN kind TO event_kind")
+  * }}}
+  *
+  * Catalog layout is PATH-DERIVED, the lake's own philosophy (the
+  * commit log IS the metadata): identifier `ns1.ns2.t` maps to
+  * `<warehouse>/ns1/ns2/t`, a table is any directory holding a
+  * `_graft_log`, and `CREATE TABLE ... LOCATION p` registers an
+  * EXTERNAL table through a one-line pointer file
+  * `<warehouse>/.../t.location` — dropping an external table removes
+  * only the pointer; dropping a managed table removes the data. No
+  * second metastore to drift from the log.
+  *
+  * Time travel: `VERSION AS OF v` resolves through
+  * `loadTable(ident, version)`; `TIMESTAMP AS OF ts` arrives from
+  * Spark in MICROSECONDS and resolves with the lake's skew-tolerant
+  * max-version-at-or-before rule ([[VersionedTable.versionAt]]).
+  *
+  * `SELECT`/`INSERT`/`DELETE`/`TRUNCATE` semantics live on
+  * [[GraftTable]]; `UPDATE`/`MERGE INTO`/arbitrary-predicate `DELETE`
+  * need the session extensions' DML rules
+  * ([[org.apache.spark.sql.graft.GraftDmlRules]]).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(sys.error(
+      s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def defaultDir(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  private def pointerPath(ident: Identifier): Path =
+    new Path(defaultDir(ident) + ".location")
+
+  /** The table's data directory: the external pointer wins, else the
+    * warehouse-derived path. */
+  private def tableDir(ident: Identifier): String = {
+    val ptr = pointerPath(ident)
+    val f = fs(ptr)
+    if (f.exists(ptr)) {
+      val in = f.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else defaultDir(ident)
+  }
+
+  private def isLakeTable(dir: String): Boolean =
+    try fs(new Path(dir)).exists(new Path(dir, "_graft_log"))
+    catch { case _: Throwable => false }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isLakeTable(tableDir(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && isLakeTable(st.getPath.toString))
+        Some(Identifier.of(namespace, n))
+      else if (!st.isDirectory && n.endsWith(".location"))
+        Some(Identifier.of(namespace, n.stripSuffix(".location")))
+      else None
+    }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, dir, None, fullName(ident))
+  }
+
+  /** `VERSION AS OF v` — the catalog half of SQL time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => sys.error(
+        s"graft-lake: VERSION AS OF takes an integer commit version, " +
+          s"got '$version'")
+    }
+    new GraftTable(spark, dir, Some(v), fullName(ident))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands MICROSECONDS since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    val v = VersionedTable(spark, dir).versionAt(ms).getOrElse(sys.error(
+      s"graft-lake: no version committed at or before timestamp " +
+        s"$ms ms at $dir"))
+    new GraftTable(spark, dir, Some(v), fullName(ident))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft-lake tables take no PARTITIONED " +
+      "BY — the lake prunes via file stats and Z-order layout instead")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val external = Option(properties.get(TableCatalog.PROP_LOCATION))
+    external.foreach { loc =>
+      // register the external location through the pointer file
+      val ptr = pointerPath(ident)
+      val f = fs(ptr)
+      f.mkdirs(ptr.getParent)
+      val out = f.create(ptr, false)
+      try out.write(loc.getBytes("UTF-8")) finally out.close()
+    }
+    val dir = tableDir(ident)
+    val vt = VersionedTable(spark, dir)
+    if (vt.latestVersion().isEmpty) {
+      // a brand-new table: commit the schema as version 0 (zero rows).
+      // Registering an EXISTING lake dir via LOCATION skips this — the
+      // log already carries its schema, which wins over the DDL's.
+      require(schema.nonEmpty, s"CREATE TABLE ${fullName(ident)} needs " +
+        "a schema (or a LOCATION holding an existing graft-lake table)")
+      vt.commitOverwrite(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
+    new GraftTable(spark, dir, None, fullName(ident))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
+    val vt = VersionedTable(spark, dir)
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1,
+          "graft-lake: nested column DDL is not supported")
+        vt.renameColumn(c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1,
+          "graft-lake: nested column DDL is not supported")
+        vt.dropColumn(c.fieldNames.head)
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1,
+          "graft-lake: nested column DDL is not supported")
+        require(c.isNullable, "graft-lake: added columns must be " +
+          "nullable (existing rows null-backfill)")
+        vt.addColumn(c.fieldNames.head, c.dataType)
+      case other => sys.error(
+        s"graft-lake: unsupported ALTER TABLE change $other — supported: " +
+          "ADD COLUMN, RENAME COLUMN, DROP COLUMN")
+    }
+    new GraftTable(spark, dir, None, fullName(ident))
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ptr = pointerPath(ident)
+    val f = fs(ptr)
+    val external = f.exists(ptr)
+    if (external) f.delete(ptr, false)
+    else {
+      val dir = new Path(defaultDir(ident))
+      if (!isLakeTable(dir.toString)) return false
+      f.delete(dir, true)
+    }
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val ptr = pointerPath(oldIdent)
+    val f = fs(ptr)
+    if (f.exists(ptr)) {
+      // external: move the pointer, never the data
+      f.mkdirs(pointerPath(newIdent).getParent)
+      if (!f.rename(ptr, pointerPath(newIdent)))
+        sys.error(s"graft-lake: rename of ${fullName(oldIdent)} failed")
+    } else {
+      val dst = new Path(defaultDir(newIdent))
+      f.mkdirs(dst.getParent)
+      if (!f.rename(new Path(defaultDir(oldIdent)), dst))
+        sys.error(s"graft-lake: rename of ${fullName(oldIdent)} failed")
+    }
+  }
+
+  // ---- namespaces = directories under the warehouse ------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !isLakeTable(st.getPath.toString))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      val f = fs(dir)
+      if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+      f.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !isLakeTable(st.getPath.toString))
+        .map(st => namespace :+ st.getPath.getName).toArray
+    }
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (namespace.nonEmpty && !fs(dir).exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> dir.toString).asJava
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (f.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    f.mkdirs(dir)
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    sys.error("graft-lake: ALTER NAMESPACE is not supported")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) return false
+    if (!cascade && f.listStatus(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    f.delete(dir, cascade)
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    namespace.isEmpty || fs(dir).exists(dir)
+  }
+
+  // ---- maintenance procedures (CALL gcat.system.<proc>) --------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list()
+
+  /** The procedures' table-argument resolution — same rule as every
+    * statement, but the table must exist. */
+  private[catalog] def resolveTableDir(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir))
+      throw new NoSuchTableException(ident)
+    dir
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+}

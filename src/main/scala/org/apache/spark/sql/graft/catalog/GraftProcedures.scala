@@ -1,0 +1,164 @@
+package org.apache.spark.sql.graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{Compaction, VersionedTable}
+
+/** The lake's maintenance surface as SQL stored procedures (Spark 4's
+  * `CALL` statement, the Iceberg convention — `system` namespace):
+  *
+  * {{{
+  *   CALL gcat.system.optimize(table => 'events', target_rows => 500000)
+  *   CALL gcat.system.vacuum('events', 2, 0)
+  *   CALL gcat.system.restore('events', 3)
+  *   CALL gcat.system.zorder('events', 'x', 'y', 12, 8)
+  *   CALL gcat.system.history('events')
+  *   CALL gcat.system.constraint_add('events', 'pos', 'value >= 0')
+  *   CALL gcat.system.constraint_drop('events', 'pos')
+  * }}}
+  *
+  * Each call routes to the corresponding [[VersionedTable]] primitive
+  * and returns its outcome as a one-row result set (`history` returns
+  * the whole commit log), so operational runbooks — compaction cadence,
+  * retention sweeps, bad-deploy restores — can live in plain SQL
+  * schedulers with zero Scala. Vacuum keeps the lake's safe-by-default
+  * posture: `min_age_ms` defaults to the 7-day staged-file retention
+  * ([[VersionedTable.DefaultVacuumMinAgeMs]]); passing 0 is the same
+  * explicit opt-in the Scala API requires.
+  */
+object GraftProcedures {
+  /** Procedure identifiers under this catalog: `system.<name>` (also
+    * accepted bare for convenience). */
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace.isEmpty ||
+      ident.namespace.toSeq == Seq("system")
+    if (!ok) sys.error(s"graft-lake: unknown procedure namespace " +
+      s"${ident.namespace.mkString(".")} — procedures live under 'system'")
+    defs.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT), sys.error(
+      s"graft-lake: unknown procedure '${ident.name}' — available: " +
+        defs.keys.toSeq.sorted.mkString(", "))) match {
+      case d => new LakeProcedure(catalog, d)
+    }
+  }
+
+  def list(): Array[Identifier] =
+    defs.keys.toSeq.sorted.map(n => Identifier.of(Array("system"), n)).toArray
+
+  private def in(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private val versionResult =
+    new StructType().add("version", IntegerType, nullable = false)
+
+  /** One row, schema `versionResult` — the outcome shape shared by the
+    * mutating procedures. */
+  private def versionRow(v: Int): Seq[Scan] =
+    Seq(localScan(versionResult, Seq(InternalRow(v))))
+
+  private def localScan(schema: StructType, data: Seq[InternalRow]): Scan =
+    new LocalScan {
+      override def rows(): Array[InternalRow] = data.toArray
+      override def readSchema(): StructType = schema
+    }
+
+  private[catalog] case class ProcDef(
+      name: String, description: String,
+      parameters: Seq[ProcedureParameter],
+      resultFor: (SparkSession, VersionedTable, InternalRow) => Seq[Scan])
+
+  private val defs: Map[String, ProcDef] = Seq(
+    ProcDef("optimize",
+      "Compact the table's data files to ~target_rows rows per file " +
+        "(a new version; content unchanged; history preserved)",
+      Seq(in("table", StringType),
+        inDefault("target_rows", LongType, "1000000")),
+      (_, t, args) => versionRow(t.optimize(args.getLong(1)))),
+
+    ProcDef("vacuum",
+      "Delete data files unreferenced by the retained versions; " +
+        "min_age_ms defaults to the 7-day staged-file retention",
+      Seq(in("table", StringType),
+        inDefault("retain_versions", IntegerType, "2"),
+        inDefault("min_age_ms", LongType,
+          VersionedTable.DefaultVacuumMinAgeMs.toString)),
+      (_, t, args) => Seq(localScan(
+        new StructType().add("deleted_files", IntegerType, nullable = false),
+        Seq(InternalRow(t.vacuum(args.getInt(1), args.getLong(2))))))),
+
+    ProcDef("restore",
+      "Make an older version's content the new head (as a NEW commit " +
+        "— nothing is rewritten, history stays intact)",
+      Seq(in("table", StringType), in("version", IntegerType)),
+      (_, t, args) => versionRow(t.restore(args.getInt(1)))),
+
+    ProcDef("zorder",
+      "Rewrite the table clustered by the interleaved bits of (x, y) " +
+        "so every file covers a tight rectangle — range scans on " +
+        "either column prune by file stats",
+      Seq(in("table", StringType), in("x", StringType), in("y", StringType),
+        inDefault("bits", IntegerType, "12"),
+        inDefault("num_files", IntegerType, "8")),
+      (_, t, args) => versionRow(t.commitOverwrite(Compaction.zorderLayout(
+        t.read(), col(args.getUTF8String(1).toString),
+        col(args.getUTF8String(2).toString),
+        args.getInt(3), args.getInt(4))))),
+
+    ProcDef("history",
+      "The commit log: version, action, rows, files, timestamp, and " +
+        "the streaming-sink txn ledger columns",
+      Seq(in("table", StringType)),
+      (_, t, args) => {
+        val df = t.historyDF()
+        Seq(localScan(df.schema,
+          df.queryExecution.executedPlan.executeCollect().toSeq))
+      }),
+
+    ProcDef("constraint_add",
+      "Add a CHECK constraint (validated against current content; " +
+        "enforced on every future write)",
+      Seq(in("table", StringType), in("name", StringType),
+        in("expr", StringType)),
+      (_, t, args) => versionRow(t.addConstraint(
+        args.getUTF8String(1).toString, args.getUTF8String(2).toString))),
+
+    ProcDef("constraint_drop",
+      "Drop a CHECK constraint by name",
+      Seq(in("table", StringType), in("name", StringType)),
+      (_, t, args) => versionRow(t.dropConstraint(
+        args.getUTF8String(1).toString)))
+  ).map(d => d.name -> d).toMap
+}
+
+/** A lake maintenance procedure bound to its catalog: the `table`
+  * argument (always parameter 0) is a table identifier WITHIN this
+  * catalog (`'cust'`, `'ns1.nt'`), resolved through the same
+  * pointer-or-warehouse rule every other statement uses. */
+class LakeProcedure(catalog: GraftCatalog,
+                    d: GraftProcedures.ProcDef)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = d.name
+  override def description(): String = d.description
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = d.parameters.toArray
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val tableArg = input.getUTF8String(0).toString
+    val parts = tableArg.split("\\.")
+    val ident = Identifier.of(parts.init, parts.last)
+    val spark = SparkSession.active
+    val table = VersionedTable(spark, catalog.resolveTableDir(ident))
+    d.resultFor(spark, table, input).iterator.asJava
+  }
+}

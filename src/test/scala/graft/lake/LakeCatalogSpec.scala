@@ -1,0 +1,294 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import org.apache.spark.sql.graft.GraftLakeRelation
+
+/** The V2 catalog front door (org.apache.spark.sql.graft.catalog.
+  * GraftCatalog/GraftTable): CREATE/ALTER/DROP TABLE, INSERT, SELECT
+  * with time travel and stats pruning, DELETE/TRUNCATE without
+  * extensions — and, with graft.GraftExtensions, full SQL DML
+  * (UPDATE / MERGE INTO / arbitrary-predicate DELETE) routed to the
+  * lake's file-granular primitives.
+  */
+class LakeCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.g",
+      "org.apache.spark.sql.graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g.warehouse", warehouse)
+    s
+  }
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-cat-wh").toString
+
+  /** A dedicated session carrying GraftExtensions (the TestSpark one
+    * has none and getOrCreate would reuse it) — the DML statements
+    * need the injected resolution rule. */
+  private lazy val extSpark: SparkSession = {
+    val prev = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions())
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.sql.catalog.g",
+      "org.apache.spark.sql.graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g.warehouse", warehouse)
+    SparkSession.setActiveSession(prev)
+    SparkSession.setDefaultSession(prev)
+    s
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT / VERSION AS OF / TIMESTAMP AS OF") {
+    spark.sql("CREATE TABLE g.t1 (id BIGINT, kind STRING)")
+    val vt = VersionedTable(spark, s"$warehouse/t1")
+    assert(vt.read().count() == 0 &&
+      vt.read().schema.fieldNames.toSeq == Seq("id", "kind"))
+    spark.sql("INSERT INTO g.t1 VALUES (1, 'a'), (2, 'b')")        // v1
+    spark.sql("INSERT INTO g.t1 VALUES (3, 'c')")                  // v2
+    assert(spark.sql("SELECT count(*) AS n FROM g.t1").head.getLong(0) == 3)
+    assert(spark.sql("SELECT id FROM g.t1 VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a far-future timestamp resolves to the latest version
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g.t1 TIMESTAMP AS OF '2999-01-01'")
+      .head.getLong(0) == 3)
+    // catalog listing sees the table
+    assert(spark.sql("SHOW TABLES IN g").collect()
+      .map(_.getString(1)).contains("t1"))
+  }
+
+  test("catalog SELECT pushes predicates to the stats-skipping layer") {
+    spark.sql("CREATE TABLE g.t2 (id BIGINT, v DOUBLE)")
+    val vt = VersionedTable(spark, s"$warehouse/t2")
+    import spark.implicits._
+    // 4 range-partitioned files with disjoint id ranges
+    vt.commitAppend((1L to 1000L).map(i => (i, i * 0.5)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    val total = vt.snapshotDataFiles().size
+    val n = spark.sql("SELECT v FROM g.t2 WHERE id <= 100").count()
+    assert(n == 100)
+    val scanned = GraftLakeRelation.lastScanFiles.get(s"$warehouse/t2")
+    assert(scanned < total,
+      s"predicate did not prune: scanned $scanned of $total files")
+  }
+
+  test("DELETE FROM (translatable) and TRUNCATE work without extensions") {
+    spark.sql("CREATE TABLE g.t3 (id BIGINT, kind STRING)")
+    spark.sql("INSERT INTO g.t3 VALUES (1,'a'), (2,'b'), (3,'a')")
+    spark.sql("DELETE FROM g.t3 WHERE kind = 'a'")
+    assert(spark.sql("SELECT id FROM g.t3").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    spark.sql("TRUNCATE TABLE g.t3")
+    assert(spark.sql("SELECT * FROM g.t3").count() == 0)
+    // history preserved across the truncate — time travel still works
+    assert(spark.sql("SELECT id FROM g.t3 VERSION AS OF 1").count() == 3)
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN are metadata-only commits") {
+    spark.sql("CREATE TABLE g.t4 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.t4 VALUES (1, 'x')")
+    val vt = VersionedTable(spark, s"$warehouse/t4")
+    val filesBefore = vt.commitFiles(vt.latestVersion().get)
+    spark.sql("ALTER TABLE g.t4 ADD COLUMN score DOUBLE")
+    spark.sql("ALTER TABLE g.t4 RENAME COLUMN v TO label")
+    // existing rows null-backfill the added column; rename is logical
+    val row = spark.sql("SELECT id, label, score FROM g.t4").head
+    assert(row.getLong(0) == 1L && row.getString(1) == "x" && row.isNullAt(2))
+    spark.sql("ALTER TABLE g.t4 DROP COLUMN label")
+    assert(spark.sql("SELECT * FROM g.t4").schema.fieldNames.toSeq ==
+      Seq("id", "score"))
+    // all three were metadata-only: the data files never moved
+    assert(vt.commitFiles(vt.latestVersion().get) == filesBefore,
+      "ALTER TABLE rewrote data files — must be metadata-only")
+    // non-nullable add fails loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.t4 ADD COLUMN req INT NOT NULL")
+    }
+    assert(e.getMessage.contains("nullable"), e.getMessage)
+  }
+
+  test("LOCATION registers an existing lake table externally; DROP removes only the pointer") {
+    import spark.implicits._
+    val ext = java.nio.file.Files.createTempDirectory("graft-cat-ext")
+      .toString + "/t"
+    VersionedTable(spark, ext).commitOverwrite(
+      Seq((1L, "a")).toDF("id", "v"))
+    spark.sql(s"CREATE TABLE g.t5 (id BIGINT, v STRING) LOCATION '$ext'")
+    assert(spark.sql("SELECT v FROM g.t5").head.getString(0) == "a")
+    spark.sql("DROP TABLE g.t5")
+    // the data survived the drop; the catalog forgot the name
+    assert(VersionedTable(spark, ext).read().count() == 1)
+    assert(!spark.catalog.tableExists("g.t5"))
+    // managed drop removes data
+    spark.sql("CREATE TABLE g.t5m (id BIGINT)")
+    spark.sql("DROP TABLE g.t5m")
+    assert(VersionedTable(spark, s"$warehouse/t5m").versions().isEmpty)
+  }
+
+  test("CTAS and INSERT OVERWRITE") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE g.t6 AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT count(*) AS n FROM g.t6").head.getLong(0) == 2)
+    spark.sql("INSERT OVERWRITE g.t6 SELECT id + 10, v FROM ctas_src")
+    assert(spark.sql("SELECT min(id) AS m FROM g.t6").head.getLong(0) == 11)
+    val vt = VersionedTable(spark, s"$warehouse/t6")
+    assert(vt.history().map(_._2).last == "overwrite")
+  }
+
+  test("namespaces map to warehouse directories") {
+    spark.sql("CREATE NAMESPACE g.ns1")
+    spark.sql("CREATE TABLE g.ns1.nt (id BIGINT)")
+    spark.sql("INSERT INTO g.ns1.nt VALUES (7)")
+    assert(spark.sql("SELECT id FROM g.ns1.nt").head.getLong(0) == 7L)
+    assert(VersionedTable(spark, s"$warehouse/ns1/nt").read().count() == 1)
+    assert(spark.sql("SHOW TABLES IN g.ns1").collect()
+      .map(_.getString(1)).toSeq == Seq("nt"))
+  }
+
+  test("UPDATE via SQL rewrites only files that can hold a match (extensions)") {
+    extSpark.sql("CREATE TABLE g.t7 (id BIGINT, status STRING, n BIGINT)")
+    val vt = VersionedTable(extSpark, s"$warehouse/t7")
+    import extSpark.implicits._
+    vt.commitAppend((1L to 400L).map(i => (i, "new", i))
+      .toDF("id", "status", "n").repartitionByRange(4, col("id")))
+    val before = vt.commitFiles(vt.latestVersion().get).toSet
+    extSpark.sql(
+      "UPDATE g.t7 SET status = 'done', n = n * 2 WHERE id <= 100")
+    val after = vt.commitFiles(vt.latestVersion().get).toSet
+    // file-granular: the three untouched range files survive by identity
+    assert((before & after).size == 3,
+      s"expected 3 untouched files to survive, got ${(before & after).size}")
+    val r = extSpark.sql(
+      "SELECT status, sum(n) AS s FROM g.t7 GROUP BY status ORDER BY status")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(
+      ("done", 2L * (1L to 100L).sum), ("new", (101L to 400L).sum)))
+    // arbitrary-predicate DELETE through the same rule
+    extSpark.sql("DELETE FROM g.t7 WHERE length(status) + id % 2 = 5")
+    assert(extSpark.sql("SELECT count(*) AS n FROM g.t7 WHERE status = " +
+      "'done' AND id % 2 = 1").head.getLong(0) == 0)
+  }
+
+  test("MERGE INTO via SQL: full WHEN grammar, key-name bridging, loud non-equi rejection (extensions)") {
+    import extSpark.implicits._
+    extSpark.sql("CREATE TABLE g.t8 (id BIGINT, v STRING, n BIGINT)")
+    extSpark.sql(
+      "INSERT INTO g.t8 VALUES (1,'a',10), (2,'b',20), (3,'c',30)")
+    Seq((1L, "A", 100L), (3L, "C", 300L), (9L, "I", 900L))
+      .toDF("key", "v", "n").createOrReplaceTempView("m_src")
+    extSpark.sql("""
+      MERGE INTO g.t8 t USING m_src s ON t.id = s.key
+      WHEN MATCHED AND s.n >= 300 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + s.n
+      WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.key, s.v, s.n)
+      WHEN NOT MATCHED BY SOURCE AND t.id = 2 THEN UPDATE SET v = 'kept'
+    """)
+    val out = extSpark.sql("SELECT id, v, n FROM g.t8 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 110L),    // matched update: t.n + s.n
+      (2L, "kept", 20L),  // by-source update
+      (9L, "I", 900L)))   // inserted; id=3 deleted by the first clause
+    // non-equi ON fails loudly with the Scala-API pointer
+    val e = intercept[Exception] {
+      extSpark.sql("""MERGE INTO g.t8 t USING m_src s ON t.id >= s.key
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("conjunction of target.key"), e.getMessage)
+    // custom insert projections are rejected, not silently misapplied
+    val e2 = intercept[Exception] {
+      extSpark.sql("""MERGE INTO g.t8 t USING m_src s ON t.id = s.key
+        WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.key, 'x', s.n)""")
+    }
+    assert(e2.getMessage.contains("same-named source column"), e2.getMessage)
+  }
+
+  test("MERGE INTO ... UPDATE SET * / INSERT * expand through the star actions (extensions)") {
+    import extSpark.implicits._
+    extSpark.sql("CREATE TABLE g.t9 (id BIGINT, v STRING)")
+    extSpark.sql("INSERT INTO g.t9 VALUES (1,'a'), (2,'b')")
+    Seq((2L, "B2"), (5L, "E5")).toDF("id", "v")
+      .createOrReplaceTempView("m_src9")
+    extSpark.sql("""
+      MERGE INTO g.t9 t USING m_src9 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(extSpark.sql("SELECT id, v FROM g.t9 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (5L, "E5")))
+  }
+
+  test("CALL gcat.system.<proc>: maintenance procedures from SQL") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g.tp (id BIGINT, v DOUBLE)")
+    val vt = VersionedTable(spark, s"$warehouse/tp")
+    // many small appends → fragmented table
+    (1 to 5).foreach(i => spark.sql(
+      s"INSERT INTO g.tp VALUES ($i, ${i}.0), (${i + 10}, ${i + 10}.0)"))
+    val filesBefore = vt.snapshotDataFiles().size
+    val opt = spark.sql(
+      "CALL g.system.optimize(table => 'tp', target_rows => 1000)").head
+    assert(opt.getInt(0) == vt.latestVersion().get)
+    assert(vt.snapshotDataFiles().size < filesBefore)
+    assert(vt.read().count() == 10)
+    // history returns the whole commit log as a result set
+    val hist = spark.sql("CALL g.system.history('tp')").collect()
+    assert(hist.length == vt.versions().size)
+    // restore: pre-optimize content as a NEW version
+    val preOpt = vt.latestVersion().get - 1
+    val rest = spark.sql(s"CALL g.system.restore('tp', $preOpt)").head
+    assert(rest.getInt(0) == vt.latestVersion().get)
+    assert(vt.read().count() == 10)
+    // constraints round-trip through SQL
+    spark.sql("CALL g.system.constraint_add('tp', 'pos', 'v >= 0')")
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO g.tp VALUES (99, -1.0)")
+    }
+    assert(bad.getMessage.contains("pos"), bad.getMessage)
+    spark.sql("CALL g.system.constraint_drop('tp', 'pos')")
+    spark.sql("INSERT INTO g.tp VALUES (99, -1.0)")
+    // zorder rewrites clustered; content unchanged
+    val z = spark.sql(
+      "CALL g.system.zorder('tp', 'id', 'v', 8, 2)").head
+    assert(z.getInt(0) == vt.latestVersion().get)
+    assert(vt.read().count() == 11)
+    // vacuum with explicit min_age_ms=0 (the opt-in) prunes history
+    val del = spark.sql(
+      "CALL g.system.vacuum('tp', 2, 0)").head.getInt(0)
+    assert(del > 0, "vacuum should have deleted unreferenced files")
+    // unknown procedure fails loudly (Spark wraps the catalog's
+    // available-list message in FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] {
+      spark.sql("CALL g.system.nope('tp')")
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
+  test("DML refuses a time-travel target; writes refuse a snapshot") {
+    // Spark's grammar already refuses time travel in DML targets (the
+    // command guards are defense-in-depth behind it) — the statement
+    // must fail, not silently mutate the snapshot
+    intercept[Exception] {
+      extSpark.sql("DELETE FROM g.t1 VERSION AS OF 0 WHERE id = 1")
+    }
+    // INSERT into a time-travel read is equally refused
+    intercept[Exception] {
+      extSpark.sql("INSERT INTO g.t1 VERSION AS OF 0 VALUES (9, 'z')")
+    }
+    assert(extSpark.sql("SELECT count(*) AS n FROM g.t1 VERSION AS OF 0")
+      .head.getLong(0) == 0)
+  }
+}

@@ -95,4 +95,38 @@ class LakeSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
+
+  test("readChangeFeed: the batch CDF door equals changesBetween, inclusive start, loud edges") {
+    import org.apache.spark.sql.Row
+    val dir = scratch("graft-sql-cdf") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0
+    t.commitAppend(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))               // v1
+    t.delete(col("id") === 2L)                                              // v2
+    def feed(opts: (String, String)*): Seq[Row] = {
+      val r = opts.foldLeft(spark.read.format("graft-lake")
+        .option("readChangeFeed", "true")) { case (b, (k, x)) => b.option(k, x) }
+      r.load(dir).collect().toSeq
+    }
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    // inclusive start: startingVersion=1 is changesBetween(0, head)
+    assert(feed("startingVersion" -> "1").groupBy(identity).view.mapValues(_.size).toMap ==
+      multiset(t.changesBetween(0, 2)))
+    // from 0 = the whole history's feed
+    assert(feed("startingVersion" -> "0").size ==
+      t.changesBetween(-1, 2).count())
+    // endingVersion bounds the range
+    assert(feed("startingVersion" -> "1", "endingVersion" -> "1").groupBy(identity)
+      .view.mapValues(_.size).toMap == multiset(t.changesBetween(0, 1)))
+    // missing start / future timestamp / snapshot-option mixes all fail loudly
+    assert(intercept[Exception](feed()).getMessage.contains("startingVersion"))
+    assert(intercept[Exception](feed(
+      "startingTimestamp" -> "2999-01-01 00:00:00"))
+      .getMessage.contains("after the last commit"))
+    assert(intercept[Exception](feed("startingVersion" -> "0",
+      "versionAsOf" -> "1")).getMessage.contains("cannot combine"))
+    assert(intercept[Exception](feed("startingVersion" -> "0",
+      "endingVersion" -> "99")).getMessage.contains("beyond the last commit"))
+  }
 }
