@@ -666,14 +666,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * DV side is deleted-rows-sized, so the anti-join broadcasts under
     * AQE at any corpus size; with no DVs this is a plain scan plus two
     * metadata columns. */
-  private def readWithPos(dataFiles: Seq[String], dvFiles: Seq[String]): DataFrame = {
+  private def readWithPos(dataFiles: Seq[String], dvFiles: Seq[String],
+                          schemaHint: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{element_at, split}
-    val withPos = readFiles(dataFiles).select(col("*"),
+    val withPos = readFiles(dataFiles, schemaHint).select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1).as("_g_file"),
       col("_metadata.row_index").as("_g_pos"))
     if (dvFiles.isEmpty) withPos
     else {
-      val dv = readFiles(dvFiles)
+      val dv = readFiles(dvFiles, Some(VersionedTable.DvSchema))
         .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
       withPos.join(dv, Seq("_g_file", "_g_pos"), "left_anti")
     }
@@ -682,9 +683,26 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   /** Snapshot rows of the given data files through the DV overlay, with
     * the position helper columns dropped — the row set every reader and
     * every copy-on-write rewrite must see. */
-  private def readLive(dataFiles: Seq[String], dvFiles: Seq[String]): DataFrame =
-    if (dvFiles.isEmpty) readFiles(dataFiles)
-    else readWithPos(dataFiles, dvFiles).drop("_g_file", "_g_pos")
+  private def readLive(dataFiles: Seq[String], dvFiles: Seq[String],
+                       schemaHint: Option[StructType] = None): DataFrame =
+    if (dvFiles.isEmpty) readFiles(dataFiles, schemaHint)
+    else readWithPos(dataFiles, dvFiles, schemaHint).drop("_g_file", "_g_pos")
+
+  /** The PHYSICAL read schema of the commit's snapshot — the logical
+    * fields under their in-file (mapped) names, all nullable. Handing
+    * this to the parquet reader replaces the `mergeSchema` planning
+    * pass, which opens EVERY file's footer on EVERY read — O(files)
+    * remote round-trips per query at 100 TB — with zero footer reads:
+    * the commit log's `schemaDdl` is authoritative (appends are
+    * schema-checked against it), and files predating an evolution
+    * simply null-fill the missing fields, exactly the semantics the
+    * mergeSchema union produced. */
+  private def physReadSchema(c: Commit): StructType = {
+    val map = physMap(c)
+    StructType(StructType.fromDDL(c.schemaDdl).map(f =>
+      org.apache.spark.sql.types.StructField(
+        map.getOrElse(f.name, f.name), f.dataType, nullable = true)))
+  }
 
   /** `df` (a physical-frame file read) projected to the snapshot's
     * LOGICAL schema: a mutation whose affected files are ALL
@@ -846,6 +864,31 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, logical(st))))
   }
 
+  /** True when the snapshot is readable as PLAIN PARQUET with the
+    * commit's logical schema — no deletion-vector overlay to anti-join,
+    * no column-mapping overlay or drop tombstones to realign. The SQL
+    * front door uses this to choose Spark's NATIVE file-scan path
+    * (vectorized + whole-stage codegen via `HadoopFsRelation`) over the
+    * featureful V1 row bridge: on the common case — a table that has
+    * only ever seen appends/overwrites/optimize/CoW mutations — the SQL
+    * door then scans at exactly the Scala API's speed. Schema-evolution
+    * commits stay plain (the parquet reader null-fills absent
+    * columns from the provided data schema). */
+  def isPlainParquetSnapshot(version: Option[Int] = None): Boolean = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val c = readCommit(v)
+    val (dvs, _) = splitDv(c.files)
+    dvs.isEmpty && c.colMap.isEmpty && c.droppedPhys.isEmpty
+  }
+
+  /** The commit's logical schema at `version` (latest by default). */
+  def schemaAt(version: Option[Int] = None): StructType = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    StructType.fromDDL(readCommit(v).schemaDdl)
+  }
+
   /** Data files of the snapshot that MAY hold rows matching
     * `predicate` per the min/max sidecar stats — the pruning decision
     * [[readWhere]] acts on, exposed for mutation pre-scans and for the
@@ -880,7 +923,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       // passing the snapshot's full DV list stays correct under pruning.
       val c = readCommit(v)
       val (dvs, _) = splitDv(c.files)
-      alignToSchema(readLive(keep, dvs), StructType.fromDDL(c.schemaDdl),
+      alignToSchema(readLive(keep, dvs, Some(physReadSchema(c))),
+        StructType.fromDDL(c.schemaDdl),
         colMap = physMap(c)).filter(predicate)
     }
   }
@@ -916,7 +960,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val (dvs, _) = splitDv(c.files)
-      alignToSchema(readLive(dataFiles, dvs), schema, colMap = physMap(c))
+      alignToSchema(readLive(dataFiles, dvs, Some(physReadSchema(c))),
+        schema, colMap = physMap(c))
     }
   }
 
@@ -1346,6 +1391,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(c.schemaDdl))
+    // plain snapshot (no DV overlay, no mapping): the NATIVE scan —
+    // ONE directory listing via GraftFileIndex instead of per-path
+    // statuses, explicit schema instead of footer merging, stats
+    // skipping wired into the index's listFiles. The common case, and
+    // the one whose planning cost must stay O(1)-ish at 100k files.
+    else if (dvs.isEmpty && c.colMap.isEmpty && c.droppedPhys.isEmpty)
+      org.apache.spark.sql.graft.GraftFileIndex.nativeRead(
+        spark, this, tablePath, Some(v))
     // ALWAYS resolve the physical file columns to the commit's logical
     // schema (readWhere/readSnapshotFiles already do): renames apply,
     // dropped columns' residual bytes are never selected, and a
@@ -1354,7 +1407,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // data file carries the field yet. On an unevolved table this is an
     // identical projection Catalyst collapses; gating it on the overlay
     // being non-empty is exactly how addColumn's field used to vanish.
-    else alignToSchema(readLive(data, dvs), StructType.fromDDL(c.schemaDdl),
+    else alignToSchema(readLive(data, dvs, Some(physReadSchema(c))),
+      StructType.fromDDL(c.schemaDdl),
       colMap = physMap(c))
   }
 
@@ -1531,16 +1585,22 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // re-count — a dead row).
     val cand = pruneByStats(data, c.schemaDdl, hit, physMap(c), c.droppedPhys)
     if (cand.isEmpty) Seq.empty
-    else alignToSchema(readWithPos(cand, dvs), StructType.fromDDL(c.schemaDdl),
+    else alignToSchema(readWithPos(cand, dvs, Some(physReadSchema(c))),
+        StructType.fromDDL(c.schemaDdl),
         keep = Seq("_g_file", "_g_pos"), colMap = physMap(c))
       .filter(hit)
       .select(col("_g_file")).distinct()
       .collect().map(_.getString(0)).toSeq
   }
 
-  private def readFiles(names: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(names.map(f => s"$tablePath/$f"): _*)
+  private def readFiles(names: Seq[String],
+                        schemaHint: Option[StructType] = None): DataFrame =
+    schemaHint match {
+      case Some(sch) => spark.read.schema(sch)
+        .parquet(names.map(f => s"$tablePath/$f"): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(names.map(f => s"$tablePath/$f"): _*)
+    }
 
   /** Serializable-style conflict check for a rewrite based on snapshot
     * `base` whose file-level read-set is `readSet` (the files it chose
@@ -1697,7 +1757,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           // through the overlay: prior MoR deletions in the affected
           // files are ABSORBED by this rewrite (their rows stay gone,
           // their DV entries go inert), and `removed` counts live rows
-          val before = alignToSchema(readLive(affected, dvs),
+          val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
             StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
           val kept = before.filter(not(hit))
           val removed = before.count() - kept.count()
@@ -1734,7 +1794,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (cand.isEmpty) None
       else {
         val hit = coalesce(condition, lit(false))
-        val marks = alignToSchema(readWithPos(cand, dvs),
+        val marks = alignToSchema(readWithPos(cand, dvs, Some(physReadSchema(c))),
             StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"),
             colMap = physMap(c))
           .filter(hit)
@@ -1784,7 +1844,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         val hit = coalesce(condition, lit(false))
         // aligned: pre-evolution candidate files must filter on, and
         // produce new images carrying, the full snapshot schema
-        val marked = alignToSchema(readWithPos(cand, dvs),
+        val marked = alignToSchema(readWithPos(cand, dvs, Some(physReadSchema(c))),
             StructType.fromDDL(c.schemaDdl), keep = Seq("_g_file", "_g_pos"),
             colMap = physMap(c))
           .filter(hit)
@@ -1876,7 +1936,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         if (affected.isEmpty) None
         else {
           val (dvs, _) = splitDv(c.files)
-          val rewritten = alignToSchema(readLive(affected, dvs),
+          val rewritten = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
             StructType.fromDDL(c.schemaDdl), colMap = physMap(c)).select(cols.map { n =>
             assignments.get(n) match {
               case Some(e) => when(hit, e).otherwise(col(n)).as(n)
@@ -1930,7 +1990,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           } else {
             // all NEW content in an upsert comes from the source rows
             checkConstraints(source, c.constraints)
-            val before = alignToSchema(readLive(affected, dvs),
+            val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
               StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
             val rewritten = Merge.upsert(before, source, keys)
             val newRows = c.rows - before.count() + rewritten.count()
@@ -2079,7 +2139,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             case Some(ins) => Some(commitAppend(ins, maxRetries = 0))
           }
         } else {
-          val before = alignToSchema(readLive(affected, dvs), schema,
+          val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))), schema,
             colMap = physMap(c))
           val matchedOut =
             if (matched.isEmpty) before.join(srcKeys, keys, "left_semi")
@@ -2162,7 +2222,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (affected.isEmpty)
         appendWithTxn(df, allowNewColumns = false, maxRetries = 0, txnApp, txnVer)
       else {
-        val before = alignToSchema(readLive(affected, dvs),
+        val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
           StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
         val kept = before.filter(not(hit))
         val replaced = before.count() - kept.count()
@@ -2386,6 +2446,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 }
 
 object VersionedTable {
+  /** Deletion-vector sidecar schema: deleted row positions by file. */
+  private[lake] val DvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+
   /** Default vacuum staged-file retention (7 days, Delta's own default):
     * files younger than this survive vacuum unless the caller opts into
     * `minAgeMs = 0` explicitly — the safe-by-default posture for

@@ -40,22 +40,50 @@ import graft.lake.{Merge, VersionedTable}
 case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
   import GraftDmlRules._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case u @ UpdateTable(LakeTarget(t), assignments, condition)
-        if u.resolved =>
-      rejectTimeTravel(t, "UPDATE")
-      GraftUpdateCommand(t.path, assignments.map(a =>
-        (assignedName(a.key), unqualified(a.value))), condition.map(unqualified))
-    case d @ DeleteFromTable(LakeTarget(t), condition) if d.resolved =>
-      rejectTimeTravel(t, "DELETE")
-      GraftDeleteCommand(t.path, unqualified(condition))
-    case m: MergeIntoTable if m.resolved && isLake(m.targetTable) =>
-      val t = LakeTarget.unapply(m.targetTable).get
-      rejectTimeTravel(t, "MERGE INTO")
-      require(!m.withSchemaEvolution,
-        "graft-lake MERGE: WITH SCHEMA EVOLUTION is not supported")
-      planMerge(t, m)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val afterDml = plan.resolveOperators {
+      case u @ UpdateTable(LakeTarget(t), assignments, condition)
+          if u.resolved =>
+        rejectTimeTravel(t, "UPDATE")
+        GraftUpdateCommand(t.path, assignments.map(a =>
+          (assignedName(a.key), unqualified(a.value))), condition.map(unqualified))
+      case d @ DeleteFromTable(LakeTarget(t), condition) if d.resolved =>
+        rejectTimeTravel(t, "DELETE")
+        GraftDeleteCommand(t.path, unqualified(condition))
+      case m: MergeIntoTable if m.resolved && isLake(m.targetTable) =>
+        val t = LakeTarget.unapply(m.targetTable).get
+        rejectTimeTravel(t, "MERGE INTO")
+        require(!m.withSchemaEvolution,
+          "graft-lake MERGE: WITH SCHEMA EVOLUTION is not supported")
+        planMerge(t, m)
+    }
+    // Native-read rewrite (DeltaAnalysis' shape): in a pure QUERY tree,
+    // a catalog read of a plain-parquet snapshot replans from the V2
+    // row bridge to a HadoopFsRelation over the snapshot's file list —
+    // vectorized parquet + whole-stage codegen + the lake's stats
+    // skipping (GraftFileIndex), the format-string door's fast path.
+    // Command trees (INSERT/CTAS/UPDATE/MERGE/DELETE) are left alone:
+    // their resolution binds to the V2 relation, and a rewritten
+    // target would unhook the write/DML paths above.
+    if (afterDml.isInstanceOf[Command]) afterDml
+    else afterDml.resolveOperators {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable
+            if t.table.isPlainParquetSnapshot(t.timeTravelVersion) =>
+          nativeRelation(r, t)
+        case _ => r
+      }
+    }
   }
+
+  private def nativeRelation(r: DataSourceV2Relation,
+                             t: GraftTable): LogicalPlan =
+    // keep the V2 node's output attribute ids — references above the
+    // relation must keep resolving
+    org.apache.spark.sql.execution.datasources.LogicalRelation(
+      GraftFileIndex.nativeRelation(session, t.table, t.path,
+        t.timeTravelVersion),
+      r.output, None, isStreaming = false, None)
 
   private def isLake(plan: LogicalPlan): Boolean =
     LakeTarget.unapply(plan).nonEmpty

@@ -1,0 +1,131 @@
+package org.apache.spark.sql.graft
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.VersionedTable
+
+/** The versioned snapshot as a Spark [[FileIndex]] — the NATIVE-scan
+  * fast path of the SQL front door, Delta's own architecture
+  * (`TahoeLogFileIndex` under a `HadoopFsRelation`):
+  *
+  * the commit log decides WHICH files exist (never a directory
+  * listing's opinion), this index hands exactly those to Spark's file
+  * source, and the scan that runs is the ordinary vectorized,
+  * whole-stage-codegen'd parquet read with parquet-level predicate
+  * pushdown and column pruning — byte-for-byte the plan the Scala API
+  * (`VersionedTable.read`) gets, now behind `spark.read.format` and
+  * `CREATE TABLE ... USING graft-lake`. The V1 row-bridge relation
+  * ([[GraftLakeRelation]]) measured ~1.4× slower on scan-bound
+  * aggregates purely from its InternalRow→Row→InternalRow hop; this
+  * path removes the hop on the common case (no deletion vectors, no
+  * column mapping — [[VersionedTable.isPlainParquetSnapshot]]), and the
+  * provider falls back to the featureful bridge otherwise.
+  *
+  * Data skipping stays in front: `listFiles` routes the scan's data
+  * filters through the lake's min/max sidecar stats
+  * ([[VersionedTable.candidateFiles]]), so provably-irrelevant files
+  * are dropped BEFORE Spark plans splits — at 100 TB the difference
+  * between listing a few files and listing a table. Untranslatable
+  * filter shapes skip pruning (never correctness: the scan re-applies
+  * every filter). File statuses come from ONE directory listing at
+  * index construction, not O(files) getFileStatus round-trips.
+  */
+class GraftFileIndex(spark: SparkSession, table: VersionedTable,
+                     path: String, version: Option[Int])
+    extends FileIndex {
+  private val snapshot: Seq[String] = table.snapshotDataFiles(version)
+  private val statuses: Map[String, FileStatus] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = snapshot.toSet
+    fs.listStatus(root).filter(st => names.contains(st.getPath.getName))
+      .map(st => st.getPath.getName -> st).toMap
+  }
+  // the log is the source of truth — a snapshot file missing from the
+  // directory is corruption (or an unretained vacuum), not a shrug
+  snapshot.filterNot(statuses.contains) match {
+    case Seq() => ()
+    case missing => sys.error(s"graft-lake: snapshot files missing on " +
+      s"disk at $path: ${missing.take(3).mkString(", ")}" +
+      (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(path))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = statuses.valuesIterator.map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    snapshot.map(f => s"$path/$f").toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep =
+      if (dataFilters.isEmpty) snapshot
+      else Try {
+        // resolved attrs → name references, which the stats matcher
+        // resolves against the commit schema; any shape it can't
+        // translate falls back to the full list (pruning is pure
+        // optimization — the scan re-applies every filter)
+        val pred = dataFilters.map(e => GraftColumnBridge.column(
+          e.transform { case a: AttributeReference =>
+            UnresolvedAttribute.quoted(a.name) })).reduce(_ && _)
+        table.candidateFiles(pred, version)
+      }.getOrElse(snapshot)
+    GraftLakeRelation.lastScanFiles.put(path, keep.size)
+    Seq(PartitionDirectory(InternalRow.empty,
+      keep.map(statuses(_)).toArray))
+  }
+
+  override def toString: String =
+    s"GraftFileIndex[$path${version.map(v => s"@v$v").getOrElse("")}, " +
+      s"${snapshot.size} files]"
+}
+
+object GraftFileIndex {
+  /** The plain-snapshot NATIVE relation, shared by every door that can
+    * take the fast path — `spark.read.format("graft-lake")`, the
+    * catalog read rewrite, and [[VersionedTable.read]] itself: one
+    * directory listing (this index), vectorized parquet, whole-stage
+    * codegen, stats skipping in `listFiles`. Callers must have checked
+    * [[VersionedTable.isPlainParquetSnapshot]]. */
+  def nativeRelation(spark: SparkSession, table: VersionedTable,
+                     path: String, version: Option[Int])
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val classicSpark =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = new GraftFileIndex(spark, table, path, version),
+      partitionSchema = StructType(Nil),
+      // fully NULLABLE, whatever the DDL says: pre-evolution files lack
+      // evolved columns (the reader null-fills them), and CoW rewrites
+      // legitimately store nulls there — a NOT NULL read schema makes
+      // the vectorized reader skip null tracking and return garbage
+      // (0.0) or fail the file outright. File reads were always
+      // nullable on the old mergeSchema path too.
+      dataSchema = table.schemaAt(version).asNullable,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(classicSpark)
+  }
+
+  /** [[nativeRelation]] as a DataFrame — the plain-snapshot body of
+    * [[VersionedTable.read]]. */
+  def nativeRead(spark: SparkSession, table: VersionedTable,
+                 path: String, version: Option[Int])
+      : org.apache.spark.sql.DataFrame = {
+    val classicSpark =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        nativeRelation(spark, table, path, version), isStreaming = false))
+  }
+}

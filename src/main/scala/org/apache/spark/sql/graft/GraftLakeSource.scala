@@ -107,7 +107,16 @@ class GraftLakeSourceProvider extends StreamSourceProvider
       VersionedTable(spark, path).versionAt(ms).getOrElse(sys.error(
         s"graft-lake: no version committed at or before '$raw' at $path"))
     }
-    new GraftLakeRelation(spark, path, byVersion.orElse(byTs))
+    val version = byVersion.orElse(byTs)
+    val table = VersionedTable(spark, path)
+    // NATIVE-scan fast path (the common case: no DV overlay, no column
+    // mapping): a HadoopFsRelation over the snapshot's exact file list
+    // — vectorized parquet + whole-stage codegen + parquet pushdown,
+    // with the lake's stats skipping in front (GraftFileIndex). The V1
+    // row bridge stays as the featureful fallback.
+    if (table.isPlainParquetSnapshot(version))
+      GraftFileIndex.nativeRelation(spark, table, path, version)
+    else new GraftLakeRelation(spark, path, version)
   }
 
   /** BATCH write behind the format string: `df.write.format

@@ -49,7 +49,7 @@ class GraftTable(spark: SparkSession, val path: String,
                  val timeTravelVersion: Option[Int],
                  identName: String) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
-  private[catalog] lazy val table = VersionedTable(spark, path)
+  private[graft] lazy val table = VersionedTable(spark, path)
 
   override def name(): String = identName
   override lazy val schema: StructType = table.read(timeTravelVersion).schema

@@ -277,6 +277,29 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("with extensions, catalog SELECTs of plain snapshots replan to the native file scan (DML untouched)") {
+    extSpark.sql("CREATE TABLE g.tn (id BIGINT, v DOUBLE)")
+    extSpark.sql("INSERT INTO g.tn SELECT id, id * 0.5 FROM range(1000)")
+    val q = extSpark.sql("SELECT sum(v) AS s FROM g.tn WHERE id < 100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"),
+      s"catalog read did not take the native path under extensions:\n$plan")
+    assert(q.head.getDouble(0) == (0 until 100).map(_ * 0.5).sum)
+    // time travel rides the same rewrite
+    extSpark.sql("INSERT INTO g.tn VALUES (9999, -1.0)")
+    val tt = extSpark.sql("SELECT count(*) AS n FROM g.tn VERSION AS OF 1")
+    assert(tt.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+    assert(tt.head.getLong(0) == 1000)
+    // DML on the same table still routes through the command rules
+    extSpark.sql("UPDATE g.tn SET v = 0.0 WHERE id = 9999")
+    assert(extSpark.sql("SELECT v FROM g.tn WHERE id = 9999")
+      .head.getDouble(0) == 0.0)
+    // the extension-less session keeps the V1 bridge (correct, just
+    // not replanned)
+    assert(!spark.sql("SELECT sum(v) AS s FROM g.tn WHERE id < 100")
+      .queryExecution.executedPlan.toString.contains("FileScan parquet"))
+  }
+
   test("DML refuses a time-travel target; writes refuse a snapshot") {
     // Spark's grammar already refuses time travel in DML targets (the
     // command guards are defense-in-depth behind it) — the statement
