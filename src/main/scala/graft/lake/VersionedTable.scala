@@ -877,7 +877,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def isPlainParquetSnapshot(version: Option[Int] = None): Boolean = {
     val v = version.orElse(latestVersion())
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
-    val c = readCommit(v)
+    isPlain(readCommit(v))
+  }
+
+  /** The ONE plainness predicate — `read()`'s native gate and
+    * [[isPlainParquetSnapshot]] must never diverge (a fourth
+    * plainness-breaking feature added to one site but not the other
+    * would scan a featureful snapshot natively and return wrong rows). */
+  private def isPlain(c: Commit): Boolean = {
     val (dvs, _) = splitDv(c.files)
     dvs.isEmpty && c.colMap.isEmpty && c.droppedPhys.isEmpty
   }
@@ -1396,9 +1403,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // statuses, explicit schema instead of footer merging, stats
     // skipping wired into the index's listFiles. The common case, and
     // the one whose planning cost must stay O(1)-ish at 100k files.
-    else if (dvs.isEmpty && c.colMap.isEmpty && c.droppedPhys.isEmpty)
+    else if (isPlain(c))
       org.apache.spark.sql.graft.GraftFileIndex.nativeRead(
-        spark, this, tablePath, Some(v))
+        spark, this, tablePath, v)
     // ALWAYS resolve the physical file columns to the commit's logical
     // schema (readWhere/readSnapshotFiles already do): renames apply,
     // dropped columns' residual bytes are never selected, and a
@@ -1511,7 +1518,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         // vector. The marked rows were live at the writer's base by
         // construction (the mark pass scans through the overlay; racing
         // DVs are row-disjoint), so no prior-DV subtraction is needed.
-        val dvPos = readFiles(d.add.filter(isDv))
+        val dvPos = readFiles(d.add.filter(isDv), Some(VersionedTable.DvSchema))
           .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
         val dels = aligned(readWithPos(d.dvTargets, Nil)
             .join(dvPos, Seq("_g_file", "_g_pos"), "left_semi")
@@ -1810,7 +1817,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           dvFiles.foreach(f => fs.delete(new Path(s"$tablePath/$f"), false))
           None
         } else {
-          val targets = readFiles(dvFiles).select("file").distinct()
+          val targets = readFiles(dvFiles, Some(VersionedTable.DvSchema))
+            .select("file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
           Some(commitDv(c, dvFiles, targets, -deleted, maxRetries = maxRetries))
         }
@@ -1867,7 +1875,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           val newFiles = stage(
             toPhysical(newImages, StructType.fromDDL(c.schemaDdl), physMap(c)),
             nextVersion)
-          val targets = readFiles(dvFiles).select("file").distinct()
+          val targets = readFiles(dvFiles, Some(VersionedTable.DvSchema))
+            .select("file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
           Some(commitDv(c, dvFiles, targets, 0L, action = "update-dv",
             extraFiles = newFiles, maxRetries = maxRetries))
@@ -1904,7 +1913,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       // conflicts use rebaseTarget's shared rules: a rewrite of a
       // targeted file makes our positions dangle, so it aborts there.)
       onDvOverlap = (v, racingAction, racingDvs, shared) => {
-        val ours = readFiles(dvFiles)
+        val ours = readFiles(dvFiles, Some(VersionedTable.DvSchema))
           .filter(col("file").isin(shared.toSeq: _*))
         val theirs = readFiles(racingDvs)
           .filter(col("file").isin(shared.toSeq: _*))

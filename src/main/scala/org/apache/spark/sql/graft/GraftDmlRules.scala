@@ -58,32 +58,41 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
         planMerge(t, m)
     }
     // Native-read rewrite (DeltaAnalysis' shape): in a pure QUERY tree,
-    // a catalog read of a plain-parquet snapshot replans from the V2
-    // row bridge to a HadoopFsRelation over the snapshot's file list —
-    // vectorized parquet + whole-stage codegen + the lake's stats
-    // skipping (GraftFileIndex), the format-string door's fast path.
-    // Command trees (INSERT/CTAS/UPDATE/MERGE/DELETE) are left alone:
-    // their resolution binds to the V2 relation, and a rewritten
-    // target would unhook the write/DML paths above.
+    // a lake read of a plain-parquet snapshot — through the V2 catalog
+    // OR the V1 format-string/USING bridge — replans to a
+    // HadoopFsRelation over the snapshot's pinned file list: vectorized
+    // parquet + whole-stage codegen + the lake's stats skipping
+    // (GraftFileIndex). Command trees (INSERT/CTAS/UPDATE/MERGE/DELETE)
+    // are left alone, and not only because their resolution binds to
+    // the bridge relations: a HadoopFsRelation in a WRITABLE position
+    // is insertable through Spark's generic file-source path, which
+    // bypasses (and for overwrite, deletes) the commit log — the
+    // query-tree guard is the safety boundary.
     if (afterDml.isInstanceOf[Command]) afterDml
     else afterDml.resolveOperators {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftTable
-            if t.table.isPlainParquetSnapshot(t.timeTravelVersion) =>
-          nativeRelation(r, t)
+        case t: GraftTable =>
+          GraftFileIndex.nativeRelationIfPlain(session, t.table, t.path,
+              t.timeTravelVersion)
+            .map(rel => nativeRelation(rel, r.output)).getOrElse(r)
         case _ => r
       }
+      case lr @ org.apache.spark.sql.execution.datasources.LogicalRelation(
+          g: GraftLakeRelation, _, _, _, _) =>
+        GraftFileIndex.nativeRelationIfPlain(session,
+            graft.lake.VersionedTable(session, g.path), g.path, g.version)
+          .map(rel => nativeRelation(rel, lr.output)).getOrElse(lr)
     }
   }
 
-  private def nativeRelation(r: DataSourceV2Relation,
-                             t: GraftTable): LogicalPlan =
-    // keep the V2 node's output attribute ids — references above the
-    // relation must keep resolving
+  private def nativeRelation(
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])
+      : LogicalPlan =
+    // keep the replaced node's output attribute ids — references above
+    // the relation must keep resolving
     org.apache.spark.sql.execution.datasources.LogicalRelation(
-      GraftFileIndex.nativeRelation(session, t.table, t.path,
-        t.timeTravelVersion),
-      r.output, None, isStreaming = false, None)
+      rel, output, None, isStreaming = false, None)
 
   private def isLake(plan: LogicalPlan): Boolean =
     LakeTarget.unapply(plan).nonEmpty

@@ -20,14 +20,16 @@ import graft.lake.VersionedTable
   * listing's opinion), this index hands exactly those to Spark's file
   * source, and the scan that runs is the ordinary vectorized,
   * whole-stage-codegen'd parquet read with parquet-level predicate
-  * pushdown and column pruning — byte-for-byte the plan the Scala API
-  * (`VersionedTable.read`) gets, now behind `spark.read.format` and
-  * `CREATE TABLE ... USING graft-lake`. The V1 row-bridge relation
+  * pushdown and column pruning. The V1 row-bridge relation
   * ([[GraftLakeRelation]]) measured ~1.4× slower on scan-bound
   * aggregates purely from its InternalRow→Row→InternalRow hop; this
   * path removes the hop on the common case (no deletion vectors, no
-  * column mapping — [[VersionedTable.isPlainParquetSnapshot]]), and the
-  * provider falls back to the featureful bridge otherwise.
+  * column mapping — [[VersionedTable.isPlainParquetSnapshot]]). It
+  * serves [[VersionedTable.read]] directly, and SQL-door reads through
+  * the extensions' query-tree rewrite (GraftDmlRules) — NOT through
+  * the V1 provider or the V2 catalog table, whose bridge relations
+  * must stay in place so inserts route through the commit log (see
+  * the companion's SAFETY note).
   *
   * Data skipping stays in front: `listFiles` routes the scan's data
   * filters through the lake's min/max sidecar stats
@@ -41,7 +43,15 @@ import graft.lake.VersionedTable
 class GraftFileIndex(spark: SparkSession, table: VersionedTable,
                      path: String, version: Option[Int])
     extends FileIndex {
-  private val snapshot: Seq[String] = table.snapshotDataFiles(version)
+  // PIN the snapshot version once: everything this index answers —
+  // file list, statuses, stats pruning — must come from ONE version.
+  // Re-resolving "latest" per call would let a commit landing between
+  // construction and listFiles prune against a different file list
+  // (crashing on a name the status map never saw, or silently dropping
+  // an optimize's rewritten files).
+  private val pinnedVersion: Int = version.orElse(table.latestVersion())
+    .getOrElse(sys.error(s"graft-lake: no committed versions at $path"))
+  private val snapshot: Seq[String] = table.snapshotDataFiles(Some(pinnedVersion))
   private val statuses: Map[String, FileStatus] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,7 +87,7 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
         val pred = dataFilters.map(e => GraftColumnBridge.column(
           e.transform { case a: AttributeReference =>
             UnresolvedAttribute.quoted(a.name) })).reduce(_ && _)
-        table.candidateFiles(pred, version)
+        table.candidateFiles(pred, Some(pinnedVersion))
       }.getOrElse(snapshot)
     GraftLakeRelation.lastScanFiles.put(path, keep.size)
     Seq(PartitionDirectory(InternalRow.empty,
@@ -85,24 +95,45 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
   }
 
   override def toString: String =
-    s"GraftFileIndex[$path${version.map(v => s"@v$v").getOrElse("")}, " +
-      s"${snapshot.size} files]"
+    s"GraftFileIndex[$path@v$pinnedVersion, ${snapshot.size} files]"
 }
 
 object GraftFileIndex {
-  /** The plain-snapshot NATIVE relation, shared by every door that can
-    * take the fast path — `spark.read.format("graft-lake")`, the
-    * catalog read rewrite, and [[VersionedTable.read]] itself: one
-    * directory listing (this index), vectorized parquet, whole-stage
-    * codegen, stats skipping in `listFiles`. Callers must have checked
-    * [[VersionedTable.isPlainParquetSnapshot]]. */
-  def nativeRelation(spark: SparkSession, table: VersionedTable,
-                     path: String, version: Option[Int])
+  /** The plain-snapshot NATIVE relation, or None when the snapshot
+    * needs the featureful bridge. ONE atomic decision: the version is
+    * resolved HERE and pinned through the plainness check, the schema,
+    * and the index — checking "is it plain?" on latest and then
+    * building on a re-resolved latest would let a concurrent MoR
+    * delete's DV snapshot be scanned as plain parquet (deleted rows
+    * resurrected).
+    *
+    * SAFETY: a HadoopFsRelation is insertable through Spark's generic
+    * file-source path (`InsertIntoHadoopFsRelationCommand` writes —
+    * and for overwrite DELETES — the directory with no commit), so
+    * this relation must NEVER be what a writable table surface
+    * resolves to. It backs [[VersionedTable.read]] (a DataFrame) and
+    * the extensions' QUERY-TREE read rewrite only; the V1 provider and
+    * the V2 catalog keep their bridge relations, whose inserts route
+    * through the commit log or fail loudly. */
+  def nativeRelationIfPlain(spark: SparkSession, table: VersionedTable,
+                            path: String, version: Option[Int])
+      : Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
+    val v = version.orElse(table.latestVersion()).getOrElse(sys.error(
+      s"graft-lake: no committed versions at $path"))
+    if (!table.isPlainParquetSnapshot(Some(v))) None
+    else Some(nativeRelationAt(spark, table, path, v))
+  }
+
+  /** The native relation at an ALREADY-PINNED plain version —
+    * [[VersionedTable.read]]'s entry (it resolved and checked the
+    * commit itself). */
+  def nativeRelationAt(spark: SparkSession, table: VersionedTable,
+                       path: String, version: Int)
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val classicSpark =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = new GraftFileIndex(spark, table, path, version),
+      location = new GraftFileIndex(spark, table, path, Some(version)),
       partitionSchema = StructType(Nil),
       // fully NULLABLE, whatever the DDL says: pre-evolution files lack
       // evolved columns (the reader null-fills them), and CoW rewrites
@@ -110,22 +141,22 @@ object GraftFileIndex {
       // the vectorized reader skip null tracking and return garbage
       // (0.0) or fail the file outright. File reads were always
       // nullable on the old mergeSchema path too.
-      dataSchema = table.schemaAt(version).asNullable,
+      dataSchema = table.schemaAt(Some(version)).asNullable,
       bucketSpec = None,
       fileFormat =
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty)(classicSpark)
   }
 
-  /** [[nativeRelation]] as a DataFrame — the plain-snapshot body of
+  /** [[nativeRelationAt]] as a DataFrame — the plain-snapshot body of
     * [[VersionedTable.read]]. */
   def nativeRead(spark: SparkSession, table: VersionedTable,
-                 path: String, version: Option[Int])
+                 path: String, version: Int)
       : org.apache.spark.sql.DataFrame = {
     val classicSpark =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
       org.apache.spark.sql.execution.datasources.LogicalRelation(
-        nativeRelation(spark, table, path, version), isStreaming = false))
+        nativeRelationAt(spark, table, path, version), isStreaming = false))
   }
 }

@@ -38,8 +38,8 @@ import graft.lake.VersionedTable
   * 100 TB this is what turns `WHERE day = X` through a SQL view into a
   * one-file read instead of a table scan.
   */
-class GraftLakeRelation(spark: SparkSession, path: String,
-                        version: Option[Int])
+class GraftLakeRelation(spark: SparkSession, val path: String,
+                        val version: Option[Int])
     extends BaseRelation with PrunedFilteredScan {
   private val table = VersionedTable(spark, path)
 

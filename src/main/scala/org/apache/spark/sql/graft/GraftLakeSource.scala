@@ -107,16 +107,15 @@ class GraftLakeSourceProvider extends StreamSourceProvider
       VersionedTable(spark, path).versionAt(ms).getOrElse(sys.error(
         s"graft-lake: no version committed at or before '$raw' at $path"))
     }
-    val version = byVersion.orElse(byTs)
-    val table = VersionedTable(spark, path)
-    // NATIVE-scan fast path (the common case: no DV overlay, no column
-    // mapping): a HadoopFsRelation over the snapshot's exact file list
-    // — vectorized parquet + whole-stage codegen + parquet pushdown,
-    // with the lake's stats skipping in front (GraftFileIndex). The V1
-    // row bridge stays as the featureful fallback.
-    if (table.isPlainParquetSnapshot(version))
-      GraftFileIndex.nativeRelation(spark, table, path, version)
-    else new GraftLakeRelation(spark, path, version)
+    // ALWAYS the bridge relation here — never a bare HadoopFsRelation:
+    // this BaseRelation is what `CREATE TABLE ... USING graft-lake`
+    // resolves to, and a HadoopFsRelation in that position is
+    // INSERTABLE through Spark's generic file-source path (writes — and
+    // for INSERT OVERWRITE, directory deletion — with no commit). The
+    // bridge refuses inserts loudly; native-scan replanning of pure
+    // reads happens in the extensions' query-tree rewrite
+    // (GraftDmlRules) and inside VersionedTable.read itself.
+    new GraftLakeRelation(spark, path, byVersion.orElse(byTs))
   }
 
   /** BATCH write behind the format string: `df.write.format

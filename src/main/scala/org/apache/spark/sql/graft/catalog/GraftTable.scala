@@ -52,7 +52,11 @@ class GraftTable(spark: SparkSession, val path: String,
   private[graft] lazy val table = VersionedTable(spark, path)
 
   override def name(): String = identName
-  override lazy val schema: StructType = table.read(timeTravelVersion).schema
+  // schema from the commit log alone (nullable, the file-read posture)
+  // — building a read() DataFrame here would pay a directory listing
+  // and snapshot resolution per catalog lookup just to discard it
+  override lazy val schema: StructType =
+    table.schemaAt(timeTravelVersion).asNullable
   override def properties(): util.Map[String, String] =
     Map("location" -> path, "provider" -> "graft-lake").asJava
 

@@ -288,16 +288,22 @@ class LakeCatalogSpec extends AnyFunSuite {
     // time travel rides the same rewrite
     extSpark.sql("INSERT INTO g.tn VALUES (9999, -1.0)")
     val tt = extSpark.sql("SELECT count(*) AS n FROM g.tn VERSION AS OF 1")
-    assert(tt.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+    assert(tt.queryExecution.executedPlan.toString.contains("GraftFileIndex"))
     assert(tt.head.getLong(0) == 1000)
     // DML on the same table still routes through the command rules
     extSpark.sql("UPDATE g.tn SET v = 0.0 WHERE id = 9999")
     assert(extSpark.sql("SELECT v FROM g.tn WHERE id = 9999")
       .head.getDouble(0) == 0.0)
+    // the V1 format door also replans natively under extensions
+    val door = extSpark.read.format("graft-lake").load(s"$warehouse/tn")
+    assert(door.queryExecution.executedPlan.toString
+      .contains("GraftFileIndex"))
+    assert(door.count() == extSpark.sql("SELECT count(*) FROM g.tn")
+      .head.getLong(0))
     // the extension-less session keeps the V1 bridge (correct, just
     // not replanned)
     assert(!spark.sql("SELECT sum(v) AS s FROM g.tn WHERE id < 100")
-      .queryExecution.executedPlan.toString.contains("FileScan parquet"))
+      .queryExecution.executedPlan.toString.contains("GraftFileIndex"))
   }
 
   test("DML refuses a time-travel target; writes refuse a snapshot") {

@@ -96,43 +96,77 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
 
-  test("native-scan fast path: plain snapshots plan a vectorized file scan; DV tables fall back to the bridge; empty tables read") {
+  test("native-scan fast path: read() plans a vectorized file scan; the provider keeps the insert-proof bridge; DV tables fall back") {
     val dir = scratch("graft-sql-native") + "/t"
     val t = VersionedTable(spark, dir)
     t.commitOverwrite((1L to 100L).map(i => (i, i * 2)).toDF("id", "d")
       .repartitionByRange(4, col("id")))
-    val plain = spark.read.format("graft-lake").load(dir)
-    // the plan must be Spark's native FileScan (codegen'd, pushdown),
-    // not the V1 row bridge
-    val plan = plain.filter(col("id") <= 10).queryExecution.executedPlan.toString
+    // the Scala API read of a plain snapshot is Spark's native FileScan
+    // (codegen'd, parquet pushdown), with the lake's stats skipping
+    val plan = t.read().filter(col("id") <= 10)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("FileScan parquet") && plan.contains("PushedFilters"),
-      s"plain snapshot did not take the native scan path:\n$plan")
-    assert(plain.filter(col("id") <= 10).count() == 10)
+      s"plain snapshot read() did not take the native scan path:\n$plan")
+    assert(t.read().filter(col("id") <= 10).count() == 10)
     // pruning observable through the same hook as the bridge
     assert(GraftLakeRelation.lastScanFiles.get(dir) < t.snapshotDataFiles().size)
-    // a DV overlay forces the featureful bridge — and stays correct
+    // the PROVIDER stays on the bridge in an extension-less session —
+    // the relation behind CREATE TABLE USING must never be a bare
+    // HadoopFsRelation (it would be insertable around the commit log)
+    val viaDoor = spark.read.format("graft-lake").load(dir)
+    assert(viaDoor.queryExecution.executedPlan.toString
+      .contains("Scan GraftLakeRelation"),
+      viaDoor.queryExecution.executedPlan.toString.take(500))
+    assert(viaDoor.filter(col("id") <= 10).count() == 10)
+    // a DV overlay forces the featureful path (the anti-join overlay,
+    // never a bare GraftFileIndex scan) — and stays correct
     t.deleteMoR(col("id") % 10 === 0L)
-    val mor = spark.read.format("graft-lake").load(dir)
-    assert(!mor.queryExecution.executedPlan.toString.contains("FileScan parquet"),
+    assert(!t.read().queryExecution.executedPlan.toString
+      .contains("GraftFileIndex"),
       "DV snapshot must not take the plain-parquet path")
-    assert(mor.count() == 90)
+    assert(t.read().count() == 90)
     // a metadata-only added column stays on the fast path, null-filled
-    t.addColumn("score", org.apache.spark.sql.types.DoubleType)
-    // (the DV table is on the bridge; check the fast path's null-fill
-    // on a fresh plain table instead)
     val dir2 = scratch("graft-sql-native2") + "/t"
     val t2 = VersionedTable(spark, dir2)
     t2.commitOverwrite(Seq((1L, "x")).toDF("id", "v"))
     t2.addColumn("score", org.apache.spark.sql.types.DoubleType)
-    val withAdd = spark.read.format("graft-lake").load(dir2)
-    assert(withAdd.queryExecution.executedPlan.toString.contains("FileScan parquet"))
-    assert(withAdd.filter(col("score").isNull).count() == 1)
+    assert(t2.read().queryExecution.executedPlan.toString
+      .contains("GraftFileIndex"))
+    assert(t2.read().filter(col("score").isNull).count() == 1)
     // zero-data-file table (schema-only commit) reads empty, with schema
     val dir3 = scratch("graft-sql-native3") + "/t"
     VersionedTable(spark, dir3).commitOverwrite(
       Seq((1L, "x")).toDF("id", "v").limit(0))
     val empty = spark.read.format("graft-lake").load(dir3)
     assert(empty.count() == 0 && empty.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("USING graft-lake tables refuse file-source inserts and never serve stale snapshots") {
+    val dir = scratch("graft-sql-safety") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql(s"CREATE TABLE lake_safety USING `graft-lake` OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM lake_safety")
+        .head.getLong(0) == 2)
+      // INSERT INTO/OVERWRITE must fail LOUDLY — a silent file-source
+      // write would bypass the commit log, and the overwrite flavor
+      // would delete the table directory including the log
+      intercept[Exception] {
+        spark.sql("INSERT INTO lake_safety VALUES (3, 'c')")
+      }
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE TABLE lake_safety VALUES (9, 'z')")
+      }
+      assert(t.latestVersion().contains(0) && t.read().count() == 2,
+        "a refused insert must leave the table byte-identical")
+      // an external commit is visible to the NEXT statement — the
+      // cached relation must not pin a snapshot forever
+      t.commitAppend(Seq((3L, "c")).toDF("id", "v"))
+      assert(spark.sql("SELECT count(*) AS n FROM lake_safety")
+        .head.getLong(0) == 3,
+        "USING-table read served a stale snapshot after an external commit")
+    } finally spark.sql("DROP TABLE IF EXISTS lake_safety")
   }
 
   test("readChangeFeed: the batch CDF door equals changesBetween, inclusive start, loud edges") {
