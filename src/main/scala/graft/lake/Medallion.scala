@@ -271,8 +271,11 @@ final class Medallion(spark: SparkSession, root: String,
               case Some(_) => (gold.candidateFiles(bucketScope),
                 gold.snapshotDataFiles().size)
             }
+            // STRICT >: at crossover = 1.0 even an every-file hit
+            // stays on the scoped path, matching the "≥ 1 never
+            // falls back" contract above
             val fullRewrite = totalFiles > 0 &&
-              hitFiles.size >= totalFiles * goldRefreshCrossover
+              hitFiles.size > totalFiles * goldRefreshCrossover
             val cur = gold.latestVersion() match {
               case None                 => empty
               case Some(_) if fullRewrite => gold.read()

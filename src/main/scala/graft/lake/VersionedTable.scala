@@ -1915,7 +1915,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       onDvOverlap = (v, racingAction, racingDvs, shared) => {
         val ours = readFiles(dvFiles, Some(VersionedTable.DvSchema))
           .filter(col("file").isin(shared.toSeq: _*))
-        val theirs = readFiles(racingDvs)
+        val theirs = readFiles(racingDvs, Some(VersionedTable.DvSchema))
           .filter(col("file").isin(shared.toSeq: _*))
         val clash = ours.join(theirs, Seq("file", "pos"), "left_semi")
         if (!clash.isEmpty) sys.error(
@@ -2310,7 +2310,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       (if (missing.isEmpty) 0L else readFiles(missing).count())
     val marks =
       if (dvs.isEmpty) 0L
-      else readFiles(dvs).filter(col("file").isin(files: _*)).count()
+      else readFiles(dvs, Some(VersionedTable.DvSchema))
+        .filter(col("file").isin(files: _*)).count()
     counted - marks
   }
 

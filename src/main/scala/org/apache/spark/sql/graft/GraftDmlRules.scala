@@ -261,7 +261,8 @@ case class GraftUpdateCommand(path: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val vt = VersionedTable(session, path)
-    val schema = vt.read(None).schema
+    val schema = vt.schemaAt(None) // metadata-only; a read() plan here
+                                   // would build (and discard) the scan
     val assigns = assignments.map { case (name, value) =>
       val field = schema.find(_.name == name).getOrElse(sys.error(
         s"graft-lake UPDATE: no column '$name' in $path"))
@@ -307,7 +308,7 @@ case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       else df.withColumn(tName, col(sName))
     }
     val vt = VersionedTable(session, path)
-    val schema = vt.read(None).schema
+    val schema = vt.schemaAt(None)
     def cast(name: String, c: Column): Column = {
       val field = schema.find(_.name == name).getOrElse(sys.error(
         s"graft-lake MERGE: no column '$name' in $path"))

@@ -44,7 +44,9 @@ class GraftLakeRelation(spark: SparkSession, val path: String,
   private val table = VersionedTable(spark, path)
 
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = table.read(version).schema
+  // commit-log schema only (nullable, the file-read posture): building
+  // a read() plan here would pay a snapshot resolution per relation
+  override val schema: StructType = table.schemaAt(version).asNullable
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] =

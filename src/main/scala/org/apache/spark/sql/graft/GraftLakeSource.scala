@@ -313,11 +313,15 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
             table.commitOverwriteIdempotent(cached, appId, batchId)
             ()
           } else {
+            // bound the driver materialization BEFORE collecting —
+            // limit(cap+1) proves the overflow with cap+1 rows in
+            // memory, where a collect-then-check would OOM the driver
+            // on exactly the oversized batch the cap exists to refuse
             val keyRows = cached.select(updateKeys.map(col): _*)
-              .distinct().collect()
+              .distinct().limit(maxUpdateKeys + 1).collect()
             if (keyRows.length > maxUpdateKeys) sys.error(
               s"graft-lake sink (Update): batch $batchId updates " +
-                s"${keyRows.length} distinct key tuples, over the " +
+                s"over $maxUpdateKeys distinct key tuples, over the " +
                 s"$maxUpdateKeys cap (maxUpdateKeysPerBatch) — the scope " +
                 s"predicate would be unbounded; raise the cap or use " +
                 s"Complete mode")

@@ -93,7 +93,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
     val f = fs(dir)
-    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    // the DEFAULT namespace always exists (namespaceExists agrees) —
+    // a fresh warehouse that no CREATE has touched yet lists empty,
+    // it doesn't error SHOW TABLES
+    if (!f.exists(dir)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     f.listStatus(dir).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (st.isDirectory && isLakeTable(st.getPath.toString))
