@@ -115,7 +115,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * COMPLETE snapshot file list — applied as replace, not append.
     * `dvTargets` (delete-dv commits only) names the DATA files the
     * commit's deletion vectors mark rows in — the row-level read-set
-    * racing rewrites validate against without opening the DV parquet. */
+    * racing rewrites validate against without opening the DV parquet.
+    * `addMeta` carries each added file's byte size and row count (the
+    * Delta `add`-action `size`/`stats` fields): the metadata that lets a
+    * read plan its scan — file statuses, split sizing, `sizeInBytes` for
+    * AQE/broadcast — from the LOG alone, with zero directory listings.
+    * Records written before this field (bare-name `add` lists) parse
+    * with an empty map; their files' sizes fall back to one listing. */
   private case class DeltaRec(version: Int, action: String, add: Seq[String],
                               remove: Seq[String], schemaDdl: String,
                               rows: Long, ts: Long, full: Boolean = false,
@@ -123,7 +129,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                               dvTargets: Seq[String] = Nil,
                               constraints: Seq[(String, String)] = Nil,
                               colMap: Seq[(String, String)] = Nil,
-                              droppedPhys: Seq[String] = Nil)
+                              droppedPhys: Seq[String] = Nil,
+                              addMeta: Map[String, VersionedTable.FileMeta] = Map.empty)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -145,6 +152,38 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
   private def listJson(xs: Seq[String]): String =
     xs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+
+  // File-entry arrays carry per-file metadata as objects — the Delta
+  // add-action shape `{"path":…,"size":…,"rows":…}` — while arrays
+  // written by the pre-meta format hold bare name strings. One parser
+  // accepts both (upgrade-in-place: new code keeps reading old logs);
+  // entries are homogeneous per record by construction. Neither file
+  // names nor the fixed keys contain `]`, so the array-capture regex
+  // stays valid for both shapes.
+  private val fileEntryRe =
+    """\{"path":"((?:[^"\\]|\\.)*)","size":(-?\d+),"rows":(-?\d+)\}""".r
+  private def fileEntriesField(body: String, p: Path, k: String)
+      : (Seq[String], Map[String, VersionedTable.FileMeta]) = {
+    val inner = (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse(sys.error(s"bad log record $p: missing $k"))
+    if (inner.trim.startsWith("{")) {
+      val entries = fileEntryRe.findAllMatchIn(inner).map { m =>
+        junesc(m.group(1)) -> VersionedTable.FileMeta(
+          m.group(2).toLong, m.group(3).toLong)
+      }.toSeq
+      (entries.map(_._1), entries.filter(_._2.size >= 0).toMap)
+    } else {
+      val names = inner.split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      (names, Map.empty)
+    }
+  }
+  private def fileEntriesJson(names: Seq[String],
+                              meta: Map[String, VersionedTable.FileMeta]): String =
+    names.map { n =>
+      val m = meta.getOrElse(n, VersionedTable.FileMeta(-1L, -1L))
+      s"""{"path":"${esc(n)}","size":${m.size},"rows":${m.rows}}"""
+    }.mkString("[", ",", "]")
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   // CHECK constraints ride every commit record as a JSON object (like
@@ -205,9 +244,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       // a complete `files` list instead of add/remove — read them as a
       // full-replace delta so old persisted tables stay readable.
       val legacy = !body.contains("\"add\"")
-      val (add, remove) =
-        if (legacy) (listField(body, p, "files"), Seq.empty[String])
-        else (listField(body, p, "add"), listField(body, p, "remove"))
+      val ((add, addMeta), remove) =
+        if (legacy) (fileEntriesField(body, p, "files"), Seq.empty[String])
+        else (fileEntriesField(body, p, "add"), listField(body, p, "remove"))
       // txn probes only when the record carries a marker — readDelta is
       // the per-record hot path of every snapshot resolution
       val hasTxn = body.contains("\"txnApp\"")
@@ -225,7 +264,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         constraints = parseConstraints(body),
         colMap = parseColMap(body),
         droppedPhys = if (body.contains("\"droppedPhys\""))
-          listField(body, p, "droppedPhys") else Nil)
+          listField(body, p, "droppedPhys") else Nil,
+        addMeta = addMeta)
       lastDelta = Some(d)
       d
     }
@@ -244,9 +284,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .sorted.toSeq
   }
 
-  private def readCheckpointFiles(v: Int): Seq[String] = {
+  private def readCheckpointFiles(v: Int): (Seq[String], Map[String, VersionedTable.FileMeta]) = {
     val p = checkpointFile(v)
-    listField(readBody(p), p, "files")
+    val body = readBody(p)
+    // legacy checkpoints: bare-name files array, no fmeta — sizes
+    // unknown for the base files (readers fall back to one listing)
+    val files = listField(body, p, "files")
+    val meta =
+      if (!body.contains("\"fmeta\"")) Map.empty[String, VersionedTable.FileMeta]
+      else fileEntriesField(body, p, "fmeta")._2
+    (files, meta)
   }
 
   // ---- _last_checkpoint pointer (Delta parity) -------------------------
@@ -317,12 +364,19 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   /** Checkpoints are derived state: write-once via tmp+rename (never
     * torn), and a failure is logged, not thrown — readers just pay more
     * tail records until the next one lands. */
-  private def writeCheckpoint(c: Commit): Unit = try {
+  private def writeCheckpoint(c: Commit, meta: Map[String, VersionedTable.FileMeta]): Unit = try {
     val dst = checkpointFile(c.version)
     if (fs.exists(dst)) { writeLastCheckpointPointer(c.version); return }
+    // `files` keeps the legacy bare-name shape (older readers keep
+    // working); `fmeta` carries the per-file size/rows the snapshot
+    // resolution seeds its status map from — entries whose meta the
+    // log never recorded (pre-meta commits) are written size -1 and
+    // dropped on read, falling back to the listing for just them
     val body =
-      s"""{"version":${c.version},"files":${listJson(c.files)},""" +
-        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}}"""
+      s"""{"version":${c.version},"rows":${c.rows},"ts":${c.ts},""" +
+        s""""files":${listJson(c.files)},""" +
+        s""""fmeta":${fileEntriesJson(c.files, meta)},""" +
+        s""""schema":"${esc(c.schemaDdl)}"}"""
     val tmp = new Path(logDir, s".tmp-ckpt-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -377,56 +431,82 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 
   // ---- snapshot resolution ---------------------------------------------
 
-  /** Last resolved (version, files) — commits and ascending history walks
-    * extend it by one delta instead of re-reading from the checkpoint.
-    * Committed log records are immutable, so a cached snapshot can never
-    * go stale, even with concurrent writers on other handles. */
-  @volatile private var lastSnap: Option[(Int, Seq[String])] = None
+  /** A resolved snapshot: the complete file list plus the per-file
+    * size/row metadata the log recorded for it (entries absent for
+    * files added by pre-meta commits — their consumers fall back to
+    * one directory listing for just those names). */
+  private case class Snap(files: Seq[String],
+                          meta: Map[String, VersionedTable.FileMeta])
 
-  private def applyDeltas(baseFiles: Seq[String], from: Int, to: Int): Seq[String] = {
-    var files = baseFiles
+  /** Last resolved (version, snapshot) — commits and ascending history
+    * walks extend it by one delta instead of re-reading from the
+    * checkpoint. Committed log records are immutable, so a cached
+    * snapshot can never go stale, even with concurrent writers on other
+    * handles. */
+  @volatile private var lastSnap: Option[(Int, Snap)] = None
+
+  private def applyDeltas(base: Snap, from: Int, to: Int): Snap = {
+    var files = base.files
+    var meta = base.meta
     (from to to).foreach { i =>
       val d = readDelta(i)
-      if (d.full) files = d.add
+      if (d.full) { files = d.add; meta = d.addMeta }
       else {
         val rm = d.remove.toSet
         files = files.filterNot(rm) ++ d.add
+        meta = (if (rm.isEmpty) meta else meta -- rm) ++ d.addMeta
       }
     }
-    files
+    Snap(files, meta)
   }
 
-  /** Complete file list of snapshot `v`: nearest base (cache or
-    * checkpoint) + tail deltas — bounded by `checkpointInterval` records
-    * from a cold handle. The cache-first fast path (sequential commits,
-    * history walks) applies deltas straight off the cached snapshot and
-    * never lists the log directory; the checkpoint listing happens only
-    * on cold or long-jump resolution, where it's amortized over ≥ an
-    * interval's worth of avoided record reads. */
-  private def resolveFiles(v: Int): Seq[String] = {
+  /** Complete snapshot (file list + file meta) of version `v`: nearest
+    * base (cache or checkpoint) + tail deltas — bounded by
+    * `checkpointInterval` records from a cold handle. The cache-first
+    * fast path (sequential commits, history walks) applies deltas
+    * straight off the cached snapshot and never lists the log
+    * directory; the checkpoint listing happens only on cold or
+    * long-jump resolution, where it's amortized over ≥ an interval's
+    * worth of avoided record reads. */
+  private def resolveSnap(v: Int): Snap = {
     lastSnap match {
-      case Some((cv, cf)) if cv == v => return cf
-      case Some((cv, cf)) if cv < v && v - cv <= checkpointInterval =>
-        val files = applyDeltas(cf, cv + 1, v)
-        lastSnap = Some((v, files))
-        return files
+      case Some((cv, cs)) if cv == v => return cs
+      case Some((cv, cs)) if cv < v && v - cv <= checkpointInterval =>
+        val snap = applyDeltas(cs, cv + 1, v)
+        lastSnap = Some((v, snap))
+        return snap
       case _ => ()
     }
     val ckpt = checkpointAtOrBefore(v)
     val cached = lastSnap.filter { case (cv, _) => cv <= v }
-    val files = (cached, ckpt) match {
-      case (Some((cv, cf)), Some(ck)) if cv >= ck =>
-        if (cv == v) cf else applyDeltas(cf, cv + 1, v)
+    val snap = (cached, ckpt) match {
+      case (Some((cv, cs)), Some(ck)) if cv >= ck =>
+        if (cv == v) cs else applyDeltas(cs, cv + 1, v)
       case (_, Some(ck)) =>
-        val base = readCheckpointFiles(ck)
+        val (baseFiles, baseMeta) = readCheckpointFiles(ck)
+        val base = Snap(baseFiles, baseMeta)
         if (ck == v) base else applyDeltas(base, ck + 1, v)
-      case (Some((cv, cf)), None) =>
-        if (cv == v) cf else applyDeltas(cf, cv + 1, v)
+      case (Some((cv, cs)), None) =>
+        if (cv == v) cs else applyDeltas(cs, cv + 1, v)
       case (None, None) =>
-        applyDeltas(Seq.empty, 0, v)
+        applyDeltas(Snap(Seq.empty, Map.empty), 0, v)
     }
-    lastSnap = Some((v, files))
-    files
+    lastSnap = Some((v, snap))
+    snap
+  }
+
+  private def resolveFiles(v: Int): Seq[String] = resolveSnap(v).files
+
+  /** Per-file byte size and row count of the snapshot at `version`, as
+    * recorded in the commit log's add actions (Delta's `size`/`stats`
+    * fields): the metadata that plans a scan — file statuses, split
+    * sizing, `sizeInBytes` — with ZERO directory listings. Files added
+    * by pre-meta commits are absent from the map; rows may be -1
+    * (size known, count not) on re-reference commits. */
+  def snapshotFileMeta(version: Option[Int] = None): Map[String, VersionedTable.FileMeta] = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    resolveSnap(v).meta
   }
 
   /** (checkpoint used, tail records applied) for resolving `v` from cold
@@ -544,17 +624,33 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       }
     } else !fs.exists(dst) && fs.rename(tmp, dst)
 
-  private[lake] def writeCommit(c: Commit): Unit = {
+  private[lake] def writeCommit(c: Commit,
+                                metaHint: Map[String, VersionedTable.FileMeta] = Map.empty): Unit = {
     val dir = new Path(logDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val dst = versionFile(c.version)
     if (fs.exists(dst))
       sys.error(s"concurrent commit conflict: version ${c.version} already exists")
-    val prev = if (c.version == 0) Seq.empty[String] else resolveFiles(c.version - 1)
+    val prevSnap = if (c.version == 0) Snap(Seq.empty, Map.empty)
+                   else resolveSnap(c.version - 1)
+    val prev = prevSnap.files
     val prevSet = prev.toSet
     val curSet = c.files.toSet
     val add = c.files.filterNot(prevSet)
     val remove = prev.filterNot(curSet)
+    // Per-file meta for the add action: files this instance staged are
+    // in the memo; re-reference commits (RESTORE) pass the historical
+    // snapshot's meta as `metaHint`; anything else (another instance's
+    // orphan adopted by hand) pays one status probe — O(add), never
+    // O(table). Unknown rows (-1) stay unknown; unknown size only if
+    // even the probe failed.
+    val addMeta: Map[String, VersionedTable.FileMeta] = add.map { n =>
+      n -> stagedMeta.getOrElse(n, metaHint.getOrElse(n, {
+        val sz = try fs.getFileStatus(new Path(tablePath, n)).getLen
+                 catch { case _: Throwable => -1L }
+        VersionedTable.FileMeta(sz, -1L)
+      }))
+    }.toMap
     // txnApp/txnVer (Delta's setTransaction): written atomically WITH the
     // record, so "which batch landed" can never diverge from "what data
     // landed" — the exactly-once anchor for streaming sinks
@@ -568,10 +664,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       else s""","colmap":${constraintsJson(c.colMap)}"""
     val dropped = if (c.droppedPhys.isEmpty) ""
       else s""","droppedPhys":${listJson(c.droppedPhys)}"""
+    // record-level "rows"/"ts" BEFORE the add array: the field parsers
+    // are first-match regexes, and the add entries each carry their own
+    // "rows" key — ordering keeps the record scalar unambiguous while
+    // legacy records (rows after schema, bare-name adds) parse the same
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
-        s""""add":${listJson(add)},"remove":${listJson(remove)},""" +
-        s""""schema":"${esc(c.schemaDdl)}","rows":${c.rows},"ts":${c.ts}""" +
+        s""""rows":${c.rows},"ts":${c.ts},""" +
+        s""""add":${fileEntriesJson(add, addMeta)},"remove":${listJson(remove)},""" +
+        s""""schema":"${esc(c.schemaDdl)}"""" +
         s"""$txn$dvt$cons$cmap$dropped}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
@@ -580,8 +681,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       fs.delete(tmp, false)
       sys.error(s"concurrent commit conflict: version ${c.version} already exists")
     }
-    lastSnap = Some((c.version, c.files))
-    if (c.version > 0 && c.version % checkpointInterval == 0) writeCheckpoint(c)
+    val snapMeta = (prevSnap.meta -- remove) ++ addMeta.filter(_._2.size >= 0)
+    lastSnap = Some((c.version, Snap(c.files, snapMeta)))
+    if (c.version > 0 && c.version % checkpointInterval == 0)
+      writeCheckpoint(c, snapMeta)
   }
 
   // ---- data staging --------------------------------------------------
@@ -605,15 +708,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // keeps them conservatively. The footer pass that decides this also
     // MEMOIZES each survivor's row count, so [[stagedRowCount]] right
     // after the commit doesn't re-open the same footers
-    val parts0 = fs.listStatus(stageDir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // the staging listing already knows each part's byte length —
+    // captured here so the commit record's add action carries
+    // size+rows with ZERO extra filesystem calls (rename preserves
+    // length; the .crc sidecars and _SUCCESS are filtered out)
+    val parts0 = fs.listStatus(stageDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
     val conf = spark.sparkContext.hadoopConfiguration
     val counted = {
       import scala.collection.parallel.CollectionConverters._
-      parts0.par.map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      parts0.par.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (p, r.getRecordCount) finally r.close()
+        try (st.getPath, st.getLen, r.getRecordCount) finally r.close()
       }.seq
     }
     // the memo is consumed by stagedRowCount, but not every staging
@@ -621,11 +730,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // — cap it so orphaned entries can't accumulate on a long-lived
     // instance (it's an optimization only; a miss re-opens the footer)
     if (stagedCounts.size > 8192) stagedCounts.clear()
-    val named = counted.filter(_._2 > 0).zipWithIndex.map { case ((p, cnt), i) =>
+    if (stagedMeta.size > 8192) stagedMeta.clear()
+    val named = counted.filter(_._3 > 0).zipWithIndex.map { case ((p, len, cnt), i) =>
       val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
       if (!fs.rename(p, new Path(tablePath, name)))
         sys.error(s"failed to move staged file $p")
       stagedCounts.put(name, cnt)
+      stagedMeta.put(name, VersionedTable.FileMeta(len, cnt))
       name
     }
     fs.delete(stageDir, true)
@@ -637,6 +748,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * the first [[stagedRowCount]] that asks — a bounded memo, never a
     * correctness dependency (misses fall back to the footer). */
   private val stagedCounts = scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** (size, rows) of files this instance staged — NOT consumed (a
+    * rebase retry re-reads the same names), read by [[writeCommit]] to
+    * record the add action's file meta; a miss pays one status probe. */
+  private val stagedMeta =
+    scala.collection.concurrent.TrieMap[String, VersionedTable.FileMeta]()
 
   // ---- deletion vectors (merge-on-read deletes) ------------------------
   //
@@ -987,6 +1104,24 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def commitChangedFileCount(v: Int): Int = {
     val d = readDelta(v)
     d.add.size + d.remove.size
+  }
+
+  /** Bytes that changed hands in commit `v` — added files' recorded
+    * sizes plus removed files' sizes resolved from the prior snapshot's
+    * meta. Pure log metadata (no filesystem probes); files whose size
+    * the log never recorded (pre-meta commits) count 0, so the byte
+    * budget built on this is exact for new-format logs and a lower
+    * bound on legacy ones — admission control, never correctness. */
+  def commitChangedBytes(v: Int): Long = {
+    val d = readDelta(v)
+    val added = d.addMeta.valuesIterator.map(m => math.max(0L, m.size)).sum
+    val removed =
+      if (d.remove.isEmpty || d.full) 0L
+      else {
+        val prevMeta = resolveSnap(v - 1).meta
+        d.remove.iterator.flatMap(prevMeta.get).map(m => math.max(0L, m.size)).sum
+      }
+    added + removed
   }
 
   private def nextVersion: Int = latestVersion().map(_ + 1).getOrElse(0)
@@ -2369,10 +2504,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // droppedPhys accumulates BOTH histories so a later evolution can
     // never re-bind a physical name that lives in either file set
     val curDropped = latestVersion().map(readDelta(_).droppedPhys).getOrElse(Nil)
+    // re-referenced files carry their ORIGINAL recorded meta forward —
+    // the restored version's snapshot map has it, so the restore commit
+    // stays status-probe-free
     writeCommit(Commit(v, "restore", c.files, c.schemaDdl, c.rows,
       System.currentTimeMillis(), constraints = cons,
       colMap = c.colMap,
-      droppedPhys = (curDropped ++ c.droppedPhys).distinct))
+      droppedPhys = (curDropped ++ c.droppedPhys).distinct),
+      metaHint = resolveSnap(version).meta)
     v
   }
 
@@ -2456,6 +2595,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 }
 
 object VersionedTable {
+  /** Per-file metadata carried in the commit log's add actions (the
+    * Delta `add.size`/`add.stats` shape): byte length and row count.
+    * `size >= 0` always holds for entries surfaced by
+    * [[VersionedTable.snapshotFileMeta]]; `rows` may be -1 when only
+    * the length was recoverable (a re-reference of a file whose
+    * original meta the log never carried). */
+  case class FileMeta(size: Long, rows: Long)
+
   /** Deletion-vector sidecar schema: deleted row positions by file. */
   private[lake] val DvSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

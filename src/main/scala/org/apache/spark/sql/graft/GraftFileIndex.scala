@@ -37,8 +37,10 @@ import graft.lake.VersionedTable
   * are dropped BEFORE Spark plans splits — at 100 TB the difference
   * between listing a few files and listing a table. Untranslatable
   * filter shapes skip pruning (never correctness: the scan re-applies
-  * every filter). File statuses come from ONE directory listing at
-  * index construction, not O(files) getFileStatus round-trips.
+  * every filter). File statuses come from the COMMIT LOG's recorded
+  * per-file sizes (r17) — zero filesystem calls at index construction;
+  * a directory listing happens only for legacy pre-meta commits or
+  * under the explicit `spark.graft.lake.verifyListing` integrity mode.
   */
 class GraftFileIndex(spark: SparkSession, table: VersionedTable,
                      path: String, version: Option[Int])
@@ -52,20 +54,48 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
   private val pinnedVersion: Int = version.orElse(table.latestVersion())
     .getOrElse(sys.error(s"graft-lake: no committed versions at $path"))
   private val snapshot: Seq[String] = table.snapshotDataFiles(Some(pinnedVersion))
+  /** File statuses FROM THE LOG (r17): commit add actions record each
+    * file's byte length, so the scan plans — split sizing, relation
+    * `sizeInBytes` for AQE/broadcast — with ZERO directory listings.
+    * At 100 TB (10⁵–10⁶ files on an object store) the old per-read
+    * `fs.listStatus` of the whole table dir WAS the planning time, and
+    * pruning couldn't shrink it (a 1-file pruned read still listed
+    * everything). The listing survives only as (a) the fallback for
+    * files added by pre-meta commits (legacy logs), and (b) an
+    * explicit integrity-check mode (`spark.graft.lake.verifyListing`)
+    * that also re-asserts every snapshot file exists on disk —
+    * without it a vacuumed/corrupted file fails at scan time with the
+    * reader's own missing-file error instead of here.
+    * Synthetic statuses carry modificationTime 0 (the log doesn't
+    * track per-file mtimes; nothing on the batch read path consumes
+    * it — the `_metadata` columns ride the bridge relation, not this
+    * index). */
   private val statuses: Map[String, FileStatus] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val names = snapshot.toSet
-    fs.listStatus(root).filter(st => names.contains(st.getPath.getName))
-      .map(st => st.getPath.getName -> st).toMap
-  }
-  // the log is the source of truth — a snapshot file missing from the
-  // directory is corruption (or an unretained vacuum), not a shrug
-  snapshot.filterNot(statuses.contains) match {
-    case Seq() => ()
-    case missing => sys.error(s"graft-lake: snapshot files missing on " +
-      s"disk at $path: ${missing.take(3).mkString(", ")}" +
-      (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+    val meta = table.snapshotFileMeta(Some(pinnedVersion))
+    val verify = spark.conf.getOption("spark.graft.lake.verifyListing")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val fromLog = snapshot.flatMap(n => meta.get(n).map(m =>
+      n -> new FileStatus(m.size, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(root, n)))).toMap
+    if (!verify && fromLog.size == snapshot.size) fromLog
+    else {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = snapshot.toSet
+      val listed = fs.listStatus(root)
+        .filter(st => names.contains(st.getPath.getName))
+        .map(st => st.getPath.getName -> st).toMap
+      // the log is the source of truth — a snapshot file missing from
+      // the directory is corruption (or an unretained vacuum), not a
+      // shrug
+      snapshot.filterNot(listed.contains) match {
+        case Seq() => ()
+        case missing => sys.error(s"graft-lake: snapshot files missing on " +
+          s"disk at $path: ${missing.take(3).mkString(", ")}" +
+          (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+      }
+      listed
+    }
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))

@@ -319,8 +319,9 @@ class VersionedTableSpec extends AnyFunSuite {
     def addList(v: Int): Seq[String] = {
       val body = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(t.tablePath, "_graft_log", f"v$v%08d.json")), "UTF-8")
-      """"add"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).get.group(1)
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      val inner = """"add"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).get.group(1)
+      // r17 add entries are objects carrying file meta — take the paths
+      """"path":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(inner).map(_.group(1)).toSeq
     }
     val v1Path = java.nio.file.Paths.get(t.tablePath, "_graft_log", "v00000001.json")
     val v1Body = new String(java.nio.file.Files.readAllBytes(v1Path), "UTF-8")
