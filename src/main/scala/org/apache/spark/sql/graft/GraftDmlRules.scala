@@ -67,8 +67,21 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     // the bridge relations: a HadoopFsRelation in a WRITABLE position
     // is insertable through Spark's generic file-source path, which
     // bypasses (and for overwrite, deletes) the commit log — the
-    // query-tree guard is the safety boundary.
-    if (afterDml.isInstanceOf[Command]) afterDml
+    // query-tree guard is the safety boundary. Guarded by SHAPE as well
+    // as root type (r16 advice): an InsertIntoStatement is a
+    // ParsedStatement (not a Command) and a multi-insert root is a
+    // Union — on current Spark the built-in insert resolution converts
+    // those targets before this rule sees them, but the guard must not
+    // depend on analyzer rule ORDERING surviving a Spark upgrade. Any
+    // unresolved-write shape anywhere in the tree ⇒ no rewrite this
+    // pass (the rule re-runs to fixpoint once resolution turns the
+    // tree into a Command or a pure query).
+    val hasUnresolvedWriteShape = afterDml.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => true
+      case _ => false
+    }
+    if (afterDml.isInstanceOf[Command] || hasUnresolvedWriteShape) afterDml
     else afterDml.resolveOperators {
       case r: DataSourceV2Relation => r.table match {
         case t: GraftTable =>

@@ -66,8 +66,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Identifier → path derivation is CASE-NORMALIZED (lowercased), the
+    * Hive-metastore convention Spark SQL resolution assumes: with the
+    * default spark.sql.caseSensitive=false, `graft.T1` and `graft.t1`
+    * must be the same table — a case-preserving path derivation made
+    * SELECT throw NoSuchTableException on the case the user didn't
+    * CREATE with (r16 advice). Column names are untouched (the schema
+    * lives in the commit log). */
+  private def normalize(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
   private def defaultDir(ident: Identifier): String =
-    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    (warehouse +: ident.namespace.toSeq.map(normalize) :+
+      normalize(ident.name)).mkString("/")
   private def pointerPath(ident: Identifier): Path =
     new Path(defaultDir(ident) + ".location")
 
@@ -146,24 +156,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "BY — the lake prunes via file stats and Z-order layout instead")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val external = Option(properties.get(TableCatalog.PROP_LOCATION))
+    // Validate BEFORE registering the pointer (r16 advice): a LOCATION
+    // at a non-lake dir with an empty DDL schema used to fail AFTER the
+    // pointer landed, leaving a dangling registration whose next CREATE
+    // died on an opaque 'file exists' instead of the real cause.
     external.foreach { loc =>
-      // register the external location through the pointer file
+      if (!isLakeTable(loc))
+        require(schema.nonEmpty, s"CREATE TABLE ${fullName(ident)} needs " +
+          "a schema (or a LOCATION holding an existing graft-lake table)")
+    }
+    external.foreach { loc =>
+      // register the external location through the pointer file.
+      // overwrite = true: tableExists was false above, so any pointer
+      // already here is DANGLING (its target holds no lake) — replace
+      // it instead of dying on an opaque 'file exists'
       val ptr = pointerPath(ident)
       val f = fs(ptr)
       f.mkdirs(ptr.getParent)
-      val out = f.create(ptr, false)
+      val out = f.create(ptr, true)
       try out.write(loc.getBytes("UTF-8")) finally out.close()
     }
     val dir = tableDir(ident)
-    val vt = VersionedTable(spark, dir)
-    if (vt.latestVersion().isEmpty) {
-      // a brand-new table: commit the schema as version 0 (zero rows).
-      // Registering an EXISTING lake dir via LOCATION skips this — the
-      // log already carries its schema, which wins over the DDL's.
-      require(schema.nonEmpty, s"CREATE TABLE ${fullName(ident)} needs " +
-        "a schema (or a LOCATION holding an existing graft-lake table)")
-      vt.commitOverwrite(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    try {
+      val vt = VersionedTable(spark, dir)
+      if (vt.latestVersion().isEmpty) {
+        // a brand-new table: commit the schema as version 0 (zero rows).
+        // Registering an EXISTING lake dir via LOCATION skips this — the
+        // log already carries its schema, which wins over the DDL's.
+        require(schema.nonEmpty, s"CREATE TABLE ${fullName(ident)} needs " +
+          "a schema (or a LOCATION holding an existing graft-lake table)")
+        vt.commitOverwrite(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      }
+    } catch { case e: Throwable =>
+      // failure after registration must not leave a dangling pointer
+      if (external.nonEmpty) fs(pointerPath(ident)).delete(pointerPath(ident), false)
+      throw e
     }
     new GraftTable(spark, dir, None, fullName(ident))
   }
@@ -195,16 +223,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    // the delete's RESULT is the answer (r16 advice): a failed removal
+    // (permissions, open handles) must not report DROP TABLE success
+    // while the pointer/directory — and thus the table — still exists
     val ptr = pointerPath(ident)
     val f = fs(ptr)
-    val external = f.exists(ptr)
-    if (external) f.delete(ptr, false)
-    else {
+    if (f.exists(ptr)) {
+      val ok = f.delete(ptr, false)
+      if (!ok) sys.error(s"graft-lake: DROP TABLE ${fullName(ident)} " +
+        s"failed — could not delete the location pointer $ptr")
+      ok
+    } else {
       val dir = new Path(defaultDir(ident))
       if (!isLakeTable(dir.toString)) return false
-      f.delete(dir, true)
+      val ok = f.delete(dir, true)
+      if (!ok) sys.error(s"graft-lake: DROP TABLE ${fullName(ident)} " +
+        s"failed — could not delete the table directory $dir")
+      ok
     }
-    true
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

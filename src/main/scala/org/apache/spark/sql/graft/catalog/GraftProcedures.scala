@@ -155,7 +155,10 @@ class LakeProcedure(catalog: GraftCatalog,
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val tableArg = input.getUTF8String(0).toString
-    val parts = tableArg.split("\\.")
+    // the session's multipart-identifier grammar, not a raw dot split
+    // (r16 advice): a backquoted name segment may itself contain dots
+    val parts = SparkSession.active.sessionState.sqlParser
+      .parseMultipartIdentifier(tableArg).toArray
     val ident = Identifier.of(parts.init, parts.last)
     val spark = SparkSession.active
     val table = VersionedTable(spark, catalog.resolveTableDir(ident))

@@ -320,4 +320,38 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(extSpark.sql("SELECT count(*) AS n FROM g.t1 VERSION AS OF 0")
       .head.getLong(0) == 0)
   }
+
+  test("identifier resolution is case-insensitive (metastore parity)") {
+    spark.sql("CREATE TABLE g.CaseTbl (id BIGINT)")
+    spark.sql("INSERT INTO g.casetbl VALUES (1), (2)")
+    // every case form addresses the SAME table (Spark default:
+    // spark.sql.caseSensitive = false)
+    assert(spark.sql("SELECT count(*) AS n FROM g.CASETBL").head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM g.CaseTbl").head.getLong(0) == 2)
+    spark.sql("DROP TABLE g.cAsEtBl")
+    assert(spark.catalog.tableExists("g.CaseTbl") == false)
+  }
+
+  test("CREATE ... LOCATION at a non-lake dir without a schema fails BEFORE registering (no dangling pointer)") {
+    val bogus = java.nio.file.Files.createTempDirectory("graft-nonlake").toString
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE g.dangler USING `graft-lake` LOCATION '$bogus'")
+    }
+    // the failed CREATE left nothing behind: the SAME statement with a
+    // schema now succeeds instead of dying on 'file exists'
+    spark.sql(s"CREATE TABLE g.dangler (id BIGINT) USING `graft-lake` LOCATION '$bogus'")
+    spark.sql("INSERT INTO g.dangler VALUES (7)")
+    assert(spark.sql("SELECT id FROM g.dangler").head.getLong(0) == 7L)
+    spark.sql("DROP TABLE g.dangler")
+  }
+
+  test("CALL procedures accept backquoted dotted table names (multipart grammar)") {
+    spark.sql("CREATE TABLE g.`dot.ted` (id BIGINT)")
+    spark.sql("INSERT INTO g.`dot.ted` VALUES (1), (2), (3)")
+    // a raw split on '.' would mis-resolve `dot.ted` as ns=dot, t=ted
+    val hist = spark.sql("CALL g.system.history(table => '`dot.ted`')")
+      .select("version").collect().map(_.getInt(0)).toSeq
+    assert(hist == Seq(0, 1))
+    spark.sql("DROP TABLE g.`dot.ted`")
+  }
 }
