@@ -17,6 +17,7 @@ import graft.lake.VersionedTable
   * {{{
   *   spark.readStream.format("graft-lake")
   *     .option("maxFilesPerTrigger", 1000)      // admission control (default 1000)
+  *     .option("maxBytesPerTrigger", 256000000) // optional: byte budget per batch
   *     .option("maxCommitsPerTrigger", 10)      // optional: cap versions per batch
   *     .option("startingVersion", 7)            // optional: feed from v7, no snapshot
   *     .load(tableDir)
@@ -448,6 +449,23 @@ class GraftLakeSource(spark: SparkSession, path: String,
   /** Optional additional cap: at most this many commit VERSIONS per
     * micro-batch in the steady state. */
   private val maxCommitsPerTrigger: Option[Int] = intOpt("maxCommitsPerTrigger")
+  /** Optional byte-budget cap (Delta's `maxBytesPerTrigger`), composing
+    * with the files/commits caps — whichever budget exhausts first ends
+    * the batch. File sizes come from the commit log's recorded add-
+    * action meta (r17), so the budget is pure log metadata: exact on
+    * new-format logs; files a pre-meta commit added count 0 bytes
+    * (admission control, never correctness — the files cap still
+    * bounds those). Always admits at least one file / one commit, so
+    * an oversized single file or commit still makes progress. */
+  private val maxBytesPerTrigger: Option[Long] = opt("maxBytesPerTrigger")
+    .map { raw =>
+      val v = try raw.trim.toLong catch { case _: NumberFormatException =>
+        sys.error(s"graft-lake source: option maxBytesPerTrigger must be " +
+          s"an integer byte count, got '$raw'") }
+      if (v <= 0) sys.error(
+        s"graft-lake source: option maxBytesPerTrigger must be > 0, got $v")
+      v
+    }
 
   /** Feed start (inclusive version), resolved once at query start;
     * None = bootstrap from the current snapshot (Delta's default). */
@@ -498,13 +516,32 @@ class GraftLakeSource(spark: SparkSession, path: String,
 
   /** The snapshot file list is deterministic per version (sorted unique
     * names), so caching it is pure memoization — and a restarted source
-    * recomputes the identical list from the log. */
-  private var snapshotCache: Option[(Int, Seq[String])] = None
-  private def snapshotFiles(v: Int): Seq[String] = snapshotCache match {
-    case Some((cv, fs)) if cv == v => fs
+    * recomputes the identical list from the log. Sizes ride along
+    * (log-recorded; 0 for pre-meta files) for the byte budget. */
+  private var snapshotCache: Option[(Int, Seq[String], Seq[Long])] = None
+  private def snapshotEntry(v: Int): (Seq[String], Seq[Long]) = snapshotCache match {
+    case Some((cv, fs, sz)) if cv == v => (fs, sz)
     case _ =>
       val fs = table.snapshotDataFiles(Some(v))
-      snapshotCache = Some((v, fs)); fs
+      val meta = table.snapshotFileMeta(Some(v))
+      val sz = fs.map(f => meta.get(f).map(m => math.max(0L, m.size)).getOrElse(0L))
+      snapshotCache = Some((v, fs, sz)); (fs, sz)
+  }
+  private def snapshotFiles(v: Int): Seq[String] = snapshotEntry(v)._1
+
+  /** End index of a bootstrap chunk starting at snapshot-file `from`:
+    * admit files while BOTH budgets hold (always at least one). */
+  private def chunkEnd(v: Int, from: Long): Long = {
+    val (files, sizes) = snapshotEntry(v)
+    val byteCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var i = from.toInt
+    var nFiles = 0
+    var bytes = 0L
+    while (i < files.size && nFiles < maxFilesPerTrigger &&
+           (nFiles == 0 || bytes + sizes(i) <= byteCap)) {
+      bytes += sizes(i); nFiles += 1; i += 1
+    }
+    i.toLong
   }
 
   /** Trigger.AvailableNow's frozen end-of-run target: everything
@@ -576,16 +613,17 @@ class GraftLakeSource(spark: SparkSession, path: String,
               else Some((boundedEnd(sv - 1, head), -1L))
             case None =>
               val files = snapshotFiles(head)
-              if (!unbounded && files.size > maxFilesPerTrigger)
-                Some((head, maxFilesPerTrigger.toLong))
-              else Some((head, -1L))
+              if (unbounded) Some((head, -1L))
+              else {
+                val end = chunkEnd(head, 0L)
+                Some(if (end >= files.size) (head, -1L) else (head, end))
+              }
           }
         case Some((v, i)) if i >= 0 =>
           // mid-bootstrap: finish chunking the snapshot at v before
           // consuming commits (they are diffs against it)
           val files = snapshotFiles(v)
-          val ni = if (unbounded) files.size.toLong
-                   else math.min(i + maxFilesPerTrigger, files.size.toLong)
+          val ni = if (unbounded) files.size.toLong else chunkEnd(v, i)
           Some(if (ni >= files.size) (v, -1L) else (v, ni))
         case Some((v, _)) =>
           if (head <= v) None
@@ -597,18 +635,25 @@ class GraftLakeSource(spark: SparkSession, path: String,
 
   /** End version for a commit-phase batch starting after `from`: walk
     * forward while the cumulative changed-file count stays within
-    * `maxFilesPerTrigger` and the version count within
-    * `maxCommitsPerTrigger` — always at least one version, so an
-    * oversized single commit still makes progress (it is one
-    * transaction; splitting it would expose a non-version boundary). */
+    * `maxFilesPerTrigger`, the cumulative changed bytes within
+    * `maxBytesPerTrigger` (when set — log-recorded sizes, O(1) per
+    * version), and the version count within `maxCommitsPerTrigger` —
+    * always at least one version, so an oversized single commit still
+    * makes progress (it is one transaction; splitting it would expose
+    * a non-version boundary). */
   private def boundedEnd(from: Int, head: Int): Int = {
     val capCommits = maxCommitsPerTrigger.getOrElse(Int.MaxValue)
     var v = from + 1
-    var budget = maxFilesPerTrigger.toLong - table.commitChangedFileCount(v)
+    var fileBudget = maxFilesPerTrigger.toLong - table.commitChangedFileCount(v)
+    var byteBudget = maxBytesPerTrigger
+      .map(_ - table.commitChangedBytes(v)).getOrElse(Long.MaxValue)
     while (v < head && (v - from) < capCommits) {
       val nf = table.commitChangedFileCount(v + 1)
-      if (budget - nf < 0) return v
-      budget -= nf
+      val nb = if (maxBytesPerTrigger.isEmpty) 0L
+               else table.commitChangedBytes(v + 1)
+      if (fileBudget - nf < 0 || byteBudget - nb < 0) return v
+      fileBudget -= nf
+      byteBudget -= nb
       v += 1
     }
     v

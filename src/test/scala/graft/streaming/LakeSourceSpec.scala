@@ -408,6 +408,73 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(all == (0L to 10L), s"lost/duplicated rows: $all")
   }
 
+  test("maxBytesPerTrigger bounds a backlog by LOG-RECORDED bytes: one fat commit lands alone, thin ones group; kill/restart exact") {
+    val dir = scratch("graft-lsrc-bb") + "/t"
+    val ckpt = scratch("graft-lsrc-bb-ckpt")
+    val t = VersionedTable(spark, dir)
+    t.commitOverwrite(Seq((0L, "seed")).toDF("id", "v"))            // v0
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Int)]]()
+    val failAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def run(budget: Long) = spark.readStream.format("graft-lake")
+      .option("maxBytesPerTrigger", budget)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.select("id", "_commit_version")
+          .as[(Long, Int)].collect().sorted.toSeq
+        got.put(id, rows)
+        if (id == failAt.get()) sys.error("injected crash mid-byte-backlog")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // consume the snapshot first so the backlog below is pure
+    // commit-phase admission (budget irrelevant for this drain)
+    val q0 = run(Long.MaxValue >> 1); q0.processAllAvailable(); q0.stop()
+    assert(got.size == 1)
+
+    // backlog: 3 thin commits, ONE fat commit, 3 more thin ones
+    (1L to 3L).foreach(i => t.commitAppend(Seq((i, s"r$i")).toDF("id", "v")))
+    t.commitAppend((100L to 4099L).map(i => (i, s"fat$i")).toDF("id", "v")
+      .repartition(1))                                              // v4, fat
+    (5L to 7L).foreach(i => t.commitAppend(Seq((i, s"r$i")).toDF("id", "v")))
+
+    // budget from the LOG's own accounting: 3 thin commits fit, the
+    // fat one exceeds it on its own (and must still make progress)
+    val thinBytes = (1 to 3).map(v => t.commitChangedBytes(v)).max
+    val fatBytes = t.commitChangedBytes(4)
+    val budget = thinBytes * 3 + 2
+    assert(fatBytes > budget,
+      s"test setup: fat commit ($fatBytes B) must exceed the budget ($budget B)")
+
+    failAt.set(2L) // die on the batch after the first backlog batch
+    val q1 = run(budget)
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    failAt.set(-1L)
+    val q2 = run(budget); q2.processAllAvailable(); q2.stop()
+
+    val ids = got.keySet().toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+    assert(ids.size >= 4, s"byte budget did not split the backlog: $ids")
+    // every backlog batch respects the budget — or is a single
+    // oversized commit admitted alone for progress
+    ids.filter(_ >= 1L).foreach { id =>
+      val vs = got.get(id).map(_._2).distinct.sorted
+      val bytes = vs.map(t.commitChangedBytes).sum
+      assert(bytes <= budget || vs.size == 1,
+        s"batch $id spans versions $vs with $bytes B over the $budget B budget")
+    }
+    // the fat commit's version shares its batch with no other version
+    val fatBatch = ids.find(id => got.get(id).exists(_._2 == 4)).get
+    assert(got.get(fatBatch).map(_._2).distinct == Seq(4),
+      s"fat commit must land alone, got versions ${got.get(fatBatch).map(_._2).distinct}")
+    // exactly-once across the kill: the union is precisely the table
+    val all = ids.flatMap(id => got.get(id).map(_._1)).sorted
+    assert(all == (Seq(0L) ++ (1L to 3L) ++ (100L to 4099L) ++ (5L to 7L)).sorted,
+      "lost/duplicated rows across the byte-budgeted kill/restart")
+  }
+
   test("the initial snapshot is CHUNKED by maxFilesPerTrigger; a crash mid-bootstrap resumes at the last chunk") {
     val dir = scratch("graft-lsrc-ch") + "/t"
     val ckpt = scratch("graft-lsrc-ch-ckpt")
