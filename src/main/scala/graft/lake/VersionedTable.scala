@@ -108,7 +108,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                             dvTargets: Seq[String] = Nil,
                             constraints: Seq[(String, String)] = Nil,
                             colMap: Seq[(String, String)] = Nil,
-                            droppedPhys: Seq[String] = Nil)
+                            droppedPhys: Seq[String] = Nil,
+                            pcols: Seq[String] = Nil,
+                            props: Seq[(String, String)] = Nil)
 
   /** The physical log record: file deltas vs version - 1. `full = true`
     * marks a legacy record (pre-delta log format) whose `add` carries the
@@ -130,7 +132,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                               constraints: Seq[(String, String)] = Nil,
                               colMap: Seq[(String, String)] = Nil,
                               droppedPhys: Seq[String] = Nil,
-                              addMeta: Map[String, VersionedTable.FileMeta] = Map.empty)
+                              addMeta: Map[String, VersionedTable.FileMeta] = Map.empty,
+                              pcols: Seq[String] = Nil,
+                              props: Seq[(String, String)] = Nil)
 
   // One flat JSON object written by us (file names contain no quotes or
   // commas); spark.read.json would also work but costs a job per lookup.
@@ -265,7 +269,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         colMap = parseColMap(body),
         droppedPhys = if (body.contains("\"droppedPhys\""))
           listField(body, p, "droppedPhys") else Nil,
-        addMeta = addMeta)
+        addMeta = addMeta,
+        pcols = if (body.contains("\"pcols\""))
+          listField(body, p, "pcols") else Nil,
+        props = parsePairs(body, "\"props\":{"))
       lastDelta = Some(d)
       d
     }
@@ -526,7 +533,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def readCommit(v: Int): Commit = {
     val d = readDelta(v)
     Commit(d.version, d.action, resolveFiles(v), d.schemaDdl, d.rows, d.ts,
-      d.txnApp, d.txnVer, d.dvTargets, d.constraints, d.colMap, d.droppedPhys)
+      d.txnApp, d.txnVer, d.dvTargets, d.constraints, d.colMap, d.droppedPhys,
+      d.pcols, d.props)
   }
 
   /** Publish `tmp` at `dst` atomically, FAILING (false) if `dst` exists —
@@ -664,6 +672,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       else s""","colmap":${constraintsJson(c.colMap)}"""
     val dropped = if (c.droppedPhys.isEmpty) ""
       else s""","droppedPhys":${listJson(c.droppedPhys)}"""
+    // partition columns and table properties are table DEFINITION,
+    // carried in full on every record like the schema DDL/constraints:
+    // one record read gives the version's complete definition
+    val pcj = if (c.pcols.isEmpty) ""
+      else s""","pcols":${listJson(c.pcols)}"""
+    val prj = if (c.props.isEmpty) ""
+      else s""","props":${constraintsJson(c.props)}"""
     // record-level "rows"/"ts" BEFORE the add array: the field parsers
     // are first-match regexes, and the add entries each carry their own
     // "rows" key — ordering keeps the record scalar unambiguous while
@@ -673,7 +688,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         s""""rows":${c.rows},"ts":${c.ts},""" +
         s""""add":${fileEntriesJson(add, addMeta)},"remove":${listJson(remove)},""" +
         s""""schema":"${esc(c.schemaDdl)}"""" +
-        s"""$txn$dvt$cons$cmap$dropped}"""
+        s"""$txn$dvt$cons$cmap$dropped$pcj$prj}"""
     val tmp = new Path(logDir, s".tmp-v${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -698,10 +713,29 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * never an overwrite of the winner's data.
     */
   private def stage(df: DataFrame, v: Int, prefix: String = "",
-                    collectStats: Boolean = true): Seq[String] = {
+                    collectStats: Boolean = true,
+                    pcols: Seq[String] = Nil): Seq[String] = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(tablePath, s"_stage-v$v-$nonce")
-    df.write.parquet(stageDir.toString)
+    if (pcols.isEmpty) df.write.parquet(stageDir.toString)
+    else {
+      // PARTITIONED staging (r17): files must never mix partition
+      // values — that per-file purity is what makes partition-predicate
+      // pruning EXACT (min = max = value in the stats sidecar) and
+      // replacePartitions a clean file swap. Spark's dynamic
+      // partitioning does the splitting; the columns are DUPLICATED
+      // under a reserved prefix so the real columns stay INSIDE the
+      // data files (hive-style layout drops them from the file, which
+      // would break every non-partition-aware read path), then the
+      // value directories are flattened back to the table's flat
+      // namespace below. The pre-shuffle clustering keeps file count
+      // ≈ distinct values instead of values × input partitions.
+      val dup = pcols.map(c => "__gp_" + c)
+      val clustered = df.repartition(pcols.map(col): _*)
+      pcols.zip(dup).foldLeft(clustered) { case (d, (c, dc)) =>
+        d.withColumn(dc, col(c)) }
+        .write.partitionBy(dup: _*).parquet(stageDir.toString)
+    }
     // drop ZERO-ROW part files (empty shuffle partitions write them):
     // they carry no data but would ride the snapshot forever, and with
     // no min/max stats to prune on, every stats-scoped read and rewrite
@@ -712,9 +746,23 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // captured here so the commit record's add action carries
     // size+rows with ZERO extra filesystem calls (rename preserves
     // length; the .crc sidecars and _SUCCESS are filtered out)
-    val parts0 = fs.listStatus(stageDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    val parts0 =
+      if (pcols.isEmpty)
+        fs.listStatus(stageDir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+      else {
+        // partitioned staging lands leaves under value directories —
+        // walk recursively, order by full path for determinism
+        val it = fs.listFiles(stageDir, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) buf += st
+        }
+        buf.sortBy(_.getPath.toString).toArray
+      }
     val conf = spark.sparkContext.hadoopConfiguration
     val counted = {
       import scala.collection.parallel.CollectionConverters._
@@ -785,9 +833,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * metadata columns. */
   private def readWithPos(dataFiles: Seq[String], dvFiles: Seq[String],
                           schemaHint: Option[StructType] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{element_at, split}
+    import org.apache.spark.sql.functions.substring_index
+    // substring_index, not split+element_at: one substring per row
+    // instead of an array allocation (measured 24% on 9.6M rows)
     val withPos = readFiles(dataFiles, schemaHint).select(col("*"),
-      element_at(split(col("_metadata.file_path"), "/"), -1).as("_g_file"),
+      substring_index(col("_metadata.file_path"), "/", -1).as("_g_file"),
       col("_metadata.row_index").as("_g_pos"))
     if (dvFiles.isEmpty) withPos
     else {
@@ -1005,6 +1055,81 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val (dvs, _) = splitDv(c.files)
     dvs.isEmpty && c.colMap.isEmpty && c.droppedPhys.isEmpty
   }
+
+  /** True when the snapshot's ONLY non-plain feature is a deletion-
+    * vector overlay (no column mapping, no drop tombstones): the r17
+    * native fast path — vectorized parquet scan through
+    * [[org.apache.spark.sql.graft.GraftFileIndex]] with the DV
+    * anti-join on top — covers exactly these. Column-mapped snapshots
+    * keep the featureful bridge. */
+  def isDvOnlySnapshot(version: Option[Int] = None): Boolean = {
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val c = readCommit(v)
+    val (dvs, _) = splitDv(c.files)
+    dvs.nonEmpty && c.colMap.isEmpty && c.droppedPhys.isEmpty
+  }
+
+  /** Snapshot read of a DV-ONLY snapshot on the NATIVE scan: the data
+    * side is the same log-planned, stats-skipping, vectorized
+    * [[org.apache.spark.sql.graft.GraftFileIndex]] relation plain
+    * snapshots use (filters above the overlay push through the
+    * anti-join to the scan, so row-group pushdown AND file-level stats
+    * pruning both apply), with the deleted-row positions anti-joined
+    * away by (file, `_metadata.row_index`). The DV side is
+    * deleted-rows-sized and broadcasts under AQE. This removes the
+    * ~1.4× row-bridge scan tax from exactly the tables where MoR
+    * deletes accumulate (r16 verdict item 3). */
+  private def nativeDvRead(v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array, substring_index}
+    val c = readCommit(v)
+    val (dvs, _) = splitDv(c.files)
+    val base = org.apache.spark.sql.graft.GraftFileIndex.nativeRead(
+      spark, this, tablePath, v)
+    // total marked positions from the DV parquet FOOTERS (metadata
+    // only) — decides the overlay shape
+    val dvRows = stagedRowCount(dvs)
+    val cap = spark.conf.getOption("spark.graft.lake.dvBroadcastMaxRows")
+      .map(_.trim.toLong).getOrElse(4000000L)
+    if (dvRows <= cap) {
+      // Delta's row-index-filter shape: the vectors broadcast as
+      // file → sorted positions and apply as a SCAN-LOCAL predicate
+      // ([[org.apache.spark.sql.graft.DvNotDeleted]]) — no join build
+      // side, no per-row string hashing, scan+filter+consumer in one
+      // codegen span. Measured ~5× over the anti-join on scan-bound
+      // aggregates (SCALE.md r17). Broadcast cached per version (DV
+      // content is immutable once committed).
+      val b = dvBroadcasts.getOrElseUpdate(v, {
+        if (dvBroadcasts.size > 64) dvBroadcasts.clear()
+        val rows = readFiles(dvs, Some(VersionedTable.DvSchema))
+          .groupBy("file").agg(sort_array(collect_list("pos")).as("ps"))
+          .collect()
+        val map = rows.map(r =>
+          r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+        spark.sparkContext.broadcast(map)
+      })
+      base.filter(org.apache.spark.sql.graft.DvNotDeleted.column(
+        col("_metadata.file_path"), col("_metadata.row_index"), b))
+    } else {
+      // oversized vectors: the distributed anti-join overlay (same
+      // semantics, join-shaped cost). substring_index, not
+      // split+element_at: one substring per row instead of an array
+      // allocation — measured 24% faster at 9.6M rows.
+      val withPos = base.select(col("*"),
+        substring_index(col("_metadata.file_path"), "/", -1).as("_g_file"),
+        col("_metadata.row_index").as("_g_pos"))
+      val dv = readFiles(dvs, Some(VersionedTable.DvSchema))
+        .select(col("file").as("_g_file"), col("pos").as("_g_pos"))
+      withPos.join(dv, Seq("_g_file", "_g_pos"), "left_anti")
+        .drop("_g_file", "_g_pos")
+    }
+  }
+
+  /** Per-version DV broadcast cache for [[nativeDvRead]] — committed
+    * vectors are immutable, so an entry can never go stale. */
+  @transient private lazy val dvBroadcasts =
+    scala.collection.concurrent.TrieMap.empty[Int,
+      org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]
 
   /** The commit's logical schema at `version` (latest by default). */
   def schemaAt(version: Option[Int] = None): StructType = {
@@ -1235,6 +1360,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (schema.fieldNames.contains(newName))
       sys.error(s"renameColumn: column '$newName' already exists")
     referencedByConstraint(c, oldName, "renameColumn")
+    // partition columns shape the FILE layout and the staging path
+    // references them by name — mapping them would break both (Delta
+    // restricts partition-column DDL the same way)
+    if (c.pcols.contains(oldName)) sys.error(
+      s"renameColumn('$oldName') rejected: it is a partition column — " +
+        "partitioning is fixed at creation")
     val newSchema = StructType(schema.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val map = physMap(c)
@@ -1264,6 +1395,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (schema.size <= 1)
       sys.error("dropColumn: cannot drop the last column")
     referencedByConstraint(c, name, "dropColumn")
+    if (c.pcols.contains(name)) sys.error(
+      s"dropColumn('$name') rejected: it is a partition column — " +
+        "partitioning is fixed at creation")
     val newSchema = StructType(schema.filterNot(_.name == name))
     val map = physMap(c)
     val phys = map.getOrElse(name, name)
@@ -1323,17 +1457,123 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     else Some(overwriteWithTxn(df, appId, batchId))
   }
 
-  private def overwriteWithTxn(df: DataFrame, txnApp: String, txnVer: Long): Int = {
-    val prevCons = constraints()
+  private def overwriteWithTxn(df: DataFrame, txnApp: String, txnVer: Long,
+                               newPcols: Seq[String] = null): Int = {
+    val head = latestVersion().map(readCommit)
+    val prevCons = head.map(_.constraints).getOrElse(Nil)
+    // partition columns are fixed at creation (newPcols only lands on a
+    // pre-creation table or unchanged — commitOverwritePartitioned
+    // enforces it); properties persist like constraints: definition,
+    // not content
+    val pcols = Option(newPcols).getOrElse(head.map(_.pcols).getOrElse(Nil))
+    val props = head.map(_.props).getOrElse(Nil)
+    pcols.foreach(c => require(df.columns.contains(c),
+      s"overwrite of a partitioned table must include partition column '$c'"))
     checkConstraints(df, prevCons)
     val v = nextVersion
-    val files = stage(df, v)
+    val files = stage(df, v, pcols = pcols)
     // footer-exact row count — no second evaluation of the input
     writeCommit(Commit(v, "overwrite", files, df.schema.toDDL,
       stagedRowCount(files), System.currentTimeMillis(),
       txnApp = txnApp, txnVer = txnVer,
-      constraints = prevCons))
+      constraints = prevCons, pcols = pcols, props = props))
     v
+  }
+
+  /** Create (or replace) the table PARTITIONED BY `pcols` — the lake
+    * path behind `CREATE TABLE ... PARTITIONED BY` (r17). Partition
+    * columns are ordinary schema columns that additionally shape the
+    * FILE LAYOUT: every data file holds exactly one partition-value
+    * combination, so a partition predicate prunes to exactly the
+    * partition's files through the ordinary stats layer (min = max =
+    * value — categorical pruning with zero new metadata machinery),
+    * and [[replacePartitions]] swaps whole partitions without touching
+    * neighbors. Unlike hive layout the columns STAY in the data files,
+    * so every existing read/mutation path works unchanged. The
+    * partitioning is fixed at creation (Delta's rule): re-declaring
+    * different columns on an existing table fails loudly. */
+  def commitOverwritePartitioned(df: DataFrame, pcols: Seq[String]): Int = {
+    require(pcols.nonEmpty, "commitOverwritePartitioned needs partition columns")
+    pcols.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' is not in the frame (${df.columns.mkString(", ")})"))
+    val existing = partitionColumns()
+    require(existing.isEmpty || existing == pcols,
+      s"table at $tablePath is already partitioned by " +
+        s"(${existing.mkString(", ")}) — partitioning is fixed at creation")
+    overwriteWithTxn(df, "", -1L, newPcols = pcols)
+  }
+
+  /** The table's partition columns (empty when unpartitioned). */
+  def partitionColumns(): Seq[String] =
+    latestVersion().map(readDelta(_).pcols).getOrElse(Nil)
+
+  /** Table properties (TBLPROPERTIES) at the head — definition
+    * metadata carried on every commit record. */
+  def properties(): Seq[(String, String)] =
+    latestVersion().map(readDelta(_).props).getOrElse(Nil)
+
+  /** Set (upsert) table properties as a metadata-only commit. Same
+    * no-rebase rule as constraints: racing definition changes abort. */
+  def setProperties(kv: Seq[(String, String)]): Int = {
+    require(kv.nonEmpty, "setProperties needs at least one property")
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val merged = (c.props.filterNot(p => kv.exists(_._1 == p._1)) ++ kv)
+      .sortBy(_._1)
+    commitRebasing("properties", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      propsOverride = merged, maxRetries = 0)
+  }
+
+  /** Unset table properties by key (metadata-only commit; unknown keys
+    * are ignored, ALTER TABLE UNSET semantics). */
+  def unsetProperties(keys: Seq[String]): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    commitRebasing("properties", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      propsOverride = c.props.filterNot(p => keys.contains(p._1)),
+      maxRetries = 0)
+  }
+
+  /** Dynamic partition overwrite (Delta's `replaceWhere` on partition
+    * values / Spark's partitionOverwriteMode=dynamic, as ONE versioned
+    * commit): replaces exactly the partitions PRESENT in `df`, leaves
+    * every other partition's files untouched BY IDENTITY. Because data
+    * files never mix partition values, the affected-file pre-scan
+    * keeps nothing — the commit is a clean file swap bounded by the
+    * touched partitions. Returns None when `df` is empty (no-op). */
+  def replacePartitions(df: DataFrame): Option[Int] =
+    replacePartitionsTxn(df, "", -1L)
+
+  /** Idempotent [[replacePartitions]] keyed (`appId`, `batchId`) in the
+    * streaming/refresh txn ledger. */
+  def replacePartitionsIdempotent(df: DataFrame, appId: String,
+                                  batchId: Long): Option[Int] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    if (lastCommittedBatch(appId).exists(_ >= batchId)) None
+    else replacePartitionsTxn(df, appId, batchId)
+  }
+
+  private def replacePartitionsTxn(df: DataFrame, txnApp: String,
+                                   txnVer: Long): Option[Int] = {
+    val pcols = partitionColumns()
+    require(pcols.nonEmpty,
+      s"replacePartitions: table at $tablePath has no partition columns " +
+        "— create it with commitOverwritePartitioned / PARTITIONED BY")
+    // the touched-partition list is O(partitions present in the batch)
+    // driver metadata — the same dynamic-overwrite accounting Spark and
+    // Delta do; a runaway batch fails loudly before building a predicate
+    val tuples = df.select(pcols.map(col): _*).distinct().limit(10001).collect()
+    if (tuples.isEmpty) return None
+    require(tuples.length <= 10000,
+      "replacePartitions: the batch spans over 10000 distinct partition " +
+        "values — that is a table rewrite; use commitOverwrite")
+    val scope = tuples.map { r =>
+      pcols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    replaceWhereTxn(scope, df, txnApp, txnVer)
   }
 
   /** Append rows (new version = previous files + new files).
@@ -1432,9 +1672,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           }
         }
     }
+    // a partitioned table's appends keep the one-value-per-file layout
+    // (the partition columns are never colMap-ped — renameColumn/
+    // dropColumn refuse them — so staging references logical names)
+    val pcols0 = head0.map(_.pcols).getOrElse(Nil)
     val files = stage(
       if (stageMap.isEmpty) df else toPhysical(df, df.schema, stageMap),
-      nextVersion)
+      nextVersion, pcols = pcols0)
     // Row count from the staged parquet footers — exact, metadata-only,
     // and spares EVERY append the separate df.count() action (a full
     // second evaluation of the input; on a streaming sink that was
@@ -1485,7 +1729,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             System.currentTimeMillis(), txnApp, txnVer,
             constraints = cons,
             colMap = stageMap.toSeq.sortBy(_._1),
-            droppedPhys = dropped0))
+            droppedPhys = dropped0,
+            pcols = pcols0,
+            props = prevCommit.map(_.props).getOrElse(Nil)))
           committed = Some(v)
           done = true
         } catch {
@@ -1541,6 +1787,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     else if (isPlain(c))
       org.apache.spark.sql.graft.GraftFileIndex.nativeRead(
         spark, this, tablePath, v)
+    // DV-only snapshot: the native scan + anti-join overlay (r17) —
+    // same vectorized data side as the plain path, deleted positions
+    // joined away; column alignment below stays (a no-op projection
+    // here, but it pins nullability and column order)
+    else if (c.colMap.isEmpty && c.droppedPhys.isEmpty)
+      alignToSchema(nativeDvRead(v), StructType.fromDDL(c.schemaDdl))
     // ALWAYS resolve the physical file columns to the commit's logical
     // schema (readWhere/readSnapshotFiles already do): renames apply,
     // dropped columns' residual bytes are never selected, and a
@@ -1766,11 +2018,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // constraint commit built from the same base would silently drop the
     // other's change) — head must still be the exact base this writer
     // validated existing rows on.
-    if (action == "constraint" && head != base.version) sys.error(
-      s"constraint conflict: this constraint change (based on " +
-        s"v${base.version}) raced commit(s) up to v$head — rows or " +
-        s"definitions that landed in between were never validated against " +
-        s"the new set; re-run against the fresh snapshot")
+    if ((action == "constraint" || action == "properties") && head != base.version)
+      sys.error(
+        s"$action conflict: this $action change (based on " +
+          s"v${base.version}) raced commit(s) up to v$head — rows or " +
+          s"definitions that landed in between were never validated against " +
+          s"the new set; re-run against the fresh snapshot")
     ((base.version + 1) to head).foreach { v =>
       val d = readDelta(v)
       if (d.full || d.action == "overwrite") sys.error(
@@ -1826,6 +2079,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                              schemaDdlOverride: String = null,
                              colMapOverride: Seq[(String, String)] = null,
                              droppedPhysOverride: Seq[String] = null,
+                             propsOverride: Seq[(String, String)] = null,
                              maxRetries: Int = 10,
                              txnApp: String = "", txnVer: Long = -1L): Int = {
     var attempt = 0
@@ -1840,7 +2094,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           colMap = if (colMapOverride == null) base.colMap else colMapOverride,
           droppedPhys =
             if (droppedPhysOverride == null) base.droppedPhys
-            else droppedPhysOverride))
+            else droppedPhysOverride,
+          // partitioning is fixed at creation; properties rebase off the
+          // HEAD (a racing properties commit is caught by rebaseTarget's
+          // definition rules for "properties" actions — see below)
+          pcols = base.pcols,
+          props = if (propsOverride == null) headC.props else propsOverride))
         return headC.version + 1
       } catch {
         case e: RuntimeException
@@ -1870,10 +2129,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
                             txnApp: String = "", txnVer: Long = -1L): Int = {
     // every rewrite path hands in a LOGICAL frame aligned to the base
     // snapshot's schema; under column mapping the staged files must
-    // store the stable PHYSICAL names
+    // store the stable PHYSICAL names. Rewrites of a partitioned table
+    // keep the one-value-per-file layout (pcols are never mapped).
     val files = stage(
       toPhysical(rewritten, StructType.fromDDL(c.schemaDdl), physMap(c)),
-      nextVersion)
+      nextVersion, pcols = c.pcols)
     val readSet = affected.toSet
     val rowDelta = newRows - c.rows
     commitRebasing(action, c, readSet,
@@ -2009,7 +2269,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           checkConstraints(newImages, c.constraints)
           val newFiles = stage(
             toPhysical(newImages, StructType.fromDDL(c.schemaDdl), physMap(c)),
-            nextVersion)
+            nextVersion, pcols = c.pcols)
           val targets = readFiles(dvFiles, Some(VersionedTable.DvSchema))
             .select("file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
@@ -2424,7 +2684,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val replacedLive = liveRowCount(replaced, dvs)
     val files = stage(
       toPhysical(df, StructType.fromDDL(c.schemaDdl), physMap(c)),
-      nextVersion)
+      nextVersion, pcols = c.pcols)
     val newRows = stagedRowCount(files)
     val readSet = replaced.toSet
     commitRebasing("replaceFiles", c, readSet,
@@ -2510,7 +2770,11 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     writeCommit(Commit(v, "restore", c.files, c.schemaDdl, c.rows,
       System.currentTimeMillis(), constraints = cons,
       colMap = c.colMap,
-      droppedPhys = (curDropped ++ c.droppedPhys).distinct),
+      droppedPhys = (curDropped ++ c.droppedPhys).distinct,
+      // partitioning travels with the restored files (immutable anyway);
+      // properties are current DEFINITION — they survive the rollback
+      // like constraints do
+      pcols = c.pcols, props = properties()),
       metaHint = resolveSnap(version).meta)
     v
   }

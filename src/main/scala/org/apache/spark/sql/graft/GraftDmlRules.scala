@@ -85,17 +85,49 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     else afterDml.resolveOperators {
       case r: DataSourceV2Relation => r.table match {
         case t: GraftTable =>
-          GraftFileIndex.nativeRelationIfPlain(session, t.table, t.path,
-              t.timeTravelVersion)
-            .map(rel => nativeRelation(rel, r.output)).getOrElse(r)
+          nativeReadPlan(t.table, t.path, t.timeTravelVersion, r.output)
+            .getOrElse(r)
         case _ => r
       }
       case lr @ org.apache.spark.sql.execution.datasources.LogicalRelation(
           g: GraftLakeRelation, _, _, _, _) =>
-        GraftFileIndex.nativeRelationIfPlain(session,
-            graft.lake.VersionedTable(session, g.path), g.path, g.version)
-          .map(rel => nativeRelation(rel, lr.output)).getOrElse(lr)
+        nativeReadPlan(graft.lake.VersionedTable(session, g.path), g.path,
+            g.version, lr.output)
+          .getOrElse(lr)
     }
+  }
+
+  /** The native replan of a pure lake READ, version pinned ONCE through
+    * the feature check and the plan (the plainness-vs-build race rule —
+    * see GraftFileIndex.nativeRelationIfPlain's note):
+    *  - plain snapshot → a HadoopFsRelation over the log-planned file
+    *    index (vectorized + codegen + stats skipping);
+    *  - DV-only snapshot (r17) → the lake's native DV-overlay plan
+    *    (same vectorized data side, deleted positions anti-joined),
+    *    spliced in with the replaced node's attribute ids so
+    *    references above keep resolving;
+    *  - column-mapped snapshots → None (the featureful bridge stays).
+    */
+  private def nativeReadPlan(table: VersionedTable, path: String,
+                             version: Option[Int],
+                             output: Seq[AttributeReference])
+      : Option[LogicalPlan] = {
+    val v = version.orElse(table.latestVersion()).getOrElse(sys.error(
+      s"graft-lake: no committed versions at $path"))
+    if (table.isPlainParquetSnapshot(Some(v)))
+      Some(nativeRelation(
+        GraftFileIndex.nativeRelationAt(session, table, path, v), output))
+    else if (table.isDvOnlySnapshot(Some(v))) {
+      val plan = table.read(Some(v)).queryExecution.analyzed
+      // remap the spliced plan's fresh attribute ids onto the replaced
+      // node's — by POSITION (both sides are the commit's logical
+      // schema in order)
+      Some(org.apache.spark.sql.catalyst.plans.logical.Project(
+        plan.output.zip(output).map { case (na, oa) =>
+          org.apache.spark.sql.catalyst.expressions.Alias(na, oa.name)(
+            exprId = oa.exprId)
+        }, plan))
+    } else None
   }
 
   private def nativeRelation(

@@ -152,8 +152,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft-lake tables take no PARTITIONED " +
-      "BY — the lake prunes via file stats and Z-order layout instead")
+    // PARTITIONED BY (identity transforms only — Delta's rule): the
+    // lake keeps partition columns IN the data files and value-splits
+    // the file layout, so partition predicates prune to exactly the
+    // partition's files through the stats layer (see
+    // VersionedTable.commitOverwritePartitioned)
+    val pcols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => sys.error(s"graft-lake: unsupported PARTITIONED BY " +
+        s"transform $other — only plain column (identity) partitioning")
+    }
+    pcols.foreach(c => require(schema.fieldNames.contains(c),
+      s"PARTITIONED BY column '$c' is not in the table schema"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val external = Option(properties.get(TableCatalog.PROP_LOCATION))
     // Validate BEFORE registering the pointer (r16 advice): a LOCATION
@@ -185,9 +197,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // log already carries its schema, which wins over the DDL's.
         require(schema.nonEmpty, s"CREATE TABLE ${fullName(ident)} needs " +
           "a schema (or a LOCATION holding an existing graft-lake table)")
-        vt.commitOverwrite(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-      }
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        if (pcols.nonEmpty) vt.commitOverwritePartitioned(empty, pcols)
+        else vt.commitOverwrite(empty)
+        // user TBLPROPERTIES ride the commit log (reserved engine keys
+        // — location/provider/external/owner — are catalog-level, not
+        // table definition)
+        val userProps = properties.asScala.toSeq
+          .filterNot { case (k, _) => GraftCatalog.ReservedProps(k) }
+          .sortBy(_._1)
+        if (userProps.nonEmpty) vt.setProperties(userProps)
+      } else if (pcols.nonEmpty && vt.partitionColumns() != pcols)
+        sys.error(s"graft-lake: the lake at $dir is partitioned by " +
+          s"(${vt.partitionColumns().mkString(", ")}) — PARTITIONED BY " +
+          s"(${pcols.mkString(", ")}) does not match")
     } catch { case e: Throwable =>
       // failure after registration must not leave a dangling pointer
       if (external.nonEmpty) fs(pointerPath(ident)).delete(pointerPath(ident), false)
@@ -215,9 +239,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(c.isNullable, "graft-lake: added columns must be " +
           "nullable (existing rows null-backfill)")
         vt.addColumn(c.fieldNames.head, c.dataType)
+      case c: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedProps(c.property),
+          s"graft-lake: property '${c.property}' is engine-reserved")
+        vt.setProperties(Seq(c.property -> c.value))
+      case c: TableChange.RemoveProperty =>
+        vt.unsetProperties(Seq(c.property))
       case other => sys.error(
         s"graft-lake: unsupported ALTER TABLE change $other — supported: " +
-          "ADD COLUMN, RENAME COLUMN, DROP COLUMN")
+          "ADD COLUMN, RENAME COLUMN, DROP COLUMN, SET/UNSET TBLPROPERTIES")
     }
     new GraftTable(spark, dir, None, fullName(ident))
   }
@@ -331,4 +361,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+}
+
+object GraftCatalog {
+  /** Property keys the CATALOG owns (surfaced by GraftTable.properties
+    * itself) — they never land in the commit log's user-property map. */
+  val ReservedProps: Set[String] =
+    Set("location", "provider", "external", "owner", "path")
 }

@@ -136,7 +136,51 @@ object GraftProcedures {
       "Drop a CHECK constraint by name",
       Seq(in("table", StringType), in("name", StringType)),
       (_, t, args) => versionRow(t.dropConstraint(
-        args.getUTF8String(1).toString)))
+        args.getUTF8String(1).toString))),
+
+    ProcDef("detail",
+      "DESCRIBE DETAIL: one row of table facts — location, head " +
+        "version, file count, total bytes (log-recorded), row count, " +
+        "partition columns, constraints, and TBLPROPERTIES",
+      Seq(in("table", StringType)),
+      (_, t, _) => {
+        val v = t.latestVersion().getOrElse(
+          sys.error(s"no committed versions at ${t.tablePath}"))
+        val files = t.snapshotDataFiles(Some(v))
+        val meta = t.snapshotFileMeta(Some(v))
+        val bytes = files.flatMap(meta.get).map(_.size).sum
+        val rows = t.historyDF().filter(
+          org.apache.spark.sql.functions.col("version") === v)
+          .select("rows").head.getLong(0)
+        def kvs(xs: Seq[(String, String)]) =
+          xs.map { case (k, e) => s"$k=$e" }.mkString("; ")
+        val schema = new StructType()
+          .add("location", StringType, nullable = false)
+          .add("format", StringType, nullable = false)
+          .add("version", IntegerType, nullable = false)
+          .add("num_files", IntegerType, nullable = false)
+          .add("size_bytes", LongType, nullable = false)
+          .add("rows", LongType, nullable = false)
+          .add("partition_columns", StringType, nullable = false)
+          .add("constraints", StringType, nullable = false)
+          .add("properties", StringType, nullable = false)
+        Seq(localScan(schema, Seq(InternalRow(
+          UTF8String.fromString(t.tablePath),
+          UTF8String.fromString("graft-lake"),
+          v, files.size, bytes, rows,
+          UTF8String.fromString(t.partitionColumns().mkString(", ")),
+          UTF8String.fromString(kvs(t.constraints())),
+          UTF8String.fromString(kvs(t.properties()))))))
+      }),
+
+    ProcDef("replace_partitions",
+      "Dynamic partition overwrite from a registered view/table: " +
+        "replaces exactly the partitions present in the source, " +
+        "leaves every other partition's files untouched by identity",
+      Seq(in("table", StringType), in("source", StringType)),
+      (s, t, args) => versionRow(t.replacePartitions(
+        s.table(args.getUTF8String(1).toString))
+        .getOrElse(t.latestVersion().getOrElse(-1))))
   ).map(d => d.name -> d).toMap
 }
 

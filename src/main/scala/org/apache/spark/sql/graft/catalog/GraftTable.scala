@@ -58,7 +58,14 @@ class GraftTable(spark: SparkSession, val path: String,
   override lazy val schema: StructType =
     table.schemaAt(timeTravelVersion).asNullable
   override def properties(): util.Map[String, String] =
-    Map("location" -> path, "provider" -> "graft-lake").asJava
+    (Map("location" -> path, "provider" -> "graft-lake") ++
+      table.properties().toMap).asJava
+  // PARTITIONED BY surfaces as identity transforms (SHOW CREATE /
+  // DESCRIBE parity); Spark's write planning also reads this, which is
+  // fine — the lake's own staging enforces the value-split layout
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    table.partitionColumns().map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -306,6 +306,33 @@ class LakeCatalogSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("GraftFileIndex"))
   }
 
+  test("catalog SELECTs of DV-overlaid snapshots replan to the native scan + anti-join (r17); column-mapped keep the bridge") {
+    extSpark.sql("CREATE TABLE g.tdv (id BIGINT, v DOUBLE)")
+    extSpark.sql("INSERT INTO g.tdv SELECT id, id * 1.0 FROM range(1000)")
+    val vt = VersionedTable(extSpark, s"$warehouse/tdv")
+    vt.deleteMoR(col("id") % 10 === 0L) // DV overlay, files untouched
+    val q = extSpark.sql("SELECT count(*) AS n, sum(v) AS s FROM g.tdv WHERE id < 100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftFileIndex"),
+      s"DV catalog read must keep the native data-side scan:\n$plan")
+    assert(plan.contains("dv_not_deleted") ||
+      plan.toLowerCase.contains("leftanti"),
+      s"DV catalog read must overlay the deleted positions:\n$plan")
+    val row = q.head
+    assert(row.getLong(0) == 90 &&
+      row.getDouble(1) == (1 until 100).filter(_ % 10 != 0).map(_.toDouble).sum)
+    // time travel to the pre-DV version stays on the plain native path
+    val tt = extSpark.sql("SELECT count(*) AS n FROM g.tdv VERSION AS OF 1")
+    assert(tt.queryExecution.executedPlan.toString.contains("GraftFileIndex"))
+    assert(tt.head.getLong(0) == 1000)
+    // a column-mapped snapshot falls back to the featureful bridge
+    extSpark.sql("ALTER TABLE g.tdv RENAME COLUMN v TO val")
+    val cm = extSpark.sql("SELECT count(*) AS n FROM g.tdv WHERE val >= 0")
+    assert(!cm.queryExecution.executedPlan.toString.contains("GraftFileIndex"),
+      "column-mapped snapshot must keep the bridge")
+    assert(cm.head.getLong(0) == 900)
+  }
+
   test("DML refuses a time-travel target; writes refuse a snapshot") {
     // Spark's grammar already refuses time travel in DML targets (the
     // command guards are defense-in-depth behind it) — the statement
@@ -343,6 +370,77 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO g.dangler VALUES (7)")
     assert(spark.sql("SELECT id FROM g.dangler").head.getLong(0) == 7L)
     spark.sql("DROP TABLE g.dangler")
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY: exact partition pruning through SQL; INSERT keeps the layout") {
+    spark.sql("CREATE TABLE g.pt (day STRING, k STRING, n BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO g.pt SELECT CASE WHEN id % 3 = 0 THEN 'a' " +
+      "WHEN id % 3 = 1 THEN 'b' ELSE 'c' END, CAST(id AS STRING), id " +
+      "FROM range(300)")
+    val vt = VersionedTable(spark, s"$warehouse/pt")
+    assert(vt.partitionColumns() == Seq("day"))
+    // partition predicate through plain SQL plans exactly the
+    // partition's files (observable through the pruning hook)
+    val total = vt.snapshotDataFiles().size
+    assert(spark.sql("SELECT count(*) AS n FROM g.pt WHERE day = 'b'")
+      .head.getLong(0) == 100)
+    val scanned = GraftLakeRelation.lastScanFiles.get(s"$warehouse/pt")
+    val exact = vt.snapshotDataFiles().count { f =>
+      spark.read.parquet(s"$warehouse/pt/$f")
+        .filter(col("day") === "b").limit(1).count() > 0
+    }
+    assert(scanned == exact && scanned < total,
+      s"partition predicate scanned $scanned of $total files (exact = $exact)")
+    // the V2 table surfaces the partitioning
+    assert(spark.sql("DESCRIBE TABLE EXTENDED g.pt").collect()
+      .map(_.getString(0)).exists(_.contains("Part 0")) ||
+      spark.sql("SHOW CREATE TABLE g.pt").head.getString(0)
+        .contains("PARTITIONED BY"))
+    // CALL replace_partitions: swap one partition from a view
+    import spark.implicits._
+    Seq(("b", "fresh", 1L)).toDF("day", "k", "n")
+      .createOrReplaceTempView("pt_src")
+    val cFilesBefore = vt.snapshotDataFiles().filter { f =>
+      spark.read.parquet(s"$warehouse/pt/$f")
+        .filter(col("day") === "c").limit(1).count() > 0
+    }.toSet
+    spark.sql("CALL g.system.replace_partitions('pt', 'pt_src')")
+    assert(spark.sql("SELECT count(*) AS n FROM g.pt WHERE day = 'b'")
+      .head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM g.pt WHERE day = 'c'")
+      .head.getLong(0) == 100)
+    assert(cFilesBefore.subsetOf(vt.snapshotDataFiles().toSet),
+      "untouched partition's files must survive CALL replace_partitions by identity")
+  }
+
+  test("TBLPROPERTIES round-trip: CREATE ... TBLPROPERTIES, SHOW, ALTER SET/UNSET, and CALL detail") {
+    spark.sql("CREATE TABLE g.props (id BIGINT) TBLPROPERTIES " +
+      "('owner.team' = 'data-eng', 'retention.days' = '30')")
+    def props() = spark.sql("SHOW TBLPROPERTIES g.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("owner.team").contains("data-eng"))
+    assert(props().get("retention.days").contains("30"))
+    spark.sql("ALTER TABLE g.props SET TBLPROPERTIES ('retention.days' = '7')")
+    spark.sql("ALTER TABLE g.props UNSET TBLPROPERTIES ('owner.team')")
+    assert(props().get("retention.days").contains("7"))
+    assert(!props().contains("owner.team"))
+    // properties live in the commit log, not the catalog dir — a fresh
+    // handle on the path sees them
+    assert(VersionedTable(spark, s"$warehouse/props").properties().toMap ==
+      Map("retention.days" -> "7"))
+    // DESCRIBE DETAIL surface: one row of table facts with log-recorded
+    // size
+    spark.sql("INSERT INTO g.props VALUES (1), (2), (3)")
+    val vt = VersionedTable(spark, s"$warehouse/props")
+    val d = spark.sql("CALL g.system.detail('props')").head
+    assert(d.getAs[String]("location").endsWith("/props"))
+    assert(d.getAs[Int]("version") == vt.latestVersion().get)
+    assert(d.getAs[Int]("num_files") == vt.snapshotDataFiles().size)
+    val meta = vt.snapshotFileMeta()
+    assert(d.getAs[Long]("size_bytes") ==
+      vt.snapshotDataFiles().flatMap(meta.get).map(_.size).sum)
+    assert(d.getAs[Long]("rows") == 3L)
+    assert(d.getAs[String]("properties").contains("retention.days=7"))
   }
 
   test("CALL procedures accept backquoted dotted table names (multipart grammar)") {

@@ -118,13 +118,29 @@ class LakeSqlSpec extends AnyFunSuite {
       .contains("Scan GraftLakeRelation"),
       viaDoor.queryExecution.executedPlan.toString.take(500))
     assert(viaDoor.filter(col("id") <= 10).count() == 10)
-    // a DV overlay forces the featureful path (the anti-join overlay,
-    // never a bare GraftFileIndex scan) — and stays correct
+    // a DV overlay keeps the NATIVE data-side scan (r17): the same
+    // GraftFileIndex vectorized read with the deleted positions
+    // filtered away scan-locally (broadcast row-index filter; an
+    // anti-join for oversized vectors) — never a bare plain-parquet
+    // scan that would resurrect deleted rows
     t.deleteMoR(col("id") % 10 === 0L)
-    assert(!t.read().queryExecution.executedPlan.toString
-      .contains("GraftFileIndex"),
-      "DV snapshot must not take the plain-parquet path")
+    val dvPlan = t.read().queryExecution.executedPlan.toString
+    assert(dvPlan.contains("GraftFileIndex"),
+      s"DV snapshot read must keep the native data-side scan:\n$dvPlan")
+    assert(dvPlan.contains("dv_not_deleted") ||
+      dvPlan.toLowerCase.contains("leftanti"),
+      s"DV snapshot read must overlay the deleted positions:\n$dvPlan")
     assert(t.read().count() == 90)
+    assert(t.read().filter(col("id") <= 10).count() == 9)
+    // the oversized-vector fallback is the anti-join — same rows
+    spark.conf.set("spark.graft.lake.dvBroadcastMaxRows", "1")
+    try {
+      val big = VersionedTable(spark, dir) // fresh handle: no broadcast cache
+      val joinPlan = big.read().queryExecution.executedPlan.toString
+      assert(joinPlan.toLowerCase.contains("leftanti"),
+        s"oversized vectors must fall back to the anti-join:\n$joinPlan")
+      assert(big.read().count() == 90)
+    } finally spark.conf.unset("spark.graft.lake.dvBroadcastMaxRows")
     // a metadata-only added column stays on the fast path, null-filled
     val dir2 = scratch("graft-sql-native2") + "/t"
     val t2 = VersionedTable(spark, dir2)
