@@ -213,7 +213,8 @@ object CoreQueries21 {
 
     // Update mode through the format sink (round 16): a keyed streaming
     // aggregation where each micro-batch carries only the CHANGED keys'
-    // rows, landed as a key-scoped idempotent replaceWhere — the
+    // rows, landed as an idempotent FILE-scoped swap (r17: the hit
+    // files come from a distributed key-vs-stats join, no key cap) — the
     // Medallion's bucket-refresh contract with zero user code. The
     // second batch touches only 'click' events, so the commit chain
     // shows a scoped rewrite, never a full overwrite; content equality
@@ -250,9 +251,9 @@ object CoreQueries21 {
           .filter(col("event_type") === "click"))                     // v1
         query.processAllAvailable()
       } finally query.stop()
-      if (gold.history().map(_._2) != Seq("overwrite", "replaceWhere"))
+      if (gold.history().map(_._2) != Seq("overwrite", "replaceFiles"))
         sys.error(s"q_lake_stream_update: a one-key batch must land as a " +
-          s"key-scoped replaceWhere: ${gold.history().map(_._2)}")
+          s"file-scoped swap: ${gold.history().map(_._2)}")
       gold.read().orderBy("event_type")
     },
 

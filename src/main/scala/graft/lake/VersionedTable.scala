@@ -1151,6 +1151,100 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     pruneByStats(data, c.schemaDdl, predicate, physMap(c), c.droppedPhys)
   }
 
+  /** Snapshot data files that MAY hold a row whose `keyCols` tuple
+    * appears in `keys` — the DISTRIBUTED file-scope primitive (r17)
+    * behind the streaming sink's Update mode: where a predicate built
+    * from a collected key list caps out (the r16 sink refused batches
+    * over 10k distinct keys), this joins the batch's key frame against
+    * the per-file min/max stats AS A SPARK JOIN, so the scope
+    * computation is O(files × key-columns) metadata on one side and
+    * the (arbitrarily large) key set stays distributed on the other.
+    *
+    * Conservative by construction — the result is a SUPERSET of the
+    * files containing matching tuples: files lacking stats for any
+    * key column are always hit; a column's constraint is
+    * `key ∈ [min, max]` (null keys hit files with null rows).
+    * Comparisons run engine-exact per type: integral/temporal stats
+    * compare as LONG, float/double as DOUBLE (toString round-trips),
+    * decimals in the column's own decimal type, strings as strings —
+    * the same encodings [[FileStats]] collected. */
+  def filesHitByKeys(keys: DataFrame, keyCols: Seq[String],
+                     version: Option[Int] = None): Seq[String] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{datediff, to_date, unix_micros}
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "filesHitByKeys needs key columns")
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val c = readCommit(v)
+    val (_, data) = splitDv(c.files)
+    if (data.isEmpty) return Nil
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val map = physMap(c)
+    val dead = c.droppedPhys.toSet
+    // key columns with a usable stats kind; each contributes one range
+    // constraint — a key-eligible column with no kind constrains nothing
+    val constrained = keyCols.flatMap { k =>
+      schema.find(_.name == k).flatMap(f =>
+        FileStats.statKind(f.dataType).map(_ => (k, f.dataType,
+          map.getOrElse(k, k))))
+    }
+    if (constrained.isEmpty) return data
+    val stats = readAllStats()
+    val (scoped, always) = data.partition { f =>
+      stats.get(f).exists(st => constrained.forall { case (_, _, p) =>
+        !dead(p) && st.contains(p) })
+    }
+    if (scoped.isEmpty) return always
+    val rows = scoped.map { f =>
+      val st = stats(f)
+      Row.fromSeq(f +: constrained.flatMap { case (_, _, p) =>
+        val s = st(p)
+        Seq(s.min.orNull, s.max.orNull, s.nulls)
+      })
+    }
+    val statsSchema = StructType(
+      StructField("_f", StringType, nullable = false) +:
+        constrained.zipWithIndex.flatMap { case (_, i) => Seq(
+          StructField(s"_mn_$i", StringType, nullable = true),
+          StructField(s"_mx_$i", StringType, nullable = true),
+          StructField(s"_nulls_$i", LongType, nullable = false)) })
+    val statsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, rows.size / 20000)), statsSchema)
+    // per-column: the key-side value and the stat-side casts in an
+    // ENGINE-EXACT shared comparison type
+    def sides(k: String, dt: DataType, i: Int): (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column) = dt match {
+      case TimestampType =>
+        (unix_micros(col(s"p.$k")),
+          col(s"_mn_$i").cast(LongType), col(s"_mx_$i").cast(LongType))
+      case DateType =>
+        (datediff(col(s"p.$k"), to_date(lit("1970-01-01"))),
+          col(s"_mn_$i").cast(LongType), col(s"_mx_$i").cast(LongType))
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(s"p.$k").cast(LongType),
+          col(s"_mn_$i").cast(LongType), col(s"_mx_$i").cast(LongType))
+      case FloatType | DoubleType =>
+        (col(s"p.$k").cast(DoubleType),
+          col(s"_mn_$i").cast(DoubleType), col(s"_mx_$i").cast(DoubleType))
+      case d: DecimalType =>
+        (col(s"p.$k"), col(s"_mn_$i").cast(d), col(s"_mx_$i").cast(d))
+      case _ =>
+        (col(s"p.$k"), col(s"_mn_$i"), col(s"_mx_$i"))
+    }
+    val cond = constrained.zipWithIndex.map { case ((k, dt, _), i) =>
+      val (kv, mn, mx) = sides(k, dt, i)
+      (col(s"p.$k").isNull && col(s"_nulls_$i") > 0) ||
+        (col(s"p.$k").isNotNull && mn.isNotNull && mx.isNotNull &&
+          kv >= mn && kv <= mx)
+    }.reduce(_ && _)
+    val hits = keys.as("p").join(statsDf, cond, "inner")
+      .select("_f").distinct()
+      .collect().map(_.getString(0)).toSeq
+    always ++ hits
+  }
+
   /** Snapshot read restricted by `predicate`, with stats-based file
     * pruning (Delta data skipping): files whose min/max/null stats prove
     * they hold no matching row are never handed to the scan. The

@@ -173,12 +173,10 @@ class GraftLakeSourceProvider extends StreamSourceProvider
     if (outputMode == OutputMode.Update())
       require(updateKeys.nonEmpty, "graft-lake sink in Update mode " +
         "requires .option(\"updateKeys\", \"k1,k2\"): each micro-batch " +
-        "replaces exactly its keys' rows (replaceWhere scope) — without " +
+        "replaces exactly its keys' rows (file-scoped swap) — without " +
         "declared keys there is no sound scope. Complete mode needs none.")
-    val maxUpdateKeys = opt("maxUpdateKeysPerBatch").map(_.trim.toInt)
-      .getOrElse(10000)
     new GraftLakeSink(activeSession(sqlContext), tablePath(parameters),
-      sinkAppId(parameters), outputMode, updateKeys, maxUpdateKeys)
+      sinkAppId(parameters), outputMode, updateKeys)
   }
 
   /** The sink's txn-ledger identity. Two queries writing the SAME table
@@ -270,23 +268,24 @@ class GraftLakeSourceProvider extends StreamSourceProvider
   *  - **Complete**: each batch is the full result — an idempotent
   *    OVERWRITE ([[VersionedTable.commitOverwriteIdempotent]]), the
   *    natural landing for small streaming aggregations;
-  *  - **Update**: each batch holds only the CHANGED keys' rows — an
-  *    idempotent scoped overwrite
-  *    ([[VersionedTable.replaceWhereIdempotent]]) keyed by the
-  *    declared `updateKeys`: exactly those keys' rows are replaced,
-  *    untouched keys' files are never read or rewritten (the
-  *    Medallion's bucket-refresh contract behind the format string).
-  *    The scope predicate is built from the batch's DISTINCT key
-  *    tuples (null-safe `<=>`), an O(changed keys) driver list bounded
-  *    by `maxUpdateKeysPerBatch` (default 10000) — a batch beyond it
-  *    fails loudly with the advice to use Complete, rather than
-  *    silently shipping a megabyte predicate.
+  *  - **Update**: each batch holds only the CHANGED keys' rows — landed
+  *    as an idempotent FILE-scoped swap
+  *    ([[VersionedTable.replaceFilesIdempotent]]) of exactly the files
+  *    the batch's keys can touch, computed DISTRIBUTEDLY (r17): the
+  *    batch's key frame joins the per-file min/max stats
+  *    ([[VersionedTable.filesHitByKeys]]), the hit files' surviving
+  *    rows are kept by a distributed null-safe anti-join, and the
+  *    batch's rows are unioned in — ONE read + ONE write of the hit
+  *    files, no driver-side key list, NO key-count cap (the r16 sink
+  *    refused batches over 10k distinct keys because its scope was a
+  *    collected predicate). Untouched keys' files are never read or
+  *    rewritten — the Medallion fold's contract behind the format
+  *    string.
   * Distinct queries writing the SAME table must set distinct `appId`s
   * (their batch-id sequences are independent). */
 class GraftLakeSink(spark: SparkSession, path: String, appId: String,
                     outputMode: OutputMode = OutputMode.Append(),
-                    updateKeys: Seq[String] = Nil,
-                    maxUpdateKeys: Int = 10000)
+                    updateKeys: Seq[String] = Nil)
     extends Sink {
   private val table = VersionedTable(spark, path)
 
@@ -304,35 +303,36 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
       case m if m == OutputMode.Complete() =>
         table.commitOverwriteIdempotent(batchDf, appId, batchId)
       case _ =>
-        // Update: replace exactly the batch's keys. Two passes over the
-        // batch (key collect + staged write) — cache so the upstream
-        // micro-batch plan runs once
+        // Update: swap exactly the files the batch's keys touch. The
+        // batch evaluates more than once (key-scope join + survivors +
+        // staged write) — cache so the upstream micro-batch plan runs
+        // once
         val cached = batchDf.cache()
         try {
           if (table.latestVersion().isEmpty) {
             // first-ever batch: the changed keys ARE the whole state
             table.commitOverwriteIdempotent(cached, appId, batchId)
             ()
-          } else {
-            // bound the driver materialization BEFORE collecting —
-            // limit(cap+1) proves the overflow with cap+1 rows in
-            // memory, where a collect-then-check would OOM the driver
-            // on exactly the oversized batch the cap exists to refuse
-            val keyRows = cached.select(updateKeys.map(col): _*)
-              .distinct().limit(maxUpdateKeys + 1).collect()
-            if (keyRows.length > maxUpdateKeys) sys.error(
-              s"graft-lake sink (Update): batch $batchId updates " +
-                s"over $maxUpdateKeys distinct key tuples, over the " +
-                s"$maxUpdateKeys cap (maxUpdateKeysPerBatch) — the scope " +
-                s"predicate would be unbounded; raise the cap or use " +
-                s"Complete mode")
-            if (keyRows.nonEmpty) {
-              val scope = keyRows.map { r =>
-                updateKeys.zipWithIndex
-                  .map { case (k, i) => col(k) <=> lit(r.get(i)) }
-                  .reduce(_ && _)
-              }.reduce(_ || _)
-              table.replaceWhereIdempotent(scope, cached, appId, batchId)
+          } else if (!cached.isEmpty) {
+            val keysDf = cached.select(updateKeys.map(col): _*).distinct()
+            val hit = table.filesHitByKeys(keysDf, updateKeys)
+            if (hit.isEmpty) {
+              // no existing file can hold these keys: pure insert
+              table.commitAppendIdempotent(cached, appId, batchId)
+              ()
+            } else {
+              val cur = table.readSnapshotFiles(hit)
+              val outCols = cur.columns.toSeq
+              // null-safe multi-column anti-join: SQL GROUP BY groups
+              // null keys, so an Update batch can legitimately carry
+              // them — a plain equi-join would fail to replace them
+              val survivors = cur.as("c").join(keysDf.as("p"),
+                updateKeys.map(k => col(s"c.$k") <=> col(s"p.$k"))
+                  .reduce(_ && _), "left_anti")
+                .select(outCols.map(col): _*)
+              table.replaceFilesIdempotent(hit,
+                survivors.unionByName(cached.select(outCols.map(col): _*)),
+                appId, batchId)
               ()
             }
           }

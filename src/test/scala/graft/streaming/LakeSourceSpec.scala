@@ -319,14 +319,55 @@ class LakeSourceSpec extends AnyFunSuite {
     } finally q.stop()
     val gold = VersionedTable(spark, goldDir)
     // first batch seeds (overwrite on the empty table); the incremental
-    // batch is a key-scoped replaceWhere, never a full rewrite
-    assert(gold.history().map(_._2) == Seq("overwrite", "replaceWhere"))
+    // batch is a FILE-scoped swap of exactly the hit files (r17's
+    // distributed scope), never a full rewrite
+    assert(gold.history().map(_._2) == Seq("overwrite", "replaceFiles"))
     assert(gold.read().select("k", "n", "vsum")
       .as[(String, Long, Double)].collect().sorted.toSeq ==
       Seq(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
     assert(gold.historyDF().orderBy("version")
       .select("txn_app", "txn_batch").as[(String, Long)].collect().toSeq ==
       Seq(("up", 0L), ("up", 1L)))
+  }
+
+  test("Update sink at 100k distinct keys: file-scoped, no cap, untouched files survive, replay commits nothing (r17)") {
+    import org.apache.spark.sql.graft.GraftLakeSink
+    import org.apache.spark.sql.streaming.OutputMode
+    val goldDir = scratch("graft-lsnk-big") + "/gold"
+    val gold = VersionedTable(spark, goldDir)
+    // 150k-key state, range-partitioned into 6 files so key stats are
+    // tight per file — the shape the distributed scope join prunes on
+    gold.commitOverwrite((0L until 150000L).map(k => (k, 1L, k * 1.0))
+      .toDF("k", "n", "vsum").repartitionByRange(6, col("k")))
+    val files0 = gold.snapshotDataFiles()
+    // which files hold ONLY keys >= 120000 (must survive untouched)
+    val upperFiles = files0.filter { f =>
+      spark.read.parquet(s"$goldDir/$f").agg(min("k")).head.getLong(0) >= 120000L
+    }.toSet
+    assert(upperFiles.nonEmpty, "fixture: need at least one upper-range file")
+    // the batch updates 100k DISTINCT keys — 10× the r16 cap that made
+    // the sink refuse this batch outright
+    val batch = (0L until 100000L).map(k => (k, 2L, k * 2.0))
+      .toDF("k", "n", "vsum")
+    val sink = new GraftLakeSink(spark, goldDir, "bigup",
+      OutputMode.Update(), Seq("k"))
+    sink.addBatch(0, batch)
+    // landed SCOPED (a file swap), never a full overwrite
+    assert(gold.history().map(_._2) == Seq("overwrite", "replaceFiles"),
+      s"100k-key batch must land file-scoped: ${gold.history().map(_._2)}")
+    // files the batch's key range cannot touch survive BY IDENTITY
+    assert(upperFiles.subsetOf(gold.snapshotDataFiles().toSet),
+      "untouched upper-range files must survive the Update batch")
+    // content: 100k keys updated, 50k untouched
+    assert(gold.read().count() == 150000L)
+    assert(gold.read().filter(col("n") === 2L).count() == 100000L)
+    assert(gold.read().filter(col("k") >= 100000L && col("n") === 1L)
+      .count() == 50000L)
+    // engine-shaped replay of the SAME batch id: the txn ledger makes
+    // it commit nothing
+    val vBefore = gold.latestVersion()
+    sink.addBatch(0, batch)
+    assert(gold.latestVersion() == vBefore, "replayed batch re-committed")
   }
 
   test("the sink rejects Update without updateKeys, and partitionBy, loudly") {
