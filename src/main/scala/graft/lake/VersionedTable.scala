@@ -273,6 +273,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         pcols = if (body.contains("\"pcols\""))
           listField(body, p, "pcols") else Nil,
         props = parsePairs(body, "\"props\":{"))
+      // every file meta that passes through resolution accumulates in
+      // the name-keyed index (names globally unique, content immutable
+      // — an entry can never go stale); the explicit-subset reader
+      // answers statuses from it with zero filesystem probes
+      d.addMeta.foreach { case (n, m) =>
+        if (m.size >= 0) fileMetaIndex.put(n, m) }
       lastDelta = Some(d)
       d
     }
@@ -300,8 +306,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     val meta =
       if (!body.contains("\"fmeta\"")) Map.empty[String, VersionedTable.FileMeta]
       else fileEntriesField(body, p, "fmeta")._2
+    meta.foreach { case (n, m) => if (m.size >= 0) fileMetaIndex.put(n, m) }
     (files, meta)
   }
+
+  /** Name-keyed union of every file meta this instance has seen (log
+    * records, checkpoints, own staging) — the status oracle behind
+    * [[readFiles]]' probe-free subset reads. Grows with files observed
+    * (≈80 B/entry); entries are immutable by the naming protocol. */
+  private val fileMetaIndex =
+    scala.collection.concurrent.TrieMap.empty[String, VersionedTable.FileMeta]
 
   // ---- _last_checkpoint pointer (Delta parity) -------------------------
 
@@ -785,6 +799,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         sys.error(s"failed to move staged file $p")
       stagedCounts.put(name, cnt)
       stagedMeta.put(name, VersionedTable.FileMeta(len, cnt))
+      fileMetaIndex.put(name, VersionedTable.FileMeta(len, cnt))
       name
     }
     fs.delete(stageDir, true)
@@ -959,27 +974,53 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 
   /** All stats lines across every sidecar, keyed file → column → stats.
     * O(total files ever committed) driver-side metadata — the same order
-    * as the commit records themselves. */
+    * as the commit records themselves.
+    *
+    * CACHED per head version (r17): a filtered read used to re-list and
+    * re-parse EVERY sidecar — an O(commits) planning pass per query that
+    * dwarfed the scan on a long-lived table. Sidecars are write-once
+    * (nonce names, immutable content), so per-sidecar parses cache
+    * forever; the assembled map caches against the head version and a
+    * repeat read of an unchanged table costs ZERO log-dir listings
+    * (the head probe itself is the O(1) pointer path). A racing
+    * writer's new sidecar always lands before its commit, so observing
+    * the new head version strictly implies the refresh sees it. */
   private def readAllStats(): Map[String, Map[String, FileStats.ColStats]] = {
+    val head = latestVersion().getOrElse(-1)
+    statsSnapshot match {
+      case Some((v, m)) if v == head => return m
+      case _ => ()
+    }
     val dir = new Path(logDir)
     if (!fs.exists(dir)) return Map.empty
     // Nonce-less pattern accepted too: sidecars written by the pre-nonce
     // staging format must keep contributing stats after an upgrade.
     val sidecars = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.matches("v\\d{8}(-[0-9a-f-]+)?-stats\\.jsonl")).sortBy(_.getName)
-    sidecars.toSeq.flatMap { p =>
-      val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
-      val lines = try src.getLines().toList finally src.close()
-      lines.flatMap {
-        case statLineRe(f, c, kind, mn, mx, nulls, rows) =>
-          Some((junesc(f), junesc(c), FileStats.ColStats(kind,
-            parseStatValue(mn), parseStatValue(mx), nulls.toLong, rows.toLong)))
-        case _ => None
-      }
+    val assembled = sidecars.toSeq.flatMap { p =>
+      sidecarCache.getOrElseUpdate(p.getName, {
+        val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+        val lines = try src.getLines().toList finally src.close()
+        lines.flatMap {
+          case statLineRe(f, c, kind, mn, mx, nulls, rows) =>
+            Some((junesc(f), junesc(c), FileStats.ColStats(kind,
+              parseStatValue(mn), parseStatValue(mx), nulls.toLong, rows.toLong)))
+          case _ => None
+        }
+      })
     }.groupBy(_._1).map { case (f, seq) =>
       f -> seq.map(t => t._2 -> t._3).toMap
     }
+    statsSnapshot = Some((head, assembled))
+    assembled
   }
+
+  /** Write-once sidecar parses (by name) + the assembled map pinned to
+    * the head version it was built at. */
+  private val sidecarCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String, FileStats.ColStats)]]
+  @volatile private var statsSnapshot:
+      Option[(Int, Map[String, Map[String, FileStats.ColStats]])] = None
 
   /** The user's Column resolved against the snapshot schema: analyzing a
     * dummy Filter turns the ColumnNode tree into catalyst expressions
@@ -2084,8 +2125,20 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private def readFiles(names: Seq[String],
                         schemaHint: Option[StructType] = None): DataFrame =
     schemaHint match {
-      case Some(sch) => spark.read.schema(sch)
-        .parquet(names.map(f => s"$tablePath/$f"): _*)
+      case Some(sch) =>
+        // log-answered statuses (r17): when every file's size is known
+        // from the commit log, the subset scans through an explicit
+        // FileIndex with ZERO per-file status probes —
+        // `spark.read.parquet` pays an InMemoryFileIndex round-trip per
+        // file, O(subset) planning I/O on every pruned read, mutation
+        // pre-scan, and DV overlay. Legacy pre-meta files fall back.
+        val metas = names.flatMap(n =>
+          fileMetaIndex.get(n).filter(_.size >= 0).map(n -> _))
+        if (metas.size == names.size && names.nonEmpty)
+          org.apache.spark.sql.graft.GraftFileIndex.subsetRead(
+            spark, tablePath, metas, sch)
+        else spark.read.schema(sch)
+          .parquet(names.map(f => s"$tablePath/$f"): _*)
       case None => spark.read.option("mergeSchema", "true")
         .parquet(names.map(f => s"$tablePath/$f"): _*)
     }

@@ -189,4 +189,47 @@ object GraftFileIndex {
       org.apache.spark.sql.execution.datasources.LogicalRelation(
         nativeRelationAt(spark, table, path, version), isStreaming = false))
   }
+
+  /** An EXPLICIT file subset as a DataFrame with statuses taken from
+    * the commit log's recorded meta (r17) — the internal reader under
+    * every pruned/mutation-pre-scan/DV read ([[VersionedTable]]'s
+    * `readFiles`). `spark.read.parquet(paths...)` would re-derive each
+    * file's status through an InMemoryFileIndex — O(subset) driver
+    * filesystem round-trips per read that the log already answers.
+    * Never exposed bare in a writable position (every caller wraps it
+    * in projections/joins; see the companion's SAFETY note). */
+  def subsetRead(spark: SparkSession, path: String,
+                 files: Seq[(String, graft.lake.VersionedTable.FileMeta)],
+                 schema: StructType): org.apache.spark.sql.DataFrame = {
+    val root = new Path(path)
+    val statuses = files.map { case (n, m) =>
+      new FileStatus(m.size, false, 1, 128L * 1024 * 1024, 0L, new Path(root, n))
+    }.toArray
+    val index = new FileIndex {
+      override def rootPaths: Seq[Path] = Seq(root)
+      override def partitionSchema: StructType = StructType(Nil)
+      override def sizeInBytes: Long = statuses.map(_.getLen).sum
+      override def inputFiles: Array[String] =
+        statuses.map(_.getPath.toString)
+      override def refresh(): Unit = ()
+      override def listFiles(partitionFilters: Seq[Expression],
+                             dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(InternalRow.empty, statuses))
+      override def toString: String =
+        s"GraftSubsetIndex[$path, ${statuses.length} files]"
+    }
+    val classicSpark =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema.asNullable,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(classicSpark)
+    org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        rel, isStreaming = false))
+  }
 }

@@ -85,6 +85,25 @@ class LogPlannedScanSpec extends AnyFunSuite {
       CountingLocalFs.listed.isEmpty)
   }
 
+  test("repeat filtered reads on an unchanged table re-list NOTHING (stats sidecar cache)") {
+    val path = countingPath()
+    val t = VersionedTable(spark, path, checkpointInterval = 2)
+    t.commitOverwrite((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.commitAppend((101L to 200L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.commitAppend((201L to 300L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    val cold = VersionedTable(spark, path, checkpointInterval = 2)
+    assert(cold.readWhere(col("id") === 42L).count() == 1) // warms the cache
+    CountingLocalFs.reset()
+    assert(cold.readWhere(col("id") === 142L).count() == 1)
+    assert(cold.readWhere(col("id") === 242L).count() == 1)
+    assert(CountingLocalFs.listed.isEmpty,
+      s"repeat filtered reads must plan from the cached stats: " +
+        s"${CountingLocalFs.listed}")
+    // a new commit invalidates: the next filtered read sees fresh stats
+    t.commitAppend(Seq((301L, 1.0)).toDF("id", "x"))
+    assert(cold.readWhere(col("id") === 301L).count() == 1)
+  }
+
   test("recorded file meta is exact: sizes match disk, rows match content, sizeInBytes sums") {
     val dir = Files.createTempDirectory("graft-logplan-meta").toString + "/t"
     val t = VersionedTable(spark, dir)
