@@ -56,6 +56,16 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
         require(!m.withSchemaEvolution,
           "graft-lake MERGE: WITH SCHEMA EVOLUTION is not supported")
         planMerge(t, m)
+      // INSERT OVERWRITE under partitionOverwriteMode=dynamic: Spark
+      // has no V1-write fallback for OverwritePartitionsDynamic, so —
+      // like UPDATE/MERGE — the statement routes through the extensions
+      // to the lake's own primitive (replacePartitions: swap exactly
+      // the insert's partitions, neighbors survive by file identity)
+      case o: OverwritePartitionsDynamic
+          if o.resolved && isLake(o.table) =>
+        val t = LakeTarget.unapply(o.table).get
+        rejectTimeTravel(t, "INSERT OVERWRITE (dynamic)")
+        GraftReplacePartitionsCommand(t.path, o.query)
     }
     // Native-read rewrite (DeltaAnalysis' shape): in a pure QUERY tree,
     // a lake read of a plain-parquet snapshot — through the V2 catalog
@@ -314,6 +324,32 @@ case class GraftUpdateCommand(path: String,
       name -> value.cast(field.dataType)
     }.toMap
     vt.update(condition.getOrElse(lit(true)), assigns)
+    Seq.empty
+  }
+}
+
+/** `INSERT OVERWRITE` on a partitioned lake table under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` →
+  * [[VersionedTable.replacePartitions]]: one versioned commit
+  * replacing exactly the partitions present in the insert. The query
+  * plan arrives OUTPUT-RESOLVED (the analyzer aligned it to the table
+  * schema), so a positional rename to the table's column names is the
+  * only projection needed. */
+case class GraftReplacePartitionsCommand(path: String,
+                                         queryPlan: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val classicSession =
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val vt = VersionedTable(session, path)
+    val data0 =
+      org.apache.spark.sql.classic.Dataset.ofRows(classicSession, queryPlan)
+    val names = vt.schemaAt(None).fieldNames
+    require(data0.columns.length == names.length,
+      s"graft-lake dynamic overwrite: insert provides " +
+        s"${data0.columns.length} columns, table has ${names.length}")
+    val data = data0.toDF(names.toIndexedSeq: _*)
+    vt.replacePartitions(data)
     Seq.empty
   }
 }

@@ -69,7 +69,8 @@ class GraftTable(spark: SparkSession, val path: String,
 
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-    TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+    TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, path, timeTravelVersion, schema)
@@ -152,17 +153,29 @@ class GraftScanBuilder(table: VersionedTable, path: String,
 
 /** Catalog write half: INSERT INTO → versioned append, INSERT OVERWRITE
   * → full overwrite (truncate) or `replaceWhere` (static partition-
-  * style filter overwrite), all through the lake's conflict-retried
-  * commit protocol via the [[V1Write]] bridge. */
+  * style filter overwrite), and — on a PARTITIONED lake table with
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` — dynamic
+  * partition overwrite through [[VersionedTable.replacePartitions]]
+  * (exactly the partitions present in the insert are replaced; every
+  * other partition's files survive by identity). All through the
+  * lake's conflict-retried commit protocol via the [[V1Write]]
+  * bridge. */
 class GraftWriteBuilder(table: VersionedTable)
-    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private sealed trait Mode
   private case object AppendMode extends Mode
   private case object TruncateMode extends Mode
+  private case object DynamicMode extends Mode
   private case class OverwriteMode(pred: org.apache.spark.sql.Column) extends Mode
   private var mode: Mode = AppendMode
 
   override def truncate(): WriteBuilder = { mode = TruncateMode; this }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(table.partitionColumns().nonEmpty, "graft-lake: dynamic " +
+      "partition overwrite needs a PARTITIONED BY table")
+    mode = DynamicMode; this
+  }
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     val pred = filters.map { f =>
       GraftLakeRelation.translate(f) match {
@@ -186,6 +199,7 @@ class GraftWriteBuilder(table: VersionedTable)
           case AppendMode        => table.commitAppend(data)
           case TruncateMode      => table.commitOverwrite(data)
           case OverwriteMode(p)  => table.replaceWhere(p, data)
+          case DynamicMode       => table.replacePartitions(data); ()
         }
       }
   }

@@ -413,6 +413,41 @@ class LakeCatalogSpec extends AnyFunSuite {
       "untouched partition's files must survive CALL replace_partitions by identity")
   }
 
+  test("INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces only the insert's partitions (extensions)") {
+    extSpark.sql("CREATE TABLE g.dynp (day STRING, n BIGINT) PARTITIONED BY (day)")
+    extSpark.sql("INSERT INTO g.dynp VALUES ('a', 1), ('a', 2), ('b', 3), ('c', 4)")
+    val vt = VersionedTable(extSpark, s"$warehouse/dynp")
+    val cFiles = vt.snapshotDataFiles().filter { f =>
+      extSpark.read.parquet(s"$warehouse/dynp/$f")
+        .filter(col("day") === "c").limit(1).count() > 0
+    }.toSet
+    val prevMode = extSpark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    extSpark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      extSpark.sql("INSERT OVERWRITE g.dynp VALUES ('a', 9), ('b', 8)")
+    } finally prevMode match {
+      case Some(m) => extSpark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => extSpark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // replaced partitions hold exactly the insert's rows; untouched
+    // partition c survives with its rows AND its files by identity
+    assert(extSpark.sql("SELECT day, count(*) AS n FROM g.dynp GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    assert(extSpark.sql("SELECT n FROM g.dynp WHERE day = 'c'").head.getLong(0) == 4L)
+    assert(cFiles.subsetOf(vt.snapshotDataFiles().toSet),
+      "dynamic overwrite must not touch partition c's files")
+    // static mode (the default) keeps the truncate semantics
+    extSpark.sql("INSERT OVERWRITE g.dynp VALUES ('z', 1)")
+    assert(extSpark.sql("SELECT count(*) AS n FROM g.dynp").head.getLong(0) == 1L)
+    // without extensions the statement fails LOUDLY (no V1 fallback
+    // exists for dynamic overwrite) instead of corrupting anything
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try intercept[Exception] {
+      spark.sql("INSERT OVERWRITE g.dynp VALUES ('q', 1)")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("TBLPROPERTIES round-trip: CREATE ... TBLPROPERTIES, SHOW, ALTER SET/UNSET, and CALL detail") {
     spark.sql("CREATE TABLE g.props (id BIGINT) TBLPROPERTIES " +
       "('owner.team' = 'data-eng', 'retention.days' = '30')")
