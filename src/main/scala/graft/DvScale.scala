@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * read after each, printing one line per leg. This is the measured
   * basis (SCALE.md) for when `deleteMoR` beats `delete`: the CoW cost
   * is affected-file BYTES rewritten, the MoR cost is deleted-row
-  * POSITIONS written plus a per-read anti-join tax until compaction
-  * absorbs the vector — at 100 TB with a spread-out predicate (GDPR
-  * erasure), CoW rewrites everything and MoR writes kilobytes.
+  * POSITIONS written plus a per-read overlay tax (r17: a scan-local
+  * broadcast row-index filter, ~5x cheaper than the old anti-join)
+  * until compaction absorbs the vector — at 100 TB with a spread-out
+  * predicate (GDPR erasure), CoW rewrites everything and MoR writes
+  * kilobytes.
   */
 object DvScale {
   def main(args: Array[String]): Unit = {
@@ -63,12 +65,14 @@ object DvScale {
     val nMor = time("read after MoR")(mor.read().count())
     require(nCow == nMor, s"row drift: CoW $nCow vs MoR $nMor")
 
-    // Scan-bound aggregate legs (r17): the native-DV-read ratio the
-    // judge grades — plain snapshot (native scan) vs DV overlay (native
-    // scan + row-index anti-join, r17) vs the pre-r17 row-bridge
-    // overlay (readSnapshotFiles drives the readWithPos/readFiles
-    // path). Each leg runs twice; the second run is reported (the
-    // first pays codegen + shuffle-service warmup both engines share).
+    // Scan-bound aggregate legs (r17): plain snapshot (native scan)
+    // vs DV overlay (native scan + scan-local DvNotDeleted filter)
+    // vs the pre-r17 SQL-door path (V1 row bridge). Each leg runs
+    // twice; the second run is reported (the first pays codegen +
+    // shuffle warmup both shapes share). NOTE (SCALE.md r17): legs
+    // inside one sequential run inherit each other's GC/page-cache
+    // pressure — the committed ratios come from an interleaved
+    // median-of-5 harness; these lines are directional.
     def agg(df: org.apache.spark.sql.DataFrame): Double =
       df.agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .head().getDouble(0)
