@@ -25,8 +25,18 @@ import org.apache.spark.sql.types._
   *    (lossless for every integral/decimal type; doubles round-trip);
   *  - NaN/Infinity min/max poison an ordering, so a column observing them
   *    simply drops its stats for that file (conservative: file is kept);
-  *  - strings store the full value (a production table would truncate to
-  *    a prefix and pad the max — same evaluator, shorter metadata).
+  *  - string stats are TRUNCATED at [[StringStatMaxLen]] code units
+  *    (Delta's own rule): the min keeps a plain prefix (a prefix is ≤
+  *    the value, still a lower bound) and the max appends `￿` to
+  *    its prefix (the largest UTF-16 unit, so prefix+`￿` ≥ every
+  *    string sharing the prefix — an upper bound). With long URL/text
+  *    keys the per-commit sidecars and the version-keyed stats cache
+  *    would otherwise grow with VALUE length — at 10⁶ files that
+  *    metadata weight is real. Truncation never breaks partition-value
+  *    recovery ([[internalValue]] callers): a truncated pair can never
+  *    satisfy min == max (the max gained a terminal `￿`), so an
+  *    over-long "partition value" just declines the partition fast
+  *    path instead of mis-recovering.
   *
   * The evaluator is deliberately three-valued collapsed to two: `false`
   * means PROVABLY no row in the file satisfies the predicate; `true`
@@ -35,6 +45,23 @@ import org.apache.spark.sql.types._
   * never correctness.
   */
 object FileStats {
+
+  /** Cap on stored string-stat length (UTF-16 units). 64 keeps every
+    * realistic key/category/partition value exact while bounding the
+    * metadata a long URL/text column contributes per (file, column). */
+  private[lake] val StringStatMaxLen = 64
+
+  /** Lower bound for a truncated min: a strict prefix sorts ≤ the
+    * value it came from. */
+  private def truncMin(s: String): String =
+    if (s.length <= StringStatMaxLen) s else s.substring(0, StringStatMaxLen)
+
+  /** Upper bound for a truncated max: prefix + the largest UTF-16 unit
+    * sorts ≥ every string sharing the prefix (the compare after the
+    * common prefix sees `￿` ≥ any unit). */
+  private def truncMax(s: String): String =
+    if (s.length <= StringStatMaxLen) s
+    else s.substring(0, StringStatMaxLen) + '￿'
 
   final case class ColStats(
       kind: String,              // "num" | "str"
@@ -91,7 +118,10 @@ object FileStats {
         val base = 2 + i * 3
         (ser(r.get(base)), ser(r.get(base + 1))) match {
           case (Some(mn), Some(mx)) =>
-            Some(n -> ColStats(kind, mn, mx, nRows - r.getLong(base + 2), nRows))
+            val (mn2, mx2) =
+              if (kind == "str") (mn.map(truncMin), mx.map(truncMax))
+              else (mn, mx)
+            Some(n -> ColStats(kind, mn2, mx2, nRows - r.getLong(base + 2), nRows))
           case _ => None // NaN/Inf observed: no stats, file always kept
         }
       }.toMap
@@ -139,6 +169,56 @@ object FileStats {
     case d: java.math.BigDecimal => d
     case _ => null
   }
+
+  /** Stat string → the CATALYST INTERNAL value of `dt` — the exact
+    * inverse of the collection encodings above (temporal types were
+    * integer-encoded at collect time; numerics serialized via
+    * `toString`, which round-trips each type). This is how the
+    * partition-aware file index recovers a file's partition-value tuple
+    * from its min = max stats ([[VersionedTable.partitionTuplesInternal]]).
+    * None when the string doesn't round-trip in `dt` — callers decline
+    * the fast path, never guess. */
+  def internalValue(s: String, dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType        => Some(s.toByte)
+      case ShortType       => Some(s.toShort)
+      case IntegerType     => Some(s.toInt)
+      case LongType        => Some(s.toLong)
+      case FloatType       => Some(s.toFloat)
+      case DoubleType      => Some(s.toDouble)
+      case d: DecimalType  =>
+        val dec = Decimal(new java.math.BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case DateType        => Some(s.toInt)  // days since epoch
+      case TimestampType   => Some(s.toLong) // unix micros
+      case StringType      =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Stat string → the EXTERNAL (Row-facing) value of `dt` — the
+    * driver-side sibling of [[internalValue]], for metadata-answered
+    * DataFrames ([[VersionedTable.partitionStats]]). */
+  def externalValue(s: String, dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType        => Some(s.toByte)
+      case ShortType       => Some(s.toShort)
+      case IntegerType     => Some(s.toInt)
+      case LongType        => Some(s.toLong)
+      case FloatType       => Some(s.toFloat)
+      case DoubleType      => Some(s.toDouble)
+      case _: DecimalType  => Some(new java.math.BigDecimal(s))
+      case DateType        =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong)))
+      case TimestampType   =>
+        val us = s.toLong
+        Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)))
+      case StringType      => Some(s)
+      case _ => None
+    }
+  } catch { case _: Exception => None }
 
   /** Is the literal's type comparable against the column's stats kind?
     * (Predicates are pruned UNRESOLVED — no coercion has run — so a

@@ -2,8 +2,8 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when, not}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when, not}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** A versioned Parquet table with a Delta-style transaction log —
   * the storage semantics the reference gets from delta-rs
@@ -165,7 +165,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   // names nor the fixed keys contain `]`, so the array-capture regex
   // stays valid for both shapes.
   private val fileEntryRe =
-    """\{"path":"((?:[^"\\]|\\.)*)","size":(-?\d+),"rows":(-?\d+)\}""".r
+    """\{"path":"((?:[^"\\]|\\.)*)","size":(-?\d+),"rows":(-?\d+)(?:,"mtime":(-?\d+))?\}""".r
   private def fileEntriesField(body: String, p: Path, k: String)
       : (Seq[String], Map[String, VersionedTable.FileMeta]) = {
     val inner = (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(body)
@@ -173,7 +173,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     if (inner.trim.startsWith("{")) {
       val entries = fileEntryRe.findAllMatchIn(inner).map { m =>
         junesc(m.group(1)) -> VersionedTable.FileMeta(
-          m.group(2).toLong, m.group(3).toLong)
+          m.group(2).toLong, m.group(3).toLong,
+          Option(m.group(4)).map(_.toLong).getOrElse(-1L))
       }.toSeq
       (entries.map(_._1), entries.filter(_._2.size >= 0).toMap)
     } else {
@@ -182,11 +183,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       (names, Map.empty)
     }
   }
+  // commit records never carry mtime (the record's own `ts` IS the add
+  // time, stamped on read); checkpoints flatten history, so THEIR
+  // entries persist each file's original add time explicitly
   private def fileEntriesJson(names: Seq[String],
                               meta: Map[String, VersionedTable.FileMeta]): String =
     names.map { n =>
       val m = meta.getOrElse(n, VersionedTable.FileMeta(-1L, -1L))
-      s"""{"path":"${esc(n)}","size":${m.size},"rows":${m.rows}}"""
+      val mt = if (m.mtime >= 0) s""","mtime":${m.mtime}""" else ""
+      s"""{"path":"${esc(n)}","size":${m.size},"rows":${m.rows}$mt}"""
     }.mkString("[", ",", "]")
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
@@ -198,6 +203,28 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private def constraintsJson(cs: Seq[(String, String)]): String =
     cs.map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
+
+  /** Commit-record field names a user-chosen key must never shadow: the
+    * record reader locates optional fields by a `"name"` substring probe
+    * (readDelta's hot path avoids a full JSON parse), and a property or
+    * constraint NAMED like a field serializes as that exact substring —
+    * e.g. SET TBLPROPERTIES('pcols'='x') on an unpartitioned table would
+    * make every later read probe for a `pcols` array that isn't there
+    * and fail the table until manual log surgery; a 'txnApp' key would
+    * misparse into the idempotency ledger. Values are immune: the
+    * probes anchor on `"name":` and a VALUE equal to a field name is
+    * followed by `,` or `}` (a value containing quotes escapes them to
+    * `\"`, which the anchored probe doesn't match) — so only KEYS are
+    * position-ambiguous, and only keys are rejected. */
+  private val reservedRecordKeys = Set(
+    "version", "action", "add", "remove", "files", "fmeta", "schema",
+    "rows", "ts", "txnApp", "txnVer", "dvTargets", "constraints",
+    "colmap", "droppedPhys", "pcols", "props")
+
+  private def rejectReservedKey(k: String, what: String): Unit =
+    if (reservedRecordKeys.contains(k)) sys.error(
+      s"graft-lake: '$k' is a reserved commit-record field name and " +
+        s"cannot be used as a $what")
   private val constraintPairRe =
     """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private def parseConstraints(body: String): Seq[(String, String)] =
@@ -247,30 +274,38 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       // Legacy fallback: records written by the pre-delta log format carry
       // a complete `files` list instead of add/remove — read them as a
       // full-replace delta so old persisted tables stay readable.
-      val legacy = !body.contains("\"add\"")
-      val ((add, addMeta), remove) =
+      val legacy = !body.contains("\"add\":")
+      val ((add, addMeta0), remove) =
         if (legacy) (fileEntriesField(body, p, "files"), Seq.empty[String])
         else (fileEntriesField(body, p, "add"), listField(body, p, "remove"))
+      val recTs = numField(body, p, "ts")
+      // the add record's own commit timestamp IS each added file's
+      // modification time — stamped here so the log-planned scan's
+      // synthetic statuses surface a real `file_modification_time`
+      // (a re-reference commit re-stamps with ITS time; documented on
+      // FileMeta)
+      val addMeta = addMeta0.map { case (n, m) =>
+        n -> (if (m.mtime >= 0) m else m.copy(mtime = recTs)) }
       // txn probes only when the record carries a marker — readDelta is
       // the per-record hot path of every snapshot resolution
-      val hasTxn = body.contains("\"txnApp\"")
+      val hasTxn = body.contains("\"txnApp\":")
       val d = DeltaRec(numField(body, p, "version").toInt, strField(body, p, "action"),
         add, remove,
         strField(body, p, "schema"), numField(body, p, "rows"),
-        numField(body, p, "ts"), full = legacy,
+        recTs, full = legacy,
         txnApp = if (hasTxn) strFieldOpt(body, "txnApp").getOrElse("") else "",
         txnVer = if (hasTxn)
           s""""txnVer"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body)
             .map(_.group(1).toLong).getOrElse(-1L)
         else -1L,
-        dvTargets = if (body.contains("\"dvTargets\""))
+        dvTargets = if (body.contains("\"dvTargets\":"))
           listField(body, p, "dvTargets") else Nil,
         constraints = parseConstraints(body),
         colMap = parseColMap(body),
-        droppedPhys = if (body.contains("\"droppedPhys\""))
+        droppedPhys = if (body.contains("\"droppedPhys\":"))
           listField(body, p, "droppedPhys") else Nil,
         addMeta = addMeta,
-        pcols = if (body.contains("\"pcols\""))
+        pcols = if (body.contains("\"pcols\":"))
           listField(body, p, "pcols") else Nil,
         props = parsePairs(body, "\"props\":{"))
       // every file meta that passes through resolution accumulates in
@@ -303,9 +338,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // legacy checkpoints: bare-name files array, no fmeta — sizes
     // unknown for the base files (readers fall back to one listing)
     val files = listField(body, p, "files")
-    val meta =
-      if (!body.contains("\"fmeta\"")) Map.empty[String, VersionedTable.FileMeta]
+    val meta0 =
+      if (!body.contains("\"fmeta\":")) Map.empty[String, VersionedTable.FileMeta]
       else fileEntriesField(body, p, "fmeta")._2
+    // checkpoints written before fmeta carried mtime: the checkpoint's
+    // own commit ts is an AT-OR-BEFORE bound on every file's add time —
+    // surfaced over epoch 0 for _metadata.file_modification_time
+    val ckptTs = numField(body, p, "ts")
+    val meta = meta0.map { case (n, m) =>
+      n -> (if (m.mtime >= 0) m else m.copy(mtime = ckptTs)) }
     meta.foreach { case (n, m) => if (m.size >= 0) fileMetaIndex.put(n, m) }
     (files, meta)
   }
@@ -563,8 +604,67 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * level (the classic O_EXCL-by-hardlink trick); stores whose rename
     * already refuses an existing destination (HDFS contract) keep the
     * exists+rename path. */
+  /** Storage capability dispatch for the publish primitive (r18 — the
+    * commit protocol now NAMES its storage contract instead of assuming
+    * it, Delta's LogStore shape):
+    *  - a configured [[VersionedTable.CommitPublisher]]
+    *    (`spark.graft.lake.commitPublisher`) always wins — the plug
+    *    point for object stores that need an external arbiter (a DynamoDB
+    *    conditional put, a database row, a lease service);
+    *  - LOCAL filesystems (file:, or any RawLocalFileSystem-backed
+    *    scheme) use the hard-link / O_EXCL-claim protocol below;
+    *  - HDFS-like stores (hdfs:, viewfs:) use exists+rename — their
+    *    rename contract REFUSES an existing destination, so
+    *    rename-if-absent is atomic there;
+    *  - anything else (plain S3A and friends: no atomic
+    *    rename-if-absent) FAILS LOUDLY at the first commit rather than
+    *    silently running a protocol whose multi-writer safety doesn't
+    *    hold. `spark.graft.lake.unsafeSingleWriterPublish=true` opts a
+    *    SINGLE-writer deployment back in, with a one-time warning. */
   private def publishExclusive(tmp: Path, dst: Path): Boolean =
-    if (fs.getUri.getScheme == "file") {
+    commitPublisher match {
+      case Some(p) => p.publishIfAbsent(fs, tmp, dst)
+      case None =>
+        val raw = fs match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
+        if (fs.getUri.getScheme == "file" ||
+            raw.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+          publishExclusiveLocal(tmp, dst)
+        else fs.getUri.getScheme match {
+          case "hdfs" | "viewfs" => !fs.exists(dst) && fs.rename(tmp, dst)
+          case other =>
+            if (spark.conf.getOption("spark.graft.lake.unsafeSingleWriterPublish")
+                .exists(_.trim.equalsIgnoreCase("true"))) {
+              if (!unsafePublishWarned.getAndSet(true))
+                System.err.println(s"[lake] UNSAFE publish on '$other': " +
+                  "exists+rename is not atomic here — multi-writer commits " +
+                  "can clobber each other. Single-writer deployments only.")
+              !fs.exists(dst) && fs.rename(tmp, dst)
+            } else sys.error(
+              s"graft-lake: scheme '$other' has no atomic rename-if-absent, " +
+                "so the optimistic-concurrency commit protocol cannot run " +
+                "safely. Configure spark.graft.lake.commitPublisher with a " +
+                "graft.lake.VersionedTable.CommitPublisher backed by an " +
+                "external arbiter, or set " +
+                "spark.graft.lake.unsafeSingleWriterPublish=true for a " +
+                "strictly single-writer deployment.")
+        }
+    }
+
+  private val unsafePublishWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** The configured publish arbiter, instantiated once per handle. */
+  private lazy val commitPublisher: Option[VersionedTable.CommitPublisher] =
+    spark.conf.getOption("spark.graft.lake.commitPublisher").map { cn =>
+      Class.forName(cn).getDeclaredConstructor().newInstance()
+        .asInstanceOf[VersionedTable.CommitPublisher]
+    }
+
+  private def publishExclusiveLocal(tmp: Path, dst: Path): Boolean =
+    {
       val t = java.nio.file.Paths.get(tmp.toUri.getPath)
       val d = java.nio.file.Paths.get(dst.toUri.getPath)
       try {
@@ -644,7 +744,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
               false // caller raises conflict; its retry finds the claim free
           }
       }
-    } else !fs.exists(dst) && fs.rename(tmp, dst)
+    }
 
   private[lake] def writeCommit(c: Commit,
                                 metaHint: Map[String, VersionedTable.FileMeta] = Map.empty): Unit = {
@@ -710,7 +810,12 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       fs.delete(tmp, false)
       sys.error(s"concurrent commit conflict: version ${c.version} already exists")
     }
-    val snapMeta = (prevSnap.meta -- remove) ++ addMeta.filter(_._2.size >= 0)
+    // the writer's own snapshot cache must look exactly like a re-read
+    // of the record it just published: staging meta carries no mtime,
+    // the commit's ts is the files' add time (readDelta stamps the same)
+    val snapMeta = (prevSnap.meta -- remove) ++
+      addMeta.filter(_._2.size >= 0).map { case (n, m) =>
+        n -> (if (m.mtime >= 0) m else m.copy(mtime = c.ts)) }
     lastSnap = Some((c.version, Snap(c.files, snapMeta)))
     if (c.version > 0 && c.version % checkpointInterval == 0)
       writeCheckpoint(c, snapMeta)
@@ -917,6 +1022,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 
   private def physMap(c: Commit): Map[String, String] = c.colMap.toMap
 
+  /** [[physReadSchema]] at a pinned version — the native mapped scan's
+    * data schema ([[org.apache.spark.sql.graft.GraftFileIndex.nativeMappedRead]]). */
+  def physicalReadSchemaAt(version: Int): StructType =
+    physReadSchema(readCommit(version))
+
+  /** The logical→physical column-name overlay at a pinned version
+    * (empty when no rename ever happened). */
+  def physicalMapAt(version: Int): Map[String, String] =
+    physMap(readCommit(version))
+
   // ---- per-file column statistics (data skipping) ---------------------
   //
   // Every commit writes a `v{N}-stats.jsonl` sidecar holding min/max/null
@@ -1122,11 +1237,19 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * ~1.4× row-bridge scan tax from exactly the tables where MoR
     * deletes accumulate (r16 verdict item 3). */
   private def nativeDvRead(v: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{collect_list, sort_array, substring_index}
     val c = readCommit(v)
     val (dvs, _) = splitDv(c.files)
-    val base = org.apache.spark.sql.graft.GraftFileIndex.nativeRead(
-      spark, this, tablePath, v)
+    dvOverlay(org.apache.spark.sql.graft.GraftFileIndex.nativeRead(
+      spark, this, tablePath, v), dvs, v)
+  }
+
+  /** The deletion-vector overlay over an arbitrary NATIVE base scan
+    * (any frame exposing `_metadata`): broadcast row-index filter when
+    * the vectors are small, distributed anti-join when not. Factored
+    * out of [[nativeDvRead]] (r18) so the column-mapped native path
+    * composes the same overlay over its physical-schema base. */
+  private def dvOverlay(base: DataFrame, dvs: Seq[String], v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array, substring_index}
     // total marked positions from the DV parquet FOOTERS (metadata
     // only) — decides the overlay shape
     val dvRows = stagedRowCount(dvs)
@@ -1266,7 +1389,17 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       case ByteType | ShortType | IntegerType | LongType =>
         (col(s"p.$k").cast(LongType),
           col(s"_mn_$i").cast(LongType), col(s"_mx_$i").cast(LongType))
-      case FloatType | DoubleType =>
+      case FloatType =>
+        // compare IN FLOAT: widening the key to double (0.1f →
+        // 0.10000000149…) while the stat string parses as the double
+        // nearest "0.1" would let kv exceed mx for a file that holds
+        // the key (certain on min=max single-value files) — a wrongly
+        // EXCLUDED file, breaking the conservative-superset contract.
+        // String→float round-trips Float.toString exactly, so casting
+        // the stat side down keeps both sides in the collector's type.
+        (col(s"p.$k"),
+          col(s"_mn_$i").cast(FloatType), col(s"_mx_$i").cast(FloatType))
+      case DoubleType =>
         (col(s"p.$k").cast(DoubleType),
           col(s"_mn_$i").cast(DoubleType), col(s"_mx_$i").cast(DoubleType))
       case d: DecimalType =>
@@ -1284,6 +1417,91 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       .select("_f").distinct()
       .collect().map(_.getString(0)).toSeq
     always ++ hits
+  }
+
+  /** JOIN-DRIVEN dynamic FILE pruning as an explicit operator (r18 —
+    * Delta's "dynamic file pruning", for UNPARTITIONED fact tables
+    * where Spark's DPP has no partition column to hook): restrict the
+    * snapshot read to the files whose min/max stats may hold any of
+    * `keys`' tuples ([[filesHitByKeys]] — a distributed stats join, no
+    * key-count cap), then read only those. The result is a SUPERSET of
+    * the rows whose key tuple appears in `keys` — the caller joins on
+    * those keys anyway, so for any equi-join on `keyCols`,
+    * `readForKeys(k).join(k, keyCols)` ≡ `read().join(k, keyCols)`,
+    * except the star query's fact scan reads the 1% of files the dim
+    * side selects instead of all of them. Clustering the table by the
+    * key (range-partitioned writes, OPTIMIZE Z-order) is what makes the
+    * per-file key ranges tight enough to prune. */
+  def readForKeys(keys: DataFrame, keyCols: Seq[String],
+                  version: Option[Int] = None): DataFrame = {
+    val hit = filesHitByKeys(keys, keyCols, version)
+    readSnapshotFiles(hit, version)
+  }
+
+  /** METADATA-ONLY partition statistics (r18): one row per partition —
+    * the partition-value columns plus `n_files`, `rows`, `bytes` —
+    * answered ENTIRELY from the commit log and the stats sidecars:
+    * `SELECT DISTINCT pcol` / per-partition counts on a 100 TB table
+    * are a driver-side metadata fold, zero data files opened (the
+    * one-value-per-file layout makes per-file tuples exact, and the
+    * log's add actions carry per-file rows/bytes). Falls back to a
+    * real scan-and-group ONLY when the metadata can't answer exactly
+    * (a DV overlay hides deleted rows from per-file counts; a lost
+    * stats sidecar; pre-meta legacy rows) — same result, data-shaped
+    * cost. */
+  def partitionStats(version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val c = readCommit(v)
+    require(c.pcols.nonEmpty,
+      s"partitionStats: table at $tablePath has no partition columns")
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val fields = c.pcols.map(p => schema.find(_.name == p).getOrElse(
+      sys.error(s"partition column $p missing from schema")))
+    val outSchema = StructType(
+      fields.map(f => StructField(f.name, f.dataType, nullable = true)) ++ Seq(
+        StructField("n_files", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("rows", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+    val (dvs, data) = splitDv(c.files)
+    val stats = readAllStats()
+    val meta = snapshotFileMeta(Some(v))
+    // one EXTERNAL-value tuple per file, or a metadata miss
+    def tupleOf(f: String): Option[(Seq[Any], Long, Long)] = for {
+      st <- stats.get(f)
+      m <- meta.get(f) if m.rows >= 0
+      vals <- fields.foldLeft(Option(Vector.empty[Any])) { (acc, fd) =>
+        acc.flatMap { vs =>
+          st.get(fd.name).flatMap { cs =>
+            (cs.min, cs.max) match {
+              case (None, None) if cs.nulls == cs.rows => Some(vs :+ null)
+              case (Some(mn), Some(mx)) if mn == mx && cs.nulls == 0 =>
+                FileStats.externalValue(mn, fd.dataType).map(vs :+ _)
+              case _ => None
+            }
+          }
+        }
+      }
+    } yield (vals, m.rows, m.size)
+    val tuples = if (dvs.nonEmpty) Nil else data.flatMap(tupleOf)
+    if (dvs.isEmpty && tuples.size == data.size) {
+      val rows = tuples.groupBy(_._1).toSeq.map { case (vals, fs) =>
+        Row.fromSeq(vals ++ Seq(fs.size.toLong,
+          fs.map(_._2).sum, fs.map(_._3).sum))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), outSchema)
+    } else {
+      // exactness fallback: group the real rows; per-partition file and
+      // byte accounting isn't exactly attributable here (DVs hide
+      // deleted rows inside files), so those report -1 = unknown
+      read(Some(v)).groupBy(fields.map(f => col(f.name)): _*)
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("n_files", lit(-1L))
+        .withColumn("bytes", lit(-1L))
+        .select(outSchema.fieldNames.map(col): _*)
+    }
   }
 
   /** Snapshot read restricted by `predicate`, with stats-based file
@@ -1438,6 +1656,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * under the new one unchecked. */
   def addConstraint(name: String, exprSql: String): Int = {
     require(name.nonEmpty && exprSql.nonEmpty, "constraint needs name and expression")
+    rejectReservedKey(name, "constraint name")
     val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
     val c = readCommit(v0)
     if (c.constraints.exists(_._1 == name))
@@ -1642,6 +1861,71 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def partitionColumns(): Seq[String] =
     latestVersion().map(readDelta(_).pcols).getOrElse(Nil)
 
+  /** Partition columns AT a pinned version — what a snapshot-pinned
+    * consumer (the file index) must use; partitioning is fixed at
+    * creation, but the pin keeps the no-re-resolve discipline. */
+  def partitionColumnsAt(version: Int): Seq[String] =
+    readDelta(version).pcols
+
+  /** Per-file partition-value tuples of the snapshot at `version`, in
+    * CATALYST INTERNAL form, recovered from the stats layer: the
+    * partitioned file layout writes one partition-value combination per
+    * file, so each partition column's per-file stats satisfy min = max
+    * = the value (or all-null = the null partition). This is what lets
+    * [[org.apache.spark.sql.graft.GraftFileIndex]] expose a REAL
+    * `partitionSchema` to Spark — unlocking Catalyst's own static
+    * partition pruning AND dynamic partition pruning (the star-join
+    * runtime filter) with no engine-private rule.
+    *
+    * None when ANY data file's tuple is not recoverable (stats sidecar
+    * lost, mixed null/value file, truncated over-long value): the index
+    * then stays flat — never wrong, just not partition-pruned by
+    * Spark's machinery (the lake's own stats pruning still applies). */
+  def partitionTuplesInternal(version: Option[Int] = None)
+      : Option[Map[String, org.apache.spark.sql.catalyst.InternalRow]] = {
+    val v = version.orElse(latestVersion()).getOrElse(return None)
+    val c = readCommit(v)
+    if (c.pcols.isEmpty) return None
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val fields = c.pcols.flatMap(p => schema.find(_.name == p))
+    if (fields.size != c.pcols.size) return None
+    // a table of ONLY partition columns would leave the scan an empty
+    // data schema — keep the flat path for that degenerate shape
+    if (fields.size == schema.size) return None
+    val (_, data) = splitDv(c.files)
+    val stats = readAllStats()
+    // pcols can never be renamed/dropped (DDL guards), so the stats key
+    // is the logical name
+    def tupleOf(f: String): Option[org.apache.spark.sql.catalyst.InternalRow] =
+      stats.get(f).flatMap { st =>
+        val vals = new Array[Any](fields.size)
+        var i = 0
+        var ok = true
+        while (ok && i < fields.size) {
+          val fd = fields(i)
+          st.get(fd.name) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (None, None) if cs.nulls == cs.rows => vals(i) = null
+              case (Some(mn), Some(mx)) if mn == mx && cs.nulls == 0 =>
+                FileStats.internalValue(mn, fd.dataType) match {
+                  case Some(x) => vals(i) = x
+                  case None    => ok = false
+                }
+              case _ => ok = false
+            }
+            case None => ok = false
+          }
+          i += 1
+        }
+        if (ok) Some(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+        else None
+      }
+    val tuples = data.map(f => f -> tupleOf(f))
+    if (tuples.exists(_._2.isEmpty)) None
+    else Some(tuples.map { case (f, t) => f -> t.get }.toMap)
+  }
+
   /** Table properties (TBLPROPERTIES) at the head — definition
     * metadata carried on every commit record. */
   def properties(): Seq[(String, String)] =
@@ -1651,6 +1935,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * no-rebase rule as constraints: racing definition changes abort. */
   def setProperties(kv: Seq[(String, String)]): Int = {
     require(kv.nonEmpty, "setProperties needs at least one property")
+    kv.foreach(p => rejectReservedKey(p._1, "table property key"))
     val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
     val c = readCommit(v0)
     val merged = (c.props.filterNot(p => kv.exists(_._1 == p._1)) ++ kv)
@@ -1928,17 +2213,25 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // here, but it pins nullability and column order)
     else if (c.colMap.isEmpty && c.droppedPhys.isEmpty)
       alignToSchema(nativeDvRead(v), StructType.fromDDL(c.schemaDdl))
-    // ALWAYS resolve the physical file columns to the commit's logical
-    // schema (readWhere/readSnapshotFiles already do): renames apply,
-    // dropped columns' residual bytes are never selected, and a
-    // metadata-only ADD COLUMN — which leaves the mapping overlay empty
-    // when the name is collision-free — null-backfills even though no
-    // data file carries the field yet. On an unevolved table this is an
-    // identical projection Catalyst collapses; gating it on the overlay
-    // being non-empty is exactly how addColumn's field used to vanish.
-    else alignToSchema(readLive(data, dvs, Some(physReadSchema(c))),
-      StructType.fromDDL(c.schemaDdl),
-      colMap = physMap(c))
+    // COLUMN-MAPPED snapshot (with or without a DV overlay), r18: the
+    // same native GraftFileIndex data side as plain snapshots —
+    // log-planned statuses, stats pruning through the physical→logical
+    // translation, partition exposure — reading the commit's PHYSICAL
+    // schema (renames read their stable in-file name; dropped columns'
+    // residual bytes are never selected), the DV overlay composed in
+    // between, and the physical→logical projection on top (which also
+    // null-backfills a metadata-only ADD COLUMN's field and pins
+    // nullability/order). Before r18 this branch rode the row-shaped
+    // subset reader, and the SQL door kept mapped tables on the V1
+    // bridge — the measured ~1.4× scan tax, paid forever after the
+    // first RENAME/DROP COLUMN.
+    else {
+      val base = org.apache.spark.sql.graft.GraftFileIndex.nativeMappedRead(
+        spark, this, tablePath, v)
+      val live = if (dvs.isEmpty) base else dvOverlay(base, dvs, v)
+      alignToSchema(live, StructType.fromDDL(c.schemaDdl),
+        colMap = physMap(c))
+    }
   }
 
   /** Latest version committed at or before `tsMillis` (Delta's
@@ -3006,13 +3299,35 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 }
 
 object VersionedTable {
+  /** The atomic-publish primitive the whole optimistic-concurrency
+    * protocol rests on — Delta's LogStore contract, as a plug point:
+    * publish `tmp`'s content at `dst`, returning false (and publishing
+    * NOTHING) when `dst` already exists, atomically with respect to
+    * every concurrent writer on any host. Implementations for stores
+    * without native rename-if-absent (plain S3) arbitrate externally
+    * (conditional put on a side table, a lease service, DynamoDB — the
+    * S3DynamoDBLogStore design). Configure with
+    * `spark.graft.lake.commitPublisher=<class>`; the class needs a
+    * no-arg constructor. Implementations must be thread-safe (one
+    * instance serves every commit of a table handle). */
+  trait CommitPublisher {
+    def publishIfAbsent(fs: FileSystem, tmp: Path, dst: Path): Boolean
+  }
+
   /** Per-file metadata carried in the commit log's add actions (the
     * Delta `add.size`/`add.stats` shape): byte length and row count.
     * `size >= 0` always holds for entries surfaced by
     * [[VersionedTable.snapshotFileMeta]]; `rows` may be -1 when only
     * the length was recoverable (a re-reference of a file whose
-    * original meta the log never carried). */
-  case class FileMeta(size: Long, rows: Long)
+    * original meta the log never carried). `mtime` is the wall-clock
+    * timestamp of the commit that (re-)added the file — the value the
+    * log-planned native scan surfaces as
+    * `_metadata.file_modification_time` (r17 advice: synthetic statuses
+    * returned epoch 0 there). It is stamped from the add record's own
+    * `ts` on read (no commit-record format change); checkpoints persist
+    * it per file so resolution from a checkpoint keeps the original add
+    * time. -1 = unknown (legacy checkpoints, in-flight staging). */
+  case class FileMeta(size: Long, rows: Long, mtime: Long = -1L)
 
   /** Deletion-vector sidecar schema: deleted row positions by file. */
   private[lake] val DvSchema: org.apache.spark.sql.types.StructType =

@@ -110,34 +110,59 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
   /** The native replan of a pure lake READ, version pinned ONCE through
     * the feature check and the plan (the plainness-vs-build race rule —
     * see GraftFileIndex.nativeRelationIfPlain's note):
-    *  - plain snapshot → a HadoopFsRelation over the log-planned file
-    *    index (vectorized + codegen + stats skipping);
-    *  - DV-only snapshot (r17) → the lake's native DV-overlay plan
-    *    (same vectorized data side, deleted positions anti-joined),
-    *    spliced in with the replaced node's attribute ids so
-    *    references above keep resolving;
-    *  - column-mapped snapshots → None (the featureful bridge stays).
-    */
+    *  - plain flat snapshot → a HadoopFsRelation over the log-planned
+    *    file index (vectorized + codegen + stats skipping);
+    *  - plain PARTITIONED snapshot (r18) → the lake's logical-order
+    *    read plan spliced in (real partition attributes underneath, so
+    *    Catalyst's static + dynamic partition pruning fire);
+    *  - DV-only snapshot (r17) → the native DV-overlay plan;
+    *  - column-mapped / dropped-column snapshots, with or without DVs
+    *    (r18) → the native mapped plan (physical-schema scan +
+    *    logical projection + overlay).
+    * Every splice keeps the replaced node's attribute ids so
+    * references above keep resolving. */
   private def nativeReadPlan(table: VersionedTable, path: String,
                              version: Option[Int],
                              output: Seq[AttributeReference])
       : Option[LogicalPlan] = {
     val v = version.orElse(table.latestVersion()).getOrElse(sys.error(
       s"graft-lake: no committed versions at $path"))
-    if (table.isPlainParquetSnapshot(Some(v)))
-      Some(nativeRelation(
-        GraftFileIndex.nativeRelationAt(session, table, path, v), output))
-    else if (table.isDvOnlySnapshot(Some(v))) {
-      val plan = table.read(Some(v)).queryExecution.analyzed
-      // remap the spliced plan's fresh attribute ids onto the replaced
-      // node's — by POSITION (both sides are the commit's logical
-      // schema in order)
-      Some(org.apache.spark.sql.catalyst.plans.logical.Project(
-        plan.output.zip(output).map { case (na, oa) =>
-          org.apache.spark.sql.catalyst.expressions.Alias(na, oa.name)(
-            exprId = oa.exprId)
-        }, plan))
-    } else None
+    if (table.isPlainParquetSnapshot(Some(v))) {
+      if (table.partitionColumnsAt(v).isEmpty)
+        Some(nativeRelation(
+          GraftFileIndex.nativeRelationAt(session, table, path, v), output))
+      else
+        // partitioned plain snapshot: the native relation's column order
+        // is dataSchema ++ partitionSchema, so splice the lake's
+        // logical-order read plan (relation + reorder projection) — the
+        // partition columns stay REAL partition attributes underneath,
+        // which is what lets Catalyst's dynamic partition pruning fire
+        // on SQL star joins against the lake fact table
+        Some(spliceLogicalOrder(table.read(Some(v)), output))
+    } else {
+      // EVERY featureful snapshot — DV overlay, column mapping, drop
+      // tombstones, any combination — now has a native read plan
+      // (vectorized GraftFileIndex data side + overlays; r17 covered
+      // DV-only, r18 the mapped shapes), so the SQL door always
+      // splices it. The V1 bridge relations remain only as the
+      // WRITABLE table surfaces (inserts must route through the commit
+      // log — see GraftFileIndex.nativeRelationIfPlain's SAFETY note).
+      Some(spliceLogicalOrder(table.read(Some(v)), output))
+    }
+  }
+
+  /** Splice an engine-built DataFrame plan in place of a replaced
+    * relation node: remap the plan's fresh attribute ids onto the
+    * replaced node's — by POSITION (both sides are the commit's
+    * logical schema in order). */
+  private def spliceLogicalOrder(df: org.apache.spark.sql.DataFrame,
+                                 output: Seq[AttributeReference]): LogicalPlan = {
+    val plan = df.queryExecution.analyzed
+    org.apache.spark.sql.catalyst.plans.logical.Project(
+      plan.output.zip(output).map { case (na, oa) =>
+        org.apache.spark.sql.catalyst.expressions.Alias(na, oa.name)(
+          exprId = oa.exprId)
+      }, plan)
   }
 
   private def nativeRelation(

@@ -6,9 +6,9 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.lake.VersionedTable
 
@@ -43,7 +43,14 @@ import graft.lake.VersionedTable
   * under the explicit `spark.graft.lake.verifyListing` integrity mode.
   */
 class GraftFileIndex(spark: SparkSession, table: VersionedTable,
-                     path: String, version: Option[Int])
+                     path: String, version: Option[Int],
+                     // physical→logical column names for COLUMN-MAPPED
+                     // snapshots (r18): the relation's attributes carry
+                     // physical (in-file) names, but the stats matcher
+                     // resolves against the commit's logical schema —
+                     // listFiles translates through this before pruning.
+                     // Empty for unmapped tables.
+                     toLogical: Map[String, String] = Map.empty)
     extends FileIndex {
   // PIN the snapshot version once: everything this index answers —
   // file list, statuses, stats pruning — must come from ONE version.
@@ -66,18 +73,19 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
     * that also re-asserts every snapshot file exists on disk —
     * without it a vacuumed/corrupted file fails at scan time with the
     * reader's own missing-file error instead of here.
-    * Synthetic statuses carry modificationTime 0 (the log doesn't
-    * track per-file mtimes; nothing on the batch read path consumes
-    * it — the `_metadata` columns ride the bridge relation, not this
-    * index). */
+    * Synthetic statuses carry the ADD COMMIT's timestamp as
+    * modificationTime (`FileMeta.mtime`, stamped from each add record's
+    * own `ts`), so `_metadata.file_modification_time` on a log-planned
+    * read reports when the file entered the table instead of epoch 0
+    * (r17 advice). */
   private val statuses: Map[String, FileStatus] = {
     val root = new Path(path)
     val meta = table.snapshotFileMeta(Some(pinnedVersion))
     val verify = spark.conf.getOption("spark.graft.lake.verifyListing")
       .exists(_.trim.equalsIgnoreCase("true"))
     val fromLog = snapshot.flatMap(n => meta.get(n).map(m =>
-      n -> new FileStatus(m.size, false, 1, 128L * 1024 * 1024, 0L,
-        new Path(root, n)))).toMap
+      n -> new FileStatus(m.size, false, 1, 128L * 1024 * 1024,
+        math.max(0L, m.mtime), new Path(root, n)))).toMap
     if (!verify && fromLog.size == snapshot.size) fromLog
     else {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -98,8 +106,30 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
     }
   }
 
+  /** Per-file partition-value tuples (r18): a PARTITIONED table's
+    * one-value-per-file layout makes each file's tuple recoverable from
+    * its min = max stats, and exposing them as a REAL `partitionSchema`
+    * hands Spark's own partition machinery the lake's layout — Catalyst
+    * statically prunes partition predicates, and DYNAMIC partition
+    * pruning fires on star joins (a selective dim filter prunes fact
+    * FILES at runtime, the thing a literal-only stats translator can
+    * never do). Empty when the table is unpartitioned OR any file's
+    * tuple is unrecoverable (lost sidecar, mixed file) — then the index
+    * stays flat, which is never wrong, just less pruned. */
+  private val partTuples: Map[String, InternalRow] =
+    if (table.partitionColumnsAt(pinnedVersion).isEmpty) Map.empty
+    else table.partitionTuplesInternal(Some(pinnedVersion)).getOrElse(Map.empty)
+
+  private val partFields: Seq[StructField] = {
+    val schema = table.schemaAt(Some(pinnedVersion))
+    if (partTuples.isEmpty) Nil
+    else table.partitionColumnsAt(pinnedVersion)
+      .flatMap(p => schema.find(_.name == p))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+  }
+
   override def rootPaths: Seq[Path] = Seq(new Path(path))
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = StructType(partFields)
   override def sizeInBytes: Long = statuses.valuesIterator.map(_.getLen).sum
   override def inputFiles: Array[String] =
     snapshot.map(f => s"$path/$f").toArray
@@ -116,16 +146,44 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
         // optimization — the scan re-applies every filter)
         val pred = dataFilters.map(e => GraftColumnBridge.column(
           e.transform { case a: AttributeReference =>
-            UnresolvedAttribute.quoted(a.name) })).reduce(_ && _)
+            UnresolvedAttribute.quoted(toLogical.getOrElse(a.name, a.name)) }))
+          .reduce(_ && _)
         table.candidateFiles(pred, Some(pinnedVersion))
       }.getOrElse(snapshot)
-    GraftLakeRelation.lastScanFiles.put(path, keep.size)
-    Seq(PartitionDirectory(InternalRow.empty,
-      keep.map(statuses(_)).toArray))
+    val dirs =
+      if (partFields.isEmpty)
+        Seq(PartitionDirectory(InternalRow.empty,
+          keep.map(statuses(_)).toArray))
+      else {
+        // one directory per partition-value tuple; STATIC partition
+        // filters evaluate here (Spark's PruneFileSourcePartitions hands
+        // them down), DYNAMIC ones are evaluated by FileSourceScanExec
+        // itself against the directories this returns
+        val grouped = keep.groupBy(partTuples(_)).toSeq.map {
+          case (row, fs) => PartitionDirectory(row, fs.map(statuses(_)).toArray)
+        }
+        if (partitionFilters.isEmpty) grouped
+        else {
+          val bound = Predicate.create(
+            partitionFilters.reduce(And).transform {
+              case a: AttributeReference =>
+                val i = partFields.indexWhere(_.name == a.name)
+                require(i >= 0, s"partition filter references non-partition " +
+                  s"column ${a.name}")
+                BoundReference(i, partFields(i).dataType, nullable = true)
+            }, Nil)
+          grouped.filter(d => bound.eval(d.values))
+        }
+      }
+    GraftLakeRelation.lastScanFiles.put(path,
+      dirs.iterator.map(_.files.length).sum)
+    dirs
   }
 
   override def toString: String =
-    s"GraftFileIndex[$path@v$pinnedVersion, ${snapshot.size} files]"
+    s"GraftFileIndex[$path@v$pinnedVersion, ${snapshot.size} files" +
+      (if (partFields.isEmpty) "" else
+        s", partitioned(${partFields.map(_.name).mkString(",")})") + "]"
 }
 
 object GraftFileIndex {
@@ -156,22 +214,34 @@ object GraftFileIndex {
 
   /** The native relation at an ALREADY-PINNED plain version —
     * [[VersionedTable.read]]'s entry (it resolved and checked the
-    * commit itself). */
+    * commit itself). When the index recovered partition tuples, the
+    * partition columns move from `dataSchema` to `partitionSchema`:
+    * Spark fills their values from the directory metadata (the column
+    * is never even READ from the files — they do store it, harmlessly)
+    * and its partition-pruning machinery, static and dynamic, operates
+    * on them. NOTE the relation's column order is then
+    * dataSchema ++ partitionSchema; [[nativeRead]] restores the
+    * logical order. */
   def nativeRelationAt(spark: SparkSession, table: VersionedTable,
                        path: String, version: Int)
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val classicSpark =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new GraftFileIndex(spark, table, path, Some(version))
+    val pset = index.partitionSchema.fieldNames.toSet
+    // fully NULLABLE, whatever the DDL says: pre-evolution files lack
+    // evolved columns (the reader null-fills them), and CoW rewrites
+    // legitimately store nulls there — a NOT NULL read schema makes
+    // the vectorized reader skip null tracking and return garbage
+    // (0.0) or fail the file outright. File reads were always
+    // nullable on the old mergeSchema path too.
+    val full = table.schemaAt(Some(version)).asNullable
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = new GraftFileIndex(spark, table, path, Some(version)),
-      partitionSchema = StructType(Nil),
-      // fully NULLABLE, whatever the DDL says: pre-evolution files lack
-      // evolved columns (the reader null-fills them), and CoW rewrites
-      // legitimately store nulls there — a NOT NULL read schema makes
-      // the vectorized reader skip null tracking and return garbage
-      // (0.0) or fail the file outright. File reads were always
-      // nullable on the old mergeSchema path too.
-      dataSchema = table.schemaAt(Some(version)).asNullable,
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema =
+        if (pset.isEmpty) full
+        else StructType(full.filterNot(f => pset.contains(f.name))),
       bucketSpec = None,
       fileFormat =
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
@@ -179,15 +249,60 @@ object GraftFileIndex {
   }
 
   /** [[nativeRelationAt]] as a DataFrame — the plain-snapshot body of
-    * [[VersionedTable.read]]. */
+    * [[VersionedTable.read]]. A partitioned relation surfaces columns
+    * as dataSchema ++ partitionSchema; the projection restores the
+    * commit's logical order (Catalyst collapses it when it's already
+    * the identity). */
   def nativeRead(spark: SparkSession, table: VersionedTable,
                  path: String, version: Int)
       : org.apache.spark.sql.DataFrame = {
     val classicSpark =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+    val rel = nativeRelationAt(spark, table, path, version)
+    val df = org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
       org.apache.spark.sql.execution.datasources.LogicalRelation(
-        nativeRelationAt(spark, table, path, version), isStreaming = false))
+        rel, isStreaming = false))
+    if (rel.partitionSchema.isEmpty) df
+    else df.select(table.schemaAt(Some(version)).fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** The COLUMN-MAPPED snapshot's native data side (r18): the same
+    * log-planned, stats-pruned, vectorized [[GraftFileIndex]] scan the
+    * plain path uses, but with the commit's PHYSICAL read schema (the
+    * in-file column names renames left behind; dropped columns'
+    * residual bytes excluded entirely) and the physical→logical name
+    * map wired into the index so stats pruning still fires on the
+    * translated predicate. Returns the PHYSICAL frame — the caller
+    * ([[VersionedTable.read]]) aligns it to the logical schema and
+    * applies the DV overlay when present. Before r18 a mapped snapshot
+    * paid the ~1.4× V1 row-bridge scan tax on every SQL read, forever
+    * after its first RENAME/DROP COLUMN. */
+  def nativeMappedRead(spark: SparkSession, table: VersionedTable,
+                       path: String, version: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val classicSpark =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val phys = table.physicalReadSchemaAt(version)
+    val toLogical = table.physicalMapAt(version).map(_.swap)
+    val index = new GraftFileIndex(spark, table, path, Some(version), toLogical)
+    val pset = index.partitionSchema.fieldNames.toSet
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema =
+        if (pset.isEmpty) phys
+        else StructType(phys.filterNot(f => pset.contains(f.name))),
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(classicSpark)
+    val df = org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        rel, isStreaming = false))
+    if (pset.isEmpty) df
+    else df.select(phys.fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** An EXPLICIT file subset as a DataFrame with statuses taken from
@@ -203,7 +318,8 @@ object GraftFileIndex {
                  schema: StructType): org.apache.spark.sql.DataFrame = {
     val root = new Path(path)
     val statuses = files.map { case (n, m) =>
-      new FileStatus(m.size, false, 1, 128L * 1024 * 1024, 0L, new Path(root, n))
+      new FileStatus(m.size, false, 1, 128L * 1024 * 1024,
+        math.max(0L, m.mtime), new Path(root, n))
     }.toArray
     val index = new FileIndex {
       override def rootPaths: Seq[Path] = Seq(root)

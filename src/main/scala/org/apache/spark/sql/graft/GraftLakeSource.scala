@@ -315,7 +315,27 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
             ()
           } else if (!cached.isEmpty) {
             val keysDf = cached.select(updateKeys.map(col): _*).distinct()
-            val hit = table.filesHitByKeys(keysDf, updateKeys)
+            // SMALL batches (the common streaming case) scope with a
+            // collected key predicate evaluated driver-side against the
+            // stats map — zero scope-side Spark jobs. The r17 distributed
+            // scope (stats join + distinct + collect) is what removes the
+            // key-count cap, but it costs a measured ~2× wall floor PER
+            // MICRO-BATCH at typical update sizes (SCALE.md r18
+            // adjudication); above the threshold it takes over, so there
+            // is still NO cap — just a cheaper gear below it.
+            val collectCap = spark.conf
+              .getOption("spark.graft.lake.updateScopeCollectThreshold")
+              .map(_.trim.toInt).getOrElse(1000)
+            val smallKeys = keysDf.limit(collectCap + 1).collect()
+            val hit =
+              if (smallKeys.length > collectCap)
+                table.filesHitByKeys(keysDf, updateKeys)
+              else smallKeys.toSeq.map { r =>
+                updateKeys.zipWithIndex
+                  .map { case (k, i) => col(k) <=> lit(r.get(i)) }
+                  .reduce(_ && _)
+              }.reduceOption(_ || _)
+                .map(table.candidateFiles(_)).getOrElse(Nil)
             if (hit.isEmpty) {
               // no existing file can hold these keys: pure insert
               table.commitAppendIdempotent(cached, appId, batchId)

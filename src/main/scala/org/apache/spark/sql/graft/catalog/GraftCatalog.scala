@@ -81,8 +81,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def pointerPath(ident: Identifier): Path =
     new Path(defaultDir(ident) + ".location")
 
+  /** The warehouse path a pre-r16 (case-preserving) build would have
+    * derived — the LEGACY location probed on a miss so tables created
+    * before the normalization don't strand (r17 advice: `graft.MyTbl`
+    * resolving to `warehouse/mytbl` while the data lives at
+    * `warehouse/MyTbl` made SELECT report NoSuchTable and a re-CREATE
+    * build an empty shadow table beside the orphaned data). */
+  private def legacyDir(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
   /** The table's data directory: the external pointer wins, else the
-    * warehouse-derived path. */
+    * case-normalized warehouse path, else — only when the normalized
+    * path holds no table — the legacy case-preserved path if a table
+    * actually lives there. New CREATEs always land on the normalized
+    * path (the fallback never claims an empty directory). */
   private def tableDir(ident: Identifier): String = {
     val ptr = pointerPath(ident)
     val f = fs(ptr)
@@ -90,7 +102,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val in = f.open(ptr)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    } else defaultDir(ident)
+    } else {
+      val normalized = defaultDir(ident)
+      val legacy = legacyDir(ident)
+      if (legacy == normalized || isLakeTable(normalized)) normalized
+      else {
+        // legacy pointer files predate normalization too
+        val legacyPtr = new Path(legacy + ".location")
+        if (f.exists(legacyPtr)) {
+          val in = f.open(legacyPtr)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } else if (isLakeTable(legacy)) legacy
+        else normalized
+      }
+    }
   }
 
   private def isLakeTable(dir: String): Boolean =

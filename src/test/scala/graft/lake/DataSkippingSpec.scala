@@ -108,4 +108,23 @@ class DataSkippingSpec extends AnyFunSuite {
     // null-safe equality against null keeps exactly the null-bearing files
     assert(t.candidateFiles(col("s") <=> lit(null)).nonEmpty)
   }
+
+  test("r18: readForKeys — join-driven dynamic file pruning on an unpartitioned fact") {
+    val t = clusteredTable() // 4 files, disjoint k-ranges
+    // the "dim side": a selective key set entirely inside one file's range
+    val keys = spark.range(10, 20).toDF("k")
+    // file scope: a strict subset of the snapshot
+    val hit = t.filesHitByKeys(keys, Seq("k"))
+    assert(hit.size == 1, s"expected 1 file hit of 4, got ${hit.size}")
+    // join equivalence: readForKeys(k).join(k) ≡ read().join(k)
+    val viaPruned = t.readForKeys(keys, Seq("k"))
+      .join(keys, Seq("k")).agg(sum("val")).head().getDouble(0)
+    val viaFull = t.read()
+      .join(keys, Seq("k")).agg(sum("val")).head().getDouble(0)
+    assert(viaPruned == viaFull)
+    // superset contract: pruned read holds at least the matching rows,
+    // and far fewer than the table
+    val n = t.readForKeys(keys, Seq("k")).count()
+    assert(n >= 10 && n <= 100, s"expected one file's rows, got $n")
+  }
 }

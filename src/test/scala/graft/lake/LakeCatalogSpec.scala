@@ -306,7 +306,7 @@ class LakeCatalogSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("GraftFileIndex"))
   }
 
-  test("catalog SELECTs of DV-overlaid snapshots replan to the native scan + anti-join (r17); column-mapped keep the bridge") {
+  test("catalog SELECTs of DV-overlaid snapshots replan to the native scan + anti-join (r17); column-mapped go native too (r18)") {
     extSpark.sql("CREATE TABLE g.tdv (id BIGINT, v DOUBLE)")
     extSpark.sql("INSERT INTO g.tdv SELECT id, id * 1.0 FROM range(1000)")
     val vt = VersionedTable(extSpark, s"$warehouse/tdv")
@@ -325,11 +325,16 @@ class LakeCatalogSpec extends AnyFunSuite {
     val tt = extSpark.sql("SELECT count(*) AS n FROM g.tdv VERSION AS OF 1")
     assert(tt.queryExecution.executedPlan.toString.contains("GraftFileIndex"))
     assert(tt.head.getLong(0) == 1000)
-    // a column-mapped snapshot falls back to the featureful bridge
+    // r18: a column-mapped snapshot (here DV + rename COMBINED) also
+    // replans to the native scan — physical-schema data side through the
+    // graft index, DV overlay, logical projection on top. Pre-r18 this
+    // fell back to the V1 row bridge (the ~1.4× scan tax, forever after
+    // the first rename).
     extSpark.sql("ALTER TABLE g.tdv RENAME COLUMN v TO val")
     val cm = extSpark.sql("SELECT count(*) AS n FROM g.tdv WHERE val >= 0")
-    assert(!cm.queryExecution.executedPlan.toString.contains("GraftFileIndex"),
-      "column-mapped snapshot must keep the bridge")
+    assert(cm.queryExecution.executedPlan.toString.contains("GraftFileIndex"),
+      "column-mapped snapshot must scan natively (r18):\n" +
+        cm.queryExecution.executedPlan.toString)
     assert(cm.head.getLong(0) == 900)
   }
 
@@ -476,6 +481,26 @@ class LakeCatalogSpec extends AnyFunSuite {
       vt.snapshotDataFiles().flatMap(meta.get).map(_.size).sum)
     assert(d.getAs[Long]("rows") == 3L)
     assert(d.getAs[String]("properties").contains("retention.days=7"))
+  }
+
+  test("mixed-case tables stranded by a pre-normalization build resolve via the legacy path") {
+    // r17 advice: lowercasing the identifier→path derivation silently
+    // stranded tables earlier builds created case-preserved — graft.MyTbl
+    // resolved to warehouse/mytbl while the data lives at warehouse/MyTbl,
+    // so SELECT threw NoSuchTable and a re-CREATE shadowed the data.
+    // Simulate the legacy layout: a lake table at the case-preserved path.
+    import spark.implicits._
+    val vt = VersionedTable(spark, s"$warehouse/LegacyTbl")
+    vt.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(spark.sql("SELECT count(*) FROM g.LegacyTbl").head().getLong(0) == 2)
+    // DML lands on the legacy directory, not an empty shadow
+    spark.sql("INSERT INTO g.LegacyTbl VALUES (3, 'c')")
+    assert(vt.read().count() == 3)
+    assert(!new java.io.File(s"$warehouse/legacytbl").exists())
+    // a NEW mixed-case table still lands on the normalized path
+    spark.sql("CREATE TABLE g.FreshTbl (id BIGINT)")
+    assert(new java.io.File(s"$warehouse/freshtbl/_graft_log").exists())
+    spark.sql("DROP TABLE g.FreshTbl")
   }
 
   test("CALL procedures accept backquoted dotted table names (multipart grammar)") {

@@ -19,16 +19,33 @@ class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     CountingLocalFs.listed.add(f.toUri.getPath)
     super.listStatus(f)
   }
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingLocalFs.opened.add(f.toUri.getPath)
+    super.open(f, bufferSize)
+  }
 }
 
 object CountingLocalFs {
   val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  def reset(): Unit = listed.clear()
+  val opened = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { listed.clear(); opened.clear() }
   def listingsOf(pathSuffix: String): Int = {
     val it = listed.iterator()
     var n = 0
     while (it.hasNext) { if (it.next().endsWith(pathSuffix)) n += 1 }
     n
+  }
+  /** Distinct basenames of opened files matching `pred` — the
+    * runtime-read proof (which DATA files a plan actually touched). */
+  def openedNames(pred: String => Boolean): Set[String] = {
+    val it = opened.iterator()
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (pred(p)) out += p.substring(p.lastIndexOf('/') + 1)
+    }
+    out.toSet
   }
 }
 

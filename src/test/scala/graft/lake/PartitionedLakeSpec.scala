@@ -118,4 +118,124 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
     assert(t.properties().toMap == Map("retention.days" -> "7"))
   }
+
+  test("r18: the native scan exposes a REAL partitionSchema recovered from the stats layer") {
+    val t = fresh()
+    t.commitOverwritePartitioned(frame(Seq("a", "b", "c"), 30), Seq("day"))
+    val df = t.read()
+    // logical column order survives the data/partition schema split
+    assert(df.columns.toSeq == Seq("day", "k", "n"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    assert(scans.head.relation.partitionSchema.fieldNames.toSeq == Seq("day"))
+    // Spark's OWN planner prunes a partition predicate: the scan's
+    // selected partitions shrink to one, with no lake-private rule
+    val pruned = df.filter(col("day") === "b")
+    assert(pruned.count() == 30)
+    val ps = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(ps.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${ps.selectedPartitions.partitionCount}")
+    // values come from the directory metadata, not a file read: a
+    // partition-column-only projection still answers correctly
+    assert(df.select("day").distinct().as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
+  test("r18: dynamic partition pruning fires on a star join against the lake fact table") {
+    // fact table on the counting filesystem: the pruning proof is which
+    // data files execution actually OPENS (AQE's final-plan metric
+    // copies aren't driven, so SQL metrics can't carry this assert)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val factDir = Files.createTempDirectory("graft-dpp-fact").toString + "/t"
+    // write through the plain scheme (staging's recursive listing), read
+    // through the counting one — same directory
+    VersionedTable(spark, factDir)
+      .commitOverwritePartitioned(frame(Seq("a", "b", "c", "d"), 40), Seq("day"))
+    val t = VersionedTable(spark, "cfs://" + factDir)
+    // the dim must be FILE-backed with a real Filter node — a local
+    // Seq collapses to a LocalRelation and DPP has no selective
+    // predicate to hook (exactly the star shape: parquet dim, filtered)
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("a", "drop"), ("b", "keep"), ("c", "drop"), ("d", "drop"))
+      .toDF("dim_day", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = t.read().join(dim, col("day") === col("dim_day"))
+    val bFiles = t.candidateFiles(col("day") === "b").toSet
+    CountingLocalFs.reset()
+    assert(joined.count() == 40)
+    // runtime proof: execution opened ONLY the matched partition's data
+    // files — the other three partitions were dynamically pruned
+    val openedData = CountingLocalFs.openedNames(p =>
+      p.endsWith(".parquet") && !p.contains("_graft_log"))
+    assert(openedData.nonEmpty && openedData.subsetOf(bFiles),
+      s"expected only ${bFiles.size} 'b'-partition files opened, " +
+        s"got $openedData")
+    // the fact-side scan carries a dynamic-pruning partition filter —
+    // the runtime filter a selective dim join injects (unwrap AQE's
+    // root to reach the final physical plan)
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.nonEmpty => s
+    }.head
+    val hasDpp = scan.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+    assert(hasDpp, s"expected a DynamicPruningExpression in " +
+      s"partitionFilters, got ${scan.partitionFilters}")
+  }
+
+  test("r18: partitionStats answers partition queries from metadata — zero data files opened") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val dir = Files.createTempDirectory("graft-pstats").toString + "/t"
+    VersionedTable(spark, dir)
+      .commitOverwritePartitioned(frame(Seq("a", "b", "c"), 25), Seq("day"))
+    val t = VersionedTable(spark, "cfs://" + dir)
+    CountingLocalFs.reset()
+    val stats = t.partitionStats().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stats.map(s => (s._1, s._3)).toSeq ==
+      Seq(("a", 25L), ("b", 25L), ("c", 25L)))
+    assert(stats.forall(s => s._2 >= 1 && s._4 > 0)) // n_files, bytes real
+    val openedData = CountingLocalFs.openedNames(p =>
+      p.endsWith(".parquet") && !p.contains("_graft_log"))
+    assert(openedData.isEmpty,
+      s"partitionStats must not open data files, opened: $openedData")
+    // DV overlay breaks per-file exactness → honest fallback, same rows
+    t.deleteMoR(col("k") === "a#1")
+    val after = t.partitionStats().collect()
+      .map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(after == Seq(("a", 24L), ("b", 25L), ("c", 25L)))
+  }
+
+  test("r18: over-long string stats truncate conservatively and decline partition recovery") {
+    val t = fresh()
+    val longA = "a" * 200
+    val longB = "b" * 200
+    t.commitOverwritePartitioned(
+      Seq((longA, 1L), (longB, 2L)).toDF("key", "n"), Seq("key"))
+    // stats truncated: pruning still conservative — the right file is
+    // always kept (correctness), even though values exceed the cap
+    assert(t.readWhere(col("key") === longA).count() == 1)
+    assert(t.readWhere(col("key") === longB).select("n").as[Long].head() == 2L)
+    // a truncated pair can never claim min == max, so the partition
+    // fast path declines instead of mis-recovering values
+    assert(t.partitionTuplesInternal(None).isEmpty)
+    assert(t.read().queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.relation.partitionSchema.isEmpty)
+    // and the stored stats really are bounded
+    val probe = t.candidateFiles(col("key") === ("a" * 64))
+    assert(probe.nonEmpty) // prefix-range keeps the longA file
+  }
 }

@@ -1035,6 +1035,55 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.constraints() == Seq("x_pos" -> "x > 0"))
   }
 
+  test("filesHitByKeys keeps the conservative superset for FLOAT key columns") {
+    // r17 advice: widening the key 0.1f to double (0.10000000149…) while
+    // the stat string "0.1" parsed as the nearest double made kv > mx on
+    // a min=max single-value file — the file was wrongly EXCLUDED and
+    // the Update sink kept stale rows. Both sides must compare in float.
+    val t = freshTable()
+    t.commitOverwrite(Seq((0.1f, "a")).toDF("k", "v"))   // one file, min=max=0.1
+    t.commitAppend(Seq((7.5f, "b")).toDF("k", "v"))      // a second, disjoint file
+    val hits = t.filesHitByKeys(Seq(Tuple1(0.1f)).toDF("k"), Seq("k"))
+    assert(hits.size == 1, s"expected exactly the 0.1f file, got $hits")
+    // the hit file really is the one holding the key
+    assert(t.readSnapshotFiles(hits).select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("reserved commit-record field names are rejected as property keys and constraint names") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    // r17 advice: a 'pcols' property serialized a record where the
+    // pcols substring probe fired with no array behind it — every
+    // subsequent read of the table failed until manual log surgery
+    for (k <- Seq("pcols", "dvTargets", "droppedPhys", "txnApp", "add", "props")) {
+      val e = intercept[RuntimeException](t.setProperties(Seq(k -> "x")))
+      assert(e.getMessage.contains("reserved"), s"$k: ${e.getMessage}")
+    }
+    intercept[RuntimeException](t.addConstraint("colmap", "id > 0"))
+    // the table is still fully readable (nothing committed)
+    assert(t.read().count() == 1)
+    // ordinary keys and VALUES that merely contain a field name are fine
+    t.setProperties(Seq("owner.pcols.note" -> "pcols", "team" -> "\"pcols\""))
+    assert(t.properties().toMap.get("team").contains("\"pcols\""))
+    assert(t.read().count() == 1)
+  }
+
+  test("log-planned native reads surface the add-commit time as file_modification_time") {
+    val before = System.currentTimeMillis() - 1000
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))
+    val mts = t.read().select(col("_metadata.file_modification_time"))
+      .distinct().collect().map(_.getTimestamp(0).getTime)
+    // r17 advice: synthetic statuses returned epoch 0 here
+    assert(mts.forall(_ >= before), s"expected add-commit times, got ${mts.toSeq}")
+    // durable across a checkpoint-resolved fresh handle (fmeta persists mtime)
+    val reopened = VersionedTable(spark, t.tablePath)
+    val mts2 = reopened.read().select(col("_metadata.file_modification_time"))
+      .distinct().collect().map(_.getTimestamp(0).getTime)
+    assert(mts2.sorted.toSeq == mts.sorted.toSeq)
+  }
+
   test("state is durable: a fresh handle sees the same log and snapshots") {
     val t = freshTable()
     t.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
