@@ -137,6 +137,36 @@ object CoreQueries24 {
         .orderBy("pri")
     },
 
+    // METADATA-ONLY count/min/max (Delta's OptimizeMetadataOnlyDeltaQuery
+    // shape): the rule must rewrite the whole aggregate into a
+    // LocalRelation — zero files scanned (instrumented proof in
+    // MetadataAggregatesSpec) — and the values must match the oracle's
+    // real scan. The rule is applied explicitly here (the driver's
+    // session carries no extensions); extension sessions run it
+    // automatically on SQL.
+    q("q_meta_agg",
+      """SELECT count(*) AS n, count(o_orderpriority) AS n_pri,
+        |  min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+        |  min(o_orderpriority) AS mn_pri,
+        |  max(CAST(o_orderdate AS DATE)) AS mx_date
+        |FROM orders""".stripMargin) { (s, d) =>
+      val dir = graft.lake.Scratch.dir("graft-vt-metaagg") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      t.commitOverwrite(orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate")))
+      val agg = t.read().agg(
+        count(lit(1)).as("n"), count(col("o_orderpriority")).as("n_pri"),
+        min("o_totalprice").as("mn_price"), max("o_totalprice").as("mx_price"),
+        min("o_orderpriority").as("mn_pri"), max("o_orderdate").as("mx_date"))
+      val out = org.apache.spark.sql.graft.GraftMetadataAggregates(s)(
+        agg.queryExecution.optimizedPlan)
+      if (!out.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        sys.error("q_meta_agg: the metadata-aggregate rule declined; " +
+          s"plan:\n${agg.queryExecution.optimizedPlan}")
+      org.apache.spark.sql.GraftColumnBridge.ofRows(s, out)
+    },
+
     // Column-mapped NATIVE scan: rename + drop, then a scan-bound
     // aggregate. In-query proof: the plan bottoms out in a vectorized
     // FileSourceScanExec over the graft index reading the PHYSICAL

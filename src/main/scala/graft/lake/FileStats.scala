@@ -49,7 +49,7 @@ object FileStats {
   /** Cap on stored string-stat length (UTF-16 units). 64 keeps every
     * realistic key/category/partition value exact while bounding the
     * metadata a long URL/text column contributes per (file, column). */
-  private[lake] val StringStatMaxLen = 64
+  val StringStatMaxLen = 64
 
   /** Lower bound for a truncated min: a strict prefix sorts ≤ the
     * value it came from. */
@@ -72,7 +72,7 @@ object FileStats {
 
   /** Stats-eligible type → kind tag. Temporal types are "num" because
     * collection integer-encodes them (see above). */
-  private[lake] def statKind(dt: DataType): Option[String] = dt match {
+  def statKind(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | _: DecimalType | DateType | TimestampType => Some("num")
     case StringType => Some("str")

@@ -1027,6 +1027,28 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   def physicalReadSchemaAt(version: Int): StructType =
     physReadSchema(readCommit(version))
 
+  /** The snapshot's LIVE row count at a pinned version — maintained
+    * exactly on every commit (appends add, CoW and MoR deletes
+    * subtract, updates carry): `SELECT count(*)` as one O(1) log-record
+    * read, the metadata-aggregate rule's anchor. */
+  def rowCountAt(version: Int): Long = readCommit(version).rows
+
+  /** True when the snapshot at `version` carries NO deletion-vector
+    * overlay (per-file stats and row counts then describe exactly the
+    * live rows). */
+  def dvFreeAt(version: Int): Boolean =
+    splitDv(readCommit(version).files)._1.isEmpty
+
+  /** (data files, per-file column stats) of the snapshot at a pinned
+    * version — the metadata-aggregate rule's input. Stats are keyed by
+    * PHYSICAL column name (the sidecars describe the files as written);
+    * files without a sidecar entry are simply absent from the map. */
+  def snapshotStatsAt(version: Int)
+      : (Seq[String], Map[String, Map[String, FileStats.ColStats]]) = {
+    val c = readCommit(version)
+    (splitDv(c.files)._2, readAllStats())
+  }
+
   /** The logical→physical column-name overlay at a pinned version
     * (empty when no rename ever happened). */
   def physicalMapAt(version: Int): Map[String, String] =
@@ -1434,8 +1456,44 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * per-file key ranges tight enough to prune. */
   def readForKeys(keys: DataFrame, keyCols: Seq[String],
                   version: Option[Int] = None): DataFrame = {
-    val hit = filesHitByKeys(keys, keyCols, version)
-    readSnapshotFiles(hit, version)
+    require(keyCols.nonEmpty, "readForKeys needs key columns")
+    // RANGE-FIRST scoping: one tiny aggregate over the key frame
+    // (per-column min/max + null presence), then a driver-side stats
+    // prune on the range predicate — microseconds of metadata against
+    // the stats map, no join. The range is a SUPERSET of the key set,
+    // so correctness holds unconditionally; it is also exactly right
+    // for the dominant real shape (key-correlated slices: recent
+    // orders, an id backfill window). Only when the range fails to cut
+    // the file set in half does the EXACT distributed stats join run
+    // (sparse keys spread across the keyspace) — and then only on the
+    // files the range kept.
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    val aggs = keyCols.flatMap(k => Seq(
+      org.apache.spark.sql.functions.min(col(k)),
+      org.apache.spark.sql.functions.max(col(k)),
+      org.apache.spark.sql.functions.max(when(col(k).isNull, 1).otherwise(0))))
+    val r = keys.agg(aggs.head, aggs.tail: _*).head()
+    val allFiles = snapshotDataFiles(Some(v))
+    // an EMPTY key frame leaves every aggregate null with no null
+    // marker: the scoped read is empty by definition
+    val emptyKeys = keyCols.indices.forall(i =>
+      r.isNullAt(i * 3) && (r.isNullAt(i * 3 + 2) || r.getInt(i * 3 + 2) == 0))
+    if (emptyKeys) return readSnapshotFiles(Nil, Some(v))
+    val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
+      val (mn, mx, hasNull) = (r.get(i * 3), r.get(i * 3 + 1),
+        !r.isNullAt(i * 3 + 2) && r.getInt(i * 3 + 2) == 1)
+      if (mn == null) col(k).isNull // non-empty frame ⇒ this column is all-null
+      else if (hasNull)
+        (col(k) >= lit(mn) && col(k) <= lit(mx)) || col(k).isNull
+      else col(k) >= lit(mn) && col(k) <= lit(mx)
+    }.reduce(_ && _)
+    val ranged = candidateFiles(rangePred, Some(v))
+    val hit =
+      if (ranged.size * 2 <= allFiles.size || ranged.size <= 1) ranged
+      else filesHitByKeys(keys, keyCols, Some(v)).toSet.intersect(ranged.toSet)
+        .toSeq.sorted
+    readSnapshotFiles(hit, Some(v))
   }
 
   /** METADATA-ONLY partition statistics (r18): one row per partition —

@@ -11,4 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** `Dataset.ofRows` re-export (private[sql] in Spark 4) — engine code
+    * outside the spark.sql tree materializes an explicitly-built
+    * LogicalPlan through this (e.g. the metadata-aggregate plan). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

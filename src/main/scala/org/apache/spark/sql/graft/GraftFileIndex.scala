@@ -42,7 +42,7 @@ import graft.lake.VersionedTable
   * a directory listing happens only for legacy pre-meta commits or
   * under the explicit `spark.graft.lake.verifyListing` integrity mode.
   */
-class GraftFileIndex(spark: SparkSession, table: VersionedTable,
+class GraftFileIndex(spark: SparkSession, val table: VersionedTable,
                      path: String, version: Option[Int],
                      // physical→logical column names for COLUMN-MAPPED
                      // snapshots (r18): the relation's attributes carry
@@ -58,7 +58,7 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
   // construction and listFiles prune against a different file list
   // (crashing on a name the status map never saw, or silently dropping
   // an optimize's rewritten files).
-  private val pinnedVersion: Int = version.orElse(table.latestVersion())
+  private[graft] val pinnedVersion: Int = version.orElse(table.latestVersion())
     .getOrElse(sys.error(s"graft-lake: no committed versions at $path"))
   private val snapshot: Seq[String] = table.snapshotDataFiles(Some(pinnedVersion))
   /** File statuses FROM THE LOG (r17): commit add actions record each
@@ -117,7 +117,9 @@ class GraftFileIndex(spark: SparkSession, table: VersionedTable,
     * tuple is unrecoverable (lost sidecar, mixed file) — then the index
     * stays flat, which is never wrong, just less pruned. */
   private val partTuples: Map[String, InternalRow] =
-    if (table.partitionColumnsAt(pinnedVersion).isEmpty) Map.empty
+    if (table.partitionColumnsAt(pinnedVersion).isEmpty ||
+        !spark.conf.getOption("spark.graft.lake.partitionedIndex")
+          .forall(_.trim.equalsIgnoreCase("true"))) Map.empty
     else table.partitionTuplesInternal(Some(pinnedVersion)).getOrElse(Map.empty)
 
   private val partFields: Seq[StructField] = {

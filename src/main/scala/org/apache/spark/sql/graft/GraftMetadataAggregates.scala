@@ -1,0 +1,162 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.lake.FileStats
+
+/** METADATA-ONLY aggregates over lake snapshots (r18) — Delta's
+  * `OptimizeMetadataOnlyDeltaQuery` as an injected optimizer rule:
+  *
+  *   SELECT count(*), count(c), min(c), max(c) FROM lake_table
+  *
+  * answers from the commit log and the per-file stats sidecars — ZERO
+  * data files scanned. At 100 TB a bare `count(*)` is otherwise a full
+  * pass over every row of every file; the log already carries the live
+  * row count on EVERY commit record (maintained exactly through
+  * appends, CoW and MoR deletes, updates, merges), and the sidecars
+  * carry per-column min / max / null counts per file.
+  *
+  * Exactness rules — the rule REWRITES only when the metadata answer is
+  * provably the scan's answer, and silently declines otherwise:
+  *  - the child chain must be the lake's native relation under pure
+  *    column projections (any Filter / DV overlay / join breaks the
+  *    shape and the rule never fires);
+  *  - the snapshot must carry no deletion vectors (DV'd files' stats
+  *    describe pre-delete rows);
+  *  - `count(*)` needs only the commit record; `count(c)` / `min(c)` /
+  *    `max(c)` additionally need stats for `c` in EVERY data file
+  *    (a file that predates `c`'s schema evolution null-fills on scan
+  *    and has no stats — null rows don't change min/max but DO change
+  *    count(c), so both decline together, conservatively);
+  *  - string min/max decline when any boundary could be TRUNCATED
+  *    (length ≥ the collection cap): a truncated min is a lower bound,
+  *    not the value;
+  *  - numeric min/max compare as BigDecimal (the stats evaluator's own
+  *    exact encoding) and materialize through
+  *    [[FileStats.internalValue]] — NaN-poisoned files have no stats
+  *    and decline the rewrite (correct: NaN would BE the max).
+  *
+  * Gate: `spark.graft.lake.metadataAggregates` (default true).
+  */
+case class GraftMetadataAggregates(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = session.conf
+      .getOption("spark.graft.lake.metadataAggregates")
+      .forall(_.trim.equalsIgnoreCase("true"))
+    if (!enabled) plan
+    else plan.transformDown {
+      case agg @ Aggregate(Seq(), aggExprs, child, _) =>
+        rewrite(agg, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  /** Walk pure projections down to the lake's native relation,
+    * accumulating the output-attribute → bottom-attribute-name map
+    * (tracks renames through splice/mapped projections). None on any
+    * other node. */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(GraftFileIndex, Map[ExprId, String])] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, output, _, _, _) =>
+      fs.location match {
+        case idx: GraftFileIndex =>
+          Some((idx, output.map(a => a.exprId -> a.name).toMap))
+        case _ => None
+      }
+    case Project(projList, child) =>
+      unwrap(child).flatMap { case (idx, names) =>
+        val mapped = projList.map {
+          case a: AttributeReference => names.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(a: AttributeReference, _) =>
+            names.get(a.exprId).map(al.exprId -> _)
+          case _ => None
+        }
+        if (mapped.forall(_.isDefined)) Some((idx, mapped.flatten.toMap))
+        else None
+      }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val (idx, names) = unwrap(child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val table = idx.table
+    val v = idx.pinnedVersion
+    if (!table.dvFreeAt(v)) return None
+    lazy val (files, stats) = table.snapshotStatsAt(v)
+
+    def colName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => names.get(a.exprId)
+      case _ => None
+    }
+    // stats for `name` in EVERY data file, or None
+    def allStats(name: String): Option[Seq[FileStats.ColStats]] = {
+      val per = files.map(f => stats.get(f).flatMap(_.get(name)))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+
+    def minMax(name: String, dt: DataType, wantMin: Boolean): Option[Any] =
+      allStats(name).flatMap { cs =>
+        val bounds = cs.flatMap(s => if (wantMin) s.min else s.max)
+        if (bounds.isEmpty) Some(null) // every row null → SQL min/max = null
+        else FileStats.statKind(dt) match {
+          case Some("str") =>
+            // decline on possible truncation (a truncated min is a lower
+            // bound, not the value) and on any char in/above the
+            // surrogate range — Java's UTF-16 ordering diverges from
+            // Spark's UTF-8 binary ordering there, and this answer must
+            // be EXACT, not conservative
+            if (bounds.exists(b => b.length >= FileStats.StringStatMaxLen ||
+                b.exists(_ >= 0xD800))) None
+            else Some(UnsafeProjectionShim.utf8(
+              if (wantMin) bounds.min else bounds.max))
+          case Some("num") =>
+            val pick = bounds.map(b => (new java.math.BigDecimal(b), b))
+              .reduceLeft { (x, y) =>
+                val c = x._1.compareTo(y._1)
+                if ((wantMin && c <= 0) || (!wantMin && c >= 0)) x else y
+              }._2
+            FileStats.internalValue(pick, dt)
+          case _ => None
+        }
+      }
+
+    val values = aggExprs.map {
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        fn match {
+          case Count(Seq(Literal(x, _))) if x != null => Some(table.rowCountAt(v))
+          case Count(Seq(a: AttributeReference)) =>
+            colName(a).flatMap(n => allStats(n).map(cs =>
+              cs.map(s => s.rows - s.nulls).sum))
+          case Min(a: AttributeReference) =>
+            colName(a).flatMap(n => minMax(n, a.dataType, wantMin = true))
+          case Max(a: AttributeReference) =>
+            colName(a).flatMap(n => minMax(n, a.dataType, wantMin = false))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) return None
+    // unwrap the Some(null) ambiguity: Option.get of Some(null) is null,
+    // which is a legitimate min/max of an all-null column
+    val row = InternalRow.fromSeq(values.map(_.orNull))
+    Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), Seq(row)))
+  }
+}
+
+/** UTF8String shim kept out of the pattern-heavy rule body. */
+private object UnsafeProjectionShim {
+  def utf8(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+}

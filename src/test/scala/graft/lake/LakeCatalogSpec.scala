@@ -285,11 +285,17 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(plan.contains("FileScan parquet"),
       s"catalog read did not take the native path under extensions:\n$plan")
     assert(q.head.getDouble(0) == (0 until 100).map(_ * 0.5).sum)
-    // time travel rides the same rewrite
+    // time travel rides the same rewrite. A bare count(*) is now
+    // answered from METADATA (r18 GraftMetadataAggregates —
+    // LocalTableScan, zero files), so probe the scan plan with a
+    // non-rewritable aggregate and pin the metadata shape for the count.
     extSpark.sql("INSERT INTO g.tn VALUES (9999, -1.0)")
-    val tt = extSpark.sql("SELECT count(*) AS n FROM g.tn VERSION AS OF 1")
+    val tt = extSpark.sql("SELECT sum(v) AS s FROM g.tn VERSION AS OF 1")
     assert(tt.queryExecution.executedPlan.toString.contains("GraftFileIndex"))
-    assert(tt.head.getLong(0) == 1000)
+    val ttc = extSpark.sql("SELECT count(*) AS n FROM g.tn VERSION AS OF 1")
+    assert(ttc.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "count(*) must answer from the log under extensions")
+    assert(ttc.head.getLong(0) == 1000)
     // DML on the same table still routes through the command rules
     extSpark.sql("UPDATE g.tn SET v = 0.0 WHERE id = 9999")
     assert(extSpark.sql("SELECT v FROM g.tn WHERE id = 9999")
@@ -322,9 +328,11 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(row.getLong(0) == 90 &&
       row.getDouble(1) == (1 until 100).filter(_ % 10 != 0).map(_.toDouble).sum)
     // time travel to the pre-DV version stays on the plain native path
-    val tt = extSpark.sql("SELECT count(*) AS n FROM g.tdv VERSION AS OF 1")
+    // (sum(v) probes the scan — a bare count(*) is metadata-answered
+    // since r18)
+    val tt = extSpark.sql("SELECT sum(v) AS s FROM g.tdv VERSION AS OF 1")
     assert(tt.queryExecution.executedPlan.toString.contains("GraftFileIndex"))
-    assert(tt.head.getLong(0) == 1000)
+    assert(tt.head.getDouble(0) == (0 until 1000).map(_.toDouble).sum)
     // r18: a column-mapped snapshot (here DV + rename COMBINED) also
     // replans to the native scan — physical-schema data side through the
     // graft index, DV overlay, logical projection on top. Pre-r18 this
