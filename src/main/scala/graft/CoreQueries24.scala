@@ -137,6 +137,32 @@ object CoreQueries24 {
         .orderBy("pri")
     },
 
+    // TIMESTAMP_NTZ data skipping (r18): the fixtures' timestamps are
+    // physical timestamp[us] with no zone — Spark reads TIMESTAMP_NTZ —
+    // and the stats layer previously collected NOTHING for them, so no
+    // temporal predicate ever pruned a lake table built from raw
+    // fixtures. Stats now encode NTZ as wall micros (UTC-session-gated
+    // collection; evaluation is session-independent). In-query proof:
+    // a half-range predicate on a date-clustered table plans a strict
+    // file subset.
+    q("q_lake_ntz_skipping",
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS tot
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin) { (s, d) =>
+      val dir = graft.lake.Scratch.dir("graft-vt-ntz") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      t.commitOverwrite(orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate")))
+      val pred = col("o_orderdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+      val total = t.snapshotDataFiles().size
+      val cand = t.candidateFiles(pred)
+      if (cand.isEmpty || cand.size >= total)
+        sys.error(s"q_lake_ntz_skipping: expected a strict file subset " +
+          s"for the NTZ range predicate, got ${cand.size} of $total")
+      t.readWhere(pred)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+    },
+
     // METADATA-ONLY count/min/max (Delta's OptimizeMetadataOnlyDeltaQuery
     // shape): the rule must rewrite the whole aggregate into a
     // LocalRelation — zero files scanned (instrumented proof in

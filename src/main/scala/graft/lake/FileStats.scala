@@ -74,15 +74,29 @@ object FileStats {
     * collection integer-encodes them (see above). */
   def statKind(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | _: DecimalType | DateType | TimestampType => Some("num")
+         DoubleType | _: DecimalType | DateType | TimestampType |
+         TimestampNTZType => Some("num")
     case StringType => Some("str")
     case _ => None
   }
 
+  /** NTZ stats are COLLECTED only under a UTC session: the micros
+    * encoding rides cast(ntz → timestamp), whose internal micros equal
+    * the NTZ wall micros exactly when the session zone is UTC. Stored
+    * stats are therefore wall micros — the same value an NTZ literal
+    * carries — so EVALUATION is session-independent; only collection
+    * needs the gate (a non-UTC writer skips the column: files without
+    * stats are never pruned, conservative as always). */
+  private[lake] def utcSession(spark: SparkSession): Boolean =
+    try java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      .normalized() == java.time.ZoneOffset.UTC
+    catch { case _: Exception => false }
+
   private def statExpr(name: String, dt: DataType): Column = dt match {
-    case TimestampType => unix_micros(col(name))
-    case DateType      => datediff(col(name), to_date(lit("1970-01-01")))
-    case _             => col(name)
+    case TimestampType    => unix_micros(col(name))
+    case TimestampNTZType => unix_micros(col(name).cast(TimestampType)) // UTC-gated
+    case DateType         => datediff(col(name), to_date(lit("1970-01-01")))
+    case _                => col(name)
   }
 
   /** Serialize a collected min/max cell. Outer None = value unusable for
@@ -104,6 +118,7 @@ object FileStats {
       : Map[String, Map[String, ColStats]] = {
     val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val usable = df.schema.fields.toSeq
+      .filter(f => f.dataType != TimestampNTZType || utcSession(spark))
       .flatMap(f => statKind(f.dataType).map(k => (f.name, f.dataType, k)))
     val aggs = count(lit(1)).as("_rows") +: usable.flatMap { case (n, dt, _) =>
       val e = statExpr(n, dt)
@@ -191,6 +206,7 @@ object FileStats {
         if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
       case DateType        => Some(s.toInt)  // days since epoch
       case TimestampType   => Some(s.toLong) // unix micros
+      case TimestampNTZType => Some(s.toLong) // wall micros (UTC-collected)
       case StringType      =>
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       case _ => None
@@ -215,6 +231,12 @@ object FileStats {
         val us = s.toLong
         Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)))
+      case TimestampNTZType =>
+        val us = s.toLong
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
       case StringType      => Some(s)
       case _ => None
     }

@@ -1371,9 +1371,15 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // key columns with a usable stats kind; each contributes one range
     // constraint — a key-eligible column with no kind constrains nothing
     val constrained = keyCols.flatMap { k =>
-      schema.find(_.name == k).flatMap(f =>
-        FileStats.statKind(f.dataType).map(_ => (k, f.dataType,
-          map.getOrElse(k, k))))
+      schema.find(_.name == k)
+        // NTZ keys compare through the UTC-gated micros encoding —
+        // outside a UTC session the column contributes no constraint
+        // (conservative: files stay hit)
+        .filter(f => f.dataType != TimestampNTZType ||
+          FileStats.utcSession(spark))
+        .flatMap(f =>
+          FileStats.statKind(f.dataType).map(_ => (k, f.dataType,
+            map.getOrElse(k, k))))
     }
     if (constrained.isEmpty) return data
     val stats = readAllStats()
@@ -1404,6 +1410,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         org.apache.spark.sql.Column, org.apache.spark.sql.Column) = dt match {
       case TimestampType =>
         (unix_micros(col(s"p.$k")),
+          col(s"_mn_$i").cast(LongType), col(s"_mx_$i").cast(LongType))
+      case TimestampNTZType =>
+        (unix_micros(col(s"p.$k").cast(TimestampType)), // UTC session (gated above)
           col(s"_mn_$i").cast(LongType), col(s"_mx_$i").cast(LongType))
       case DateType =>
         (datediff(col(s"p.$k"), to_date(lit("1970-01-01"))),

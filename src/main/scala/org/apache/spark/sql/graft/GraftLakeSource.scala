@@ -175,8 +175,20 @@ class GraftLakeSourceProvider extends StreamSourceProvider
         "requires .option(\"updateKeys\", \"k1,k2\"): each micro-batch " +
         "replaces exactly its keys' rows (file-scoped swap) — without " +
         "declared keys there is no sound scope. Complete mode needs none.")
+    // r18: dynamic partition overwrite per micro-batch — the
+    // late-arriving-reload pattern (each batch carries full corrected
+    // partitions; the sink swaps exactly those partitions' files,
+    // idempotently by (appId, batchId)). Append-mode only: it IS a
+    // write-shape, not a changed-keys contract.
+    val partitionReplace = opt("partitionOverwrite")
+      .exists(_.trim.equalsIgnoreCase("dynamic"))
+    if (partitionReplace)
+      require(outputMode == OutputMode.Append(),
+        "graft-lake sink: partitionOverwrite=dynamic composes with " +
+          "Append mode (each batch carries whole partitions); use " +
+          "Update/updateKeys for key-level changes")
     new GraftLakeSink(activeSession(sqlContext), tablePath(parameters),
-      sinkAppId(parameters), outputMode, updateKeys)
+      sinkAppId(parameters), outputMode, updateKeys, partitionReplace)
   }
 
   /** The sink's txn-ledger identity. Two queries writing the SAME table
@@ -285,7 +297,8 @@ class GraftLakeSourceProvider extends StreamSourceProvider
   * (their batch-id sequences are independent). */
 class GraftLakeSink(spark: SparkSession, path: String, appId: String,
                     outputMode: OutputMode = OutputMode.Append(),
-                    updateKeys: Seq[String] = Nil)
+                    updateKeys: Seq[String] = Nil,
+                    partitionReplace: Boolean = false)
     extends Sink {
   private val table = VersionedTable(spark, path)
 
@@ -298,6 +311,14 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
     val batchDf = classicSpark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
     outputMode match {
+      case m if m == OutputMode.Append() && partitionReplace =>
+        // dynamic partition overwrite per batch: swap exactly the
+        // partitions the batch carries (file-identity for the rest),
+        // replay-exact via the same (appId, batchId) ledger. An empty
+        // batch no-ops (replacePartitions of nothing replaces nothing).
+        if (!batchDf.isEmpty)
+          table.replacePartitionsIdempotent(batchDf, appId, batchId)
+        ()
       case m if m == OutputMode.Append() =>
         table.commitAppendIdempotent(batchDf, appId, batchId)
       case m if m == OutputMode.Complete() =>

@@ -173,6 +173,18 @@ object GraftProcedures {
           UTF8String.fromString(kvs(t.properties()))))))
       }),
 
+    ProcDef("partition_stats",
+      "Per-partition (values, n_files, rows, bytes) answered from the " +
+        "commit log and stats sidecars — zero data files opened on a " +
+        "clean snapshot (DV overlays fall back to an exact scan with " +
+        "n_files/bytes = -1)",
+      Seq(in("table", StringType)),
+      (_, t, _) => {
+        val df = t.partitionStats()
+        Seq(localScan(df.schema,
+          df.queryExecution.executedPlan.executeCollect().toSeq))
+      }),
+
     ProcDef("replace_partitions",
       "Dynamic partition overwrite from a registered view/table: " +
         "replaces exactly the partitions present in the source, " +

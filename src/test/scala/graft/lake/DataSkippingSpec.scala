@@ -109,6 +109,37 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.candidateFiles(col("s") <=> lit(null)).nonEmpty)
   }
 
+  test("r18: TIMESTAMP_NTZ predicates prune via wall-micros stats (UTC session)") {
+    val t = freshTable()
+    val df = spark.range(0, 400).toDF("k")
+      .withColumn("tntz", expr(
+        "timestampadd(MINUTE, cast(k AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')"))
+      .repartitionByRange(4, col("k"))
+    t.commitOverwrite(df)
+    assert(t.read().schema("tntz").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val total = t.snapshotDataFiles().size
+    // point predicate inside one file's range
+    val cand = t.candidateFiles(
+      col("tntz") === expr("TIMESTAMP_NTZ '2024-01-01 00:50:00'"))
+    assert(cand.size == 1, s"expected 1 of $total files, got ${cand.size}")
+    assert(t.readWhere(
+      col("tntz") === expr("TIMESTAMP_NTZ '2024-01-01 00:50:00'")).count() == 1)
+    // range predicate
+    val range = t.candidateFiles(
+      col("tntz") >= expr("TIMESTAMP_NTZ '2024-01-01 05:00:00'"))
+    assert(range.size < total && range.nonEmpty)
+    // filesHitByKeys through the same encoding
+    import spark.implicits._
+    val keys = Seq(java.time.LocalDateTime.parse("2024-01-01T00:50:00"))
+      .toDF("tntz")
+    val hit = t.filesHitByKeys(keys, Seq("tntz"))
+    assert(hit.size == 1, s"expected 1 file hit, got ${hit.size}")
+    assert(t.readSnapshotFiles(hit)
+      .filter(col("tntz") === expr("TIMESTAMP_NTZ '2024-01-01 00:50:00'"))
+      .count() == 1)
+  }
+
   test("r18: readForKeys — join-driven dynamic file pruning on an unpartitioned fact") {
     val t = clusteredTable() // 4 files, disjoint k-ranges
     // the "dim side": a selective key set entirely inside one file's range

@@ -511,6 +511,50 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.FreshTbl")
   }
 
+  test("dynamic partition pruning fires through the SQL door (extensions splice)") {
+    import extSpark.implicits._
+    extSpark.sql(
+      "CREATE TABLE g.dppfact (day INT, v DOUBLE) PARTITIONED BY (day)")
+    extSpark.sql("INSERT INTO g.dppfact " +
+      "SELECT CAST(id % 16 AS INT), id * 1.0 FROM range(16000)")
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-sqldpp-dim").toString + "/dim"
+    (0 until 16).map(i => (i, if (i == 3) "keep" else "drop"))
+      .toDF("dim_day", "tag").write.parquet(dimPath)
+    extSpark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+    val q = extSpark.sql(
+      "SELECT sum(v) AS s FROM g.dppfact f JOIN dpp_dim d " +
+        "ON f.day = d.dim_day WHERE d.tag = 'keep'")
+    // force + unwrap AQE's final plan
+    val expected = (0L until 16000L).filter(_ % 16 == 3).map(_ * 1.0).sum
+    assert(q.head.getDouble(0) == expected)
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains("day") => s
+    }
+    assert(scan.nonEmpty, s"fact scan lost partitionSchema:\n$plan")
+    assert(scan.exists(_.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))),
+      s"no DPP on the SQL-door fact scan:\n${scan.map(_.partitionFilters)}")
+    extSpark.sql("DROP TABLE g.dppfact")
+  }
+
+  test("CALL g.system.partition_stats answers per-partition facts from metadata") {
+    spark.sql("CREATE TABLE g.pstats (day STRING, n BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO g.pstats VALUES ('a', 1), ('a', 2), ('b', 3)")
+    val rows = spark.sql("CALL g.system.partition_stats(table => 'pstats')")
+      .orderBy("day").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(3) > 0))
+    spark.sql("DROP TABLE g.pstats")
+  }
+
   test("CALL procedures accept backquoted dotted table names (multipart grammar)") {
     spark.sql("CREATE TABLE g.`dot.ted` (id BIGINT)")
     spark.sql("INSERT INTO g.`dot.ted` VALUES (1), (2), (3)")

@@ -330,6 +330,48 @@ class LakeSourceSpec extends AnyFunSuite {
       Seq(("up", 0L), ("up", 1L)))
   }
 
+  test("r18: partitionOverwrite=dynamic sink — each batch swaps exactly its partitions, replay-exact") {
+    val bronzeDir = scratch("graft-lsnk-po-b") + "/bronze"
+    val goldDir = scratch("graft-lsnk-po-g") + "/gold"
+    val bronze = VersionedTable(spark, bronzeDir)
+    bronze.commitOverwrite(
+      Seq(("d1", 1L, 10.0), ("d2", 2L, 20.0)).toDF("day", "id", "v"))
+    // the target must be a PARTITIONED table (partitioning fixed at
+    // creation — the sink swaps whole partitions)
+    val gold = VersionedTable(spark, goldDir)
+    gold.commitOverwritePartitioned(
+      Seq(("d1", 0L, 0.0), ("d2", 0L, 0.0), ("d3", 0L, 0.0))
+        .toDF("day", "id", "v"), Seq("day"))
+    val d3Files = gold.candidateFiles(col("day") === "d3").toSet
+    val q = spark.readStream.format("graft-lake").load(bronzeDir)
+      .filter(col("_change_type") === "insert")
+      .select("day", "id", "v")
+      .writeStream.format("graft-lake")
+      .outputMode("append")
+      .option("partitionOverwrite", "dynamic")
+      .option("appId", "po")
+      .option("checkpointLocation", scratch("graft-lsnk-po-ck"))
+      .start(goldDir)
+    try {
+      q.processAllAvailable()  // batch 0: reloads d1 and d2
+      bronze.commitAppend(Seq(("d1", 3L, 30.0)).toDF("day", "id", "v"))
+      q.processAllAvailable()  // batch 1: reloads ONLY d1
+    } finally q.stop()
+    // d3 was never in any batch: its seed files survive BY IDENTITY
+    assert(d3Files.subsetOf(gold.snapshotDataFiles().toSet),
+      "untouched partition's files must survive the streaming reloads")
+    // batch 1 replaced d1 wholesale (not appended): only the batch row
+    assert(gold.read().filter(col("day") === "d1")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((3L, 30.0)))
+    assert(gold.read().filter(col("day") === "d2")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // the ledger carries both batches; a restarted query replays nothing
+    assert(gold.historyDF().filter(col("txn_app") === "po").count() == 2)
+    assert(gold.replacePartitionsIdempotent(
+      Seq(("d1", 99L, 9.9)).toDF("day", "id", "v"), "po", 1L).isEmpty)
+  }
+
   test("Update sink at 100k distinct keys: file-scoped, no cap, untouched files survive, replay commits nothing (r17)") {
     import org.apache.spark.sql.graft.GraftLakeSink
     import org.apache.spark.sql.streaming.OutputMode
