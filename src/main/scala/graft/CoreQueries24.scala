@@ -193,6 +193,31 @@ object CoreQueries24 {
       org.apache.spark.sql.GraftColumnBridge.ofRows(s, out)
     },
 
+    // GROUPED metadata aggregates: GROUP BY the partition columns rides
+    // the one-value-per-file layout — per-partition count/min/max from
+    // the recovered tuples + per-file stats, zero data files
+    // (instrumented proof in MetadataAggregatesSpec).
+    q("q_meta_group",
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+        |  round(max(o_totalprice), 2) AS mx
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = graft.lake.Scratch.dir("graft-vt-metagrp") + "/t"
+      val t = graft.lake.VersionedTable(s, dir)
+      t.commitOverwritePartitioned(
+        orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"))
+      val agg = t.read().groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx0"))
+      val out = org.apache.spark.sql.graft.GraftMetadataAggregates(s)(
+        agg.queryExecution.optimizedPlan)
+      if (!out.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        sys.error("q_meta_group: the grouped metadata rule declined; " +
+          s"plan:\n${agg.queryExecution.optimizedPlan}")
+      org.apache.spark.sql.GraftColumnBridge.ofRows(s, out)
+        .select(col("pri"), col("n"), round(col("mx0"), 2).as("mx"))
+        .orderBy("pri")
+    },
+
     // Column-mapped NATIVE scan: rename + drop, then a scan-bound
     // aggregate. In-query proof: the plan bottoms out in a vectorized
     // FileSourceScanExec over the graft index reading the PHYSICAL

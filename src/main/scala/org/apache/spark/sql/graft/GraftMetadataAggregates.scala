@@ -56,6 +56,11 @@ case class GraftMetadataAggregates(session: SparkSession)
     else plan.transformDown {
       case agg @ Aggregate(Seq(), aggExprs, child, _) =>
         rewrite(agg, aggExprs, child).getOrElse(agg)
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.forall(_.isInstanceOf[AttributeReference]) =>
+        rewriteGrouped(agg,
+          groupings.map(_.asInstanceOf[AttributeReference]), aggExprs, child)
+          .getOrElse(agg)
     }
   }
 
@@ -152,6 +157,107 @@ case class GraftMetadataAggregates(session: SparkSession)
     // which is a legitimate min/max of an all-null column
     val row = InternalRow.fromSeq(values.map(_.orNull))
     Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), Seq(row)))
+  }
+
+  /** GROUP BY over exactly the table's PARTITION columns — the
+    * one-value-per-file layout makes the groups the files themselves:
+    * `SELECT day, count(*) … GROUP BY day` (and `SELECT DISTINCT day`)
+    * answer from the recovered per-file partition tuples plus the log's
+    * per-file row counts / the sidecars' per-column stats — zero data
+    * files scanned. Same exact-or-decline posture as the global rule. */
+  private def rewriteGrouped(agg: Aggregate,
+                             groupings: Seq[AttributeReference],
+                             aggExprs: Seq[NamedExpression],
+                             child: LogicalPlan): Option[LogicalPlan] = {
+    val (idx, names) = unwrap(child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val table = idx.table
+    val v = idx.pinnedVersion
+    if (!table.dvFreeAt(v)) return None
+    val pcols = table.partitionColumnsAt(v)
+    if (pcols.isEmpty) return None
+    // the grouping set must be EXACTLY the partition columns (any
+    // order, no duplicates) — a coarser or finer grouping isn't
+    // answerable from the one-value-per-file layout
+    val groupNames = groupings.flatMap(a => names.get(a.exprId))
+    if (groupNames.size != groupings.size ||
+        groupNames.toSet != pcols.toSet ||
+        groupNames.distinct.size != groupNames.size) return None
+    val tuples = table.partitionTuplesInternal(Some(v)) match {
+      case Some(t) => t
+      case None => return None // unrecoverable tuple somewhere: decline
+    }
+    val (files, stats) = table.snapshotStatsAt(v)
+    val meta = table.snapshotFileMeta(Some(v))
+    // tuple rows are keyed in PCOL order; groupings may reorder
+    val groupIdx = groupNames.map(pcols.indexOf)
+    val byGroup: Map[InternalRow, Seq[String]] = files.groupBy(tuples(_))
+
+    def colName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => names.get(a.exprId)
+      case _ => None
+    }
+    def groupStats(fs: Seq[String], name: String)
+        : Option[Seq[FileStats.ColStats]] = {
+      val per = fs.map(f => stats.get(f).flatMap(_.get(name)))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+    def groupMinMax(fs: Seq[String], name: String, dt: DataType,
+                    wantMin: Boolean): Option[Any] =
+      groupStats(fs, name).flatMap { cs =>
+        val bounds = cs.flatMap(s => if (wantMin) s.min else s.max)
+        if (bounds.isEmpty) Some(null)
+        else FileStats.statKind(dt) match {
+          case Some("str") =>
+            if (bounds.exists(b => b.length >= FileStats.StringStatMaxLen ||
+                b.exists(_ >= 0xD800))) None
+            else Some(UnsafeProjectionShim.utf8(
+              if (wantMin) bounds.min else bounds.max))
+          case Some("num") =>
+            val pick = bounds.map(b => (new java.math.BigDecimal(b), b))
+              .reduceLeft { (x, y) =>
+                val c = x._1.compareTo(y._1)
+                if ((wantMin && c <= 0) || (!wantMin && c >= 0)) x else y
+              }._2
+            FileStats.internalValue(pick, dt)
+          case _ => None
+        }
+      }
+
+    val rows = byGroup.toSeq.map { case (tuple, fs) =>
+      val values = aggExprs.map {
+        case a: AttributeReference if groupings.exists(_.exprId == a.exprId) =>
+          val gi = groupings.indexWhere(_.exprId == a.exprId)
+          Some(tuple.get(groupIdx(gi) /* position in PCOL order */,
+            groupings(gi).dataType))
+        case al @ Alias(a: AttributeReference, _)
+            if groupings.exists(_.exprId == a.exprId) =>
+          val gi = groupings.indexWhere(_.exprId == a.exprId)
+          Some(tuple.get(groupIdx(gi), a.dataType))
+        case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+          fn match {
+            case Count(Seq(Literal(x, _))) if x != null =>
+              val per = fs.map(f => meta.get(f).map(_.rows).getOrElse(-1L))
+              if (per.exists(_ < 0)) None else Some(per.sum)
+            case Count(Seq(a: AttributeReference)) =>
+              colName(a).flatMap(n => groupStats(fs, n).map(cs =>
+                cs.map(s => s.rows - s.nulls).sum))
+            case Min(a: AttributeReference) =>
+              colName(a).flatMap(n =>
+                groupMinMax(fs, n, a.dataType, wantMin = true))
+            case Max(a: AttributeReference) =>
+              colName(a).flatMap(n =>
+                groupMinMax(fs, n, a.dataType, wantMin = false))
+            case _ => None
+          }
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) return None
+      InternalRow.fromSeq(values.map(_.orNull))
+    }
+    Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows))
   }
 }
 

@@ -120,6 +120,38 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     assert(meta.head() == org.apache.spark.sql.Row(3L, 10.0, 30.0))
   }
 
+  test("GROUP BY the partition columns answers from metadata; other groupings decline") {
+    val t = fresh()
+    t.commitOverwritePartitioned(Seq[(String, Long, Option[Double])](
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(30.0)), ("b", 3L, Some(20.0)),
+      ("b", 4L, None), ("c", 5L, Some(5.5))
+    ).toDF("day", "id", "v"), Seq("day"))
+    val agg = t.read().groupBy("day").agg(
+      count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min("v").as("mn"), max("id").as("mxid"))
+    val meta = rewritten(agg).getOrElse(
+      fail(s"grouped rule declined:\n${agg.queryExecution.optimizedPlan}"))
+    assert(meta.orderBy("day").collect().toSeq ==
+      agg.orderBy("day").collect().toSeq)
+    // DISTINCT pcol is the degenerate grouped shape
+    val d = t.read().select("day").distinct()
+    val dm = rewritten(d).getOrElse(
+      fail(s"DISTINCT pcol declined:\n${d.queryExecution.optimizedPlan}"))
+    assert(dm.as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    // a NON-partition grouping declines (files mix id values)
+    assert(rewritten(t.read().groupBy("id").agg(count(lit(1)))).isEmpty)
+    // grouped metadata answers open zero data files
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val t2 = VersionedTable(spark, "cfs://" + t.tablePath)
+    val agg2 = t2.read().groupBy("day").agg(count(lit(1)).as("n"))
+    CountingLocalFs.reset()
+    val meta2 = rewritten(agg2).getOrElse(fail("declined on cfs handle"))
+    assert(meta2.count() == 3)
+    assert(CountingLocalFs.openedNames(p =>
+      p.endsWith(".parquet") && !p.contains("_graft_log")).isEmpty)
+  }
+
   test("the SQL door runs the rule via the extensions (injected optimizer rule)") {
     // reuse the catalog-style extensions session pattern
     val prev = TestSpark.spark

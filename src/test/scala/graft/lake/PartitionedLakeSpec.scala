@@ -218,6 +218,33 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(after == Seq(("a", 24L), ("b", 25L), ("c", 25L)))
   }
 
+  test("r18: racing replacePartitions on DISJOINT partitions both land (file-disjoint rebase)") {
+    val t = fresh()
+    t.commitOverwritePartitioned(frame(Seq("a", "b", "c"), 20), Seq("day"))
+    // two writers, two different partitions — their read-sets (the
+    // replaced partitions' files) are disjoint, so the optimistic
+    // rebase must let the loser retry and land, never abort
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = Seq("a", "c").map { day =>
+      new Thread(() => try {
+        val h = VersionedTable(spark, t.tablePath)
+        h.replacePartitions(
+          frame(Seq(day), 5).withColumn("n", col("n") * 100))
+        ()
+      } catch { case e: Throwable => errs.add(e); () })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing disjoint replacePartitions failed: " +
+      s"${Option(errs.peek()).map(_.getMessage)}")
+    val out = t.read().groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("n").as("s")).orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a and c replaced (5 rows each), b untouched (20 rows)
+    assert(out == Seq(("a", 5L), ("b", 20L), ("c", 5L)), out.toString)
+    assert(t.read().filter(col("day") === "a")
+      .agg(max("n")).head().getLong(0) == 500)
+  }
+
   test("r18: over-long string stats truncate conservatively and decline partition recovery") {
     val t = fresh()
     val longA = "a" * 200
