@@ -63,6 +63,29 @@ object FileStats {
     if (s.length <= StringStatMaxLen) s
     else s.substring(0, StringStatMaxLen) + '￿'
 
+  /** Stored string stats are compared with Java UTF-16 `String` ordering,
+    * but Spark collected them (and executes the scan's own filters) in
+    * UTF-8 code-point order. The two orders agree on every comparison
+    * whose first differing position holds a unit below the surrogate
+    * range ON THE STAT SIDE — proven by cases: if the stat's unit `a` <
+    * 0xD800, then whatever the literal's unit `b` is (plain char, high
+    * surrogate opening a supplementary code point, or U+E000+), both
+    * orders rank `a` against it identically. A stat containing ANY unit
+    * ≥ 0xD800 loses that guarantee (UTF-16 ranks U+E000..U+FFFF above
+    * surrogate pairs; code-point order ranks supplementary chars above
+    * U+FFFF), so pruning must decline — answer "maybe", never skip.
+    * The truncMax sentinel is itself ≥ 0xD800, so truncated maxes
+    * decline ordered pruning too (equality via min==max recovery was
+    * already safe: the sentinel makes min != max). */
+  private[lake] def utf16OrderSafe(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0xD800) return false
+      i += 1
+    }
+    true
+  }
+
   final case class ColStats(
       kind: String,              // "num" | "str"
       min: Option[String],       // None ⇔ every row in the file is null
@@ -279,7 +302,8 @@ object FileStats {
               (s.min, s.max) match {
                 case (Some(mn), Some(mx)) =>
                   val prefix = pv.toString
-                  (mn <= prefix || mn.startsWith(prefix)) && prefix <= mx
+                  (!utf16OrderSafe(mn) || mn <= prefix || mn.startsWith(prefix)) &&
+                    (!utf16OrderSafe(mx) || prefix <= mx)
                 case _ => false // all-null column: no string starts with anything
               }
             case _ => true
@@ -337,13 +361,19 @@ object FileStats {
                 case "gte"         => mx.compareTo(b) >= 0
               }
             } else {
+              // each op may only consult a bound whose UTF-16 comparison
+              // is provably equivalent to the scan's UTF-8 order (see
+              // utf16OrderSafe) — an unsafe bound answers "maybe"
               val sv = v.toString
+              lazy val minSafe = utf16OrderSafe(mnS)
+              lazy val maxSafe = utf16OrderSafe(mxS)
               op match {
-                case "eq" | "eqns" => mnS <= sv && sv <= mxS
-                case "lt"          => mnS < sv
-                case "lte"         => mnS <= sv
-                case "gt"          => mxS > sv
-                case "gte"         => mxS >= sv
+                case "eq" | "eqns" =>
+                  (!minSafe || mnS <= sv) && (!maxSafe || sv <= mxS)
+                case "lt"          => !minSafe || mnS < sv
+                case "lte"         => !minSafe || mnS <= sv
+                case "gt"          => !maxSafe || mxS > sv
+                case "gte"         => !maxSafe || mxS >= sv
               }
             }
           case _ => false // all rows null: no ordered comparison can hold

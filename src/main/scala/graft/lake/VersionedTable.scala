@@ -1392,7 +1392,14 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val st = stats(f)
       Row.fromSeq(f +: constrained.flatMap { case (_, _, p) =>
         val s = st(p)
-        Seq(s.min.orNull, s.max.orNull, s.nulls)
+        // a stored string max LONGER than the collection cap is, by
+        // construction, a TRUNCATED max (prefix + U+FFFF sentinel) —
+        // an upper bound in UTF-16 order but NOT in the UTF-8 order
+        // this join compares in (a supplementary char past the prefix
+        // encodes F0.. > EF BF BF), so the upper bound must go vacuous
+        val mxTrunc = s.kind == "str" &&
+          s.max.exists(_.length > FileStats.StringStatMaxLen)
+        Seq(s.min.orNull, s.max.orNull, s.nulls, mxTrunc)
       })
     }
     val statsSchema = StructType(
@@ -1400,7 +1407,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         constrained.zipWithIndex.flatMap { case (_, i) => Seq(
           StructField(s"_mn_$i", StringType, nullable = true),
           StructField(s"_mx_$i", StringType, nullable = true),
-          StructField(s"_nulls_$i", LongType, nullable = false)) })
+          StructField(s"_nulls_$i", LongType, nullable = false),
+          StructField(s"_mxtrunc_$i", BooleanType, nullable = false)) })
     val statsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows,
         math.max(1, rows.size / 20000)), statsSchema)
@@ -1442,7 +1450,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       val (kv, mn, mx) = sides(k, dt, i)
       (col(s"p.$k").isNull && col(s"_nulls_$i") > 0) ||
         (col(s"p.$k").isNotNull && mn.isNotNull && mx.isNotNull &&
-          kv >= mn && kv <= mx)
+          kv >= mn && (col(s"_mxtrunc_$i") || kv <= mx))
     }.reduce(_ && _)
     val hits = keys.as("p").join(statsDf, cond, "inner")
       .select("_f").distinct()

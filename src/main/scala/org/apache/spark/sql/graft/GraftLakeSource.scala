@@ -346,7 +346,13 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
             // is still NO cap — just a cheaper gear below it.
             val collectCap = spark.conf
               .getOption("spark.graft.lake.updateScopeCollectThreshold")
-              .map(_.trim.toInt).getOrElse(1000)
+              .map { raw =>
+                try raw.trim.toInt
+                catch {
+                  case _: NumberFormatException => throw new IllegalArgumentException(
+                    s"spark.graft.lake.updateScopeCollectThreshold must be an integer, got '$raw'")
+                }
+              }.getOrElse(1000)
             val smallKeys = keysDf.limit(collectCap + 1).collect()
             val hit =
               if (smallKeys.length > collectCap)

@@ -64,13 +64,33 @@ case class GraftMetadataAggregates(session: SparkSession)
     }
   }
 
+  /** Pick the winning numeric bound among per-file bound STRINGS by
+    * BigDecimal order — with the -0.0 / 0.0 tie broken the way a real
+    * scan's Min/Max would break it: BigDecimal says the two are equal,
+    * but the scan's min returns -0.0 and its max returns 0.0 (IEEE
+    * total order through Spark's Least/Greatest semantics), observable
+    * through CAST AS STRING. On a compareTo tie, prefer the
+    * "-"-prefixed representation for min and the unsigned one for max. */
+  private def pickNumericBound(bounds: Seq[String], wantMin: Boolean): String =
+    bounds.map(b => (new java.math.BigDecimal(b), b))
+      .reduceLeft { (x, y) =>
+        val c = x._1.compareTo(y._1)
+        if (c == 0) {
+          val xNeg = x._2.startsWith("-")
+          val yNeg = y._2.startsWith("-")
+          if (wantMin) (if (yNeg && !xNeg) y else x)
+          else (if (xNeg && !yNeg) y else x)
+        } else if ((wantMin && c < 0) || (!wantMin && c > 0)) x
+        else y
+      }._2
+
   /** Walk pure projections down to the lake's native relation,
     * accumulating the output-attribute → bottom-attribute-name map
     * (tracks renames through splice/mapped projections). None on any
     * other node. */
   private def unwrap(plan: LogicalPlan)
       : Option[(GraftFileIndex, Map[ExprId, String])] = plan match {
-    case LogicalRelation(fs: HadoopFsRelation, output, _, _, _) =>
+    case LogicalRelation(fs: HadoopFsRelation, output, _, false /* isStreaming */, _) =>
       fs.location match {
         case idx: GraftFileIndex =>
           Some((idx, output.map(a => a.exprId -> a.name).toMap))
@@ -127,12 +147,7 @@ case class GraftMetadataAggregates(session: SparkSession)
             else Some(UnsafeProjectionShim.utf8(
               if (wantMin) bounds.min else bounds.max))
           case Some("num") =>
-            val pick = bounds.map(b => (new java.math.BigDecimal(b), b))
-              .reduceLeft { (x, y) =>
-                val c = x._1.compareTo(y._1)
-                if ((wantMin && c <= 0) || (!wantMin && c >= 0)) x else y
-              }._2
-            FileStats.internalValue(pick, dt)
+            FileStats.internalValue(pickNumericBound(bounds, wantMin), dt)
           case _ => None
         }
       }
@@ -216,12 +231,7 @@ case class GraftMetadataAggregates(session: SparkSession)
             else Some(UnsafeProjectionShim.utf8(
               if (wantMin) bounds.min else bounds.max))
           case Some("num") =>
-            val pick = bounds.map(b => (new java.math.BigDecimal(b), b))
-              .reduceLeft { (x, y) =>
-                val c = x._1.compareTo(y._1)
-                if ((wantMin && c <= 0) || (!wantMin && c >= 0)) x else y
-              }._2
-            FileStats.internalValue(pick, dt)
+            FileStats.internalValue(pickNumericBound(bounds, wantMin), dt)
           case _ => None
         }
       }

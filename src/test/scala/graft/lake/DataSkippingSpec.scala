@@ -158,4 +158,44 @@ class DataSkippingSpec extends AnyFunSuite {
     val n = t.readForKeys(keys, Seq("k")).count()
     assert(n >= 10 && n <= 100, s"expected one file's rows, got $n")
   }
+
+  test("r19: surrogate-range string stats decline ordered pruning (UTF-16 vs UTF-8 order)") {
+    val t = freshTable()
+    // one file whose max is a SUPPLEMENTARY char (U+10000, a surrogate
+    // pair in UTF-16), one plain file. UTF-16 ranks "" ABOVE the
+    // pair's high surrogate; UTF-8 code-point order ranks U+10000 above
+    // U+E000 — the exact divergence that wrongly pruned before r19.
+    t.commitOverwrite(Seq(Tuple1("𐀀")).toDF("s")) // U+10000
+    t.commitAppend(Seq(Tuple1("apple")).toDF("s"))
+    val probe = "".toString
+    // rows with s > U+E000 DO exist (U+10000 > U+E000 in the scan's
+    // UTF-8 order) — the supplementary file must stay a candidate
+    assert(t.readWhere(col("s") > probe).count() == 1)
+    assert(t.read().filter(col("s") > probe).count() == 1)
+    val cand = t.candidateFiles(col("s") > probe)
+    assert(cand.nonEmpty, "surrogate-max file was wrongly pruned")
+    // equality against the surrogate value itself still finds it
+    assert(t.readWhere(col("s") === "𐀀").count() == 1)
+    // SAFE stats still prune (the "apple" file drops for < "a"), while
+    // the unsafe surrogate file conservatively stays a candidate
+    assert(t.candidateFiles(col("s") < "a").size == 1)
+    assert(t.readWhere(col("s") < "a").count() == 0)
+  }
+
+  test("r19: truncated string max with a supplementary char past the cap — filesHitByKeys keeps the file") {
+    val t = freshTable()
+    // value longer than the 64-unit stat cap whose tail is U+10000: the
+    // stored max is prefix + U+FFFF, which in UTF-8 order sorts BELOW
+    // the real value (F0.. > EF BF BF) — the upper bound must go vacuous
+    val long = "a" * FileStats.StringStatMaxLen + "𐀀"
+    t.commitOverwrite(Seq(Tuple1(long), Tuple1("a")).toDF("s"))
+    import spark.implicits._
+    val keys = Seq(long).toDF("s")
+    val hit = t.filesHitByKeys(keys, Seq("s"))
+    assert(hit.nonEmpty, "file holding the key was wrongly excluded")
+    assert(t.readForKeys(keys, Seq("s")).join(keys, Seq("s")).count() == 1)
+    // the driver-side evaluator agrees (equality consults only the safe
+    // prefix lower bound; the unsafe truncated max answers "maybe")
+    assert(t.readWhere(col("s") === long).count() == 1)
+  }
 }

@@ -110,6 +110,31 @@ class MetadataAggregatesSpec extends AnyFunSuite {
       rewritten(t3.read().agg(max("n"))).nonEmpty) // numeric col still fine
   }
 
+  test("r19: -0.0 / 0.0 bound tie picks the sign a real scan can observe") {
+    val t = fresh()
+    // two files whose double bounds are BigDecimal-equal but
+    // sign-distinguishable; min must surface -0.0, max +0.0
+    t.commitOverwrite(Seq(Tuple1(0.0d)).toDF("x"))
+    t.commitAppend(Seq(Tuple1(-0.0d)).toDF("x"))
+    val meta = rewritten(t.read().agg(min("x").as("mn"), max("x").as("mx")))
+      .getOrElse(fail("rule declined"))
+    val r = meta.head()
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0d), s"min was ${r.getDouble(0)}")
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(0.0d), s"max was ${r.getDouble(1)}")
+    // and the file order doesn't matter
+    val t2 = fresh()
+    t2.commitOverwrite(Seq(Tuple1(-0.0d)).toDF("x"))
+    t2.commitAppend(Seq(Tuple1(0.0d)).toDF("x"))
+    val r2 = rewritten(t2.read().agg(min("x").as("mn"), max("x").as("mx")))
+      .getOrElse(fail("rule declined")).head()
+    assert(java.lang.Double.doubleToRawLongBits(r2.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0d))
+    assert(java.lang.Double.doubleToRawLongBits(r2.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(0.0d))
+  }
+
   test("min/max through a column RENAME (mapped snapshot, physical-keyed stats)") {
     val t = fresh()
     t.commitOverwrite(Seq((1L, 10.0), (2L, 30.0), (3L, 20.0)).toDF("id", "v"))
