@@ -97,6 +97,38 @@ object DppScale {
         .agg(sum("l_extendedprice")).collect(); 1L
     }
 
+    // r19 AUTOMATIC DFP leg: the SAME keyed join written as a PLAIN
+    // join in an extensions session — no readForKeys — must track the
+    // explicit gear. File-backed filtered keys so the rule's
+    // selectivity gate sees a real Filter (a driver Range would
+    // rightly decline).
+    val keysPath = s"$scratch/keys"
+    spark.range((realMax * 0.99).toLong, realMax + 1)
+      .select(col("id").as("k_orderkey")).coalesce(1).write.parquet(keysPath)
+    val es = GraftSqlSessions.withDml(spark)
+    val tFlatEs = graft.lake.VersionedTable(es, s"$scratch/fact_flat")
+    def keyedJoinPlain(): Long = {
+      val keys = es.read.parquet(keysPath)
+        .filter(col("k_orderkey") >= (realMax * 0.997).toLong)
+      tFlatEs.read().join(keys, col("l_orderkey") === col("k_orderkey"))
+        .agg(sum("l_extendedprice")).collect(); 1L
+    }
+    // prove the rule fires before timing it
+    {
+      val keys = es.read.parquet(keysPath)
+        .filter(col("k_orderkey") >= (realMax * 0.997).toLong)
+      val j = tFlatEs.read().join(keys, col("l_orderkey") === col("k_orderkey"))
+        .agg(sum("l_extendedprice"))
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      require(plan.collect {
+        case e: org.apache.spark.sql.graft.GraftDynamicFileScanExec => e }.nonEmpty,
+        "auto DFP rule declined the scale leg's join")
+    }
+
     // interleaved legs
     (1 to 1).foreach { _ =>
       spark.conf.set("spark.graft.lake.partitionedIndex", "false")
@@ -107,7 +139,53 @@ object DppScale {
       median3("count(*) metadata rule")(metaCount())
       median3("keyed join, full snapshot")(keyedJoin(pruned = false))
       median3("keyed join, readForKeys (DFP)")(keyedJoin(pruned = true))
+      // the explicit gear over the SAME parquet-backed keys the auto
+      // legs read — the apples-to-apples control for rule overhead
+      def keyedJoinExplicitParquet(): Long = {
+        val keys = es.read.parquet(keysPath)
+          .filter(col("k_orderkey") >= (realMax * 0.997).toLong)
+          .select(col("k_orderkey").as("l_orderkey"))
+        tFlatEs.readForKeys(keys, Seq("l_orderkey"))
+          .join(keys, Seq("l_orderkey"))
+          .agg(sum("l_extendedprice")).collect(); 1L
+      }
+      es.conf.set("spark.graft.lake.dfp.auto", "false")
+      median3("keyed join, plain, auto rule OFF")(keyedJoinPlain())
+      median3("keyed join, readForKeys, same keys")(keyedJoinExplicitParquet())
+      es.conf.unset("spark.graft.lake.dfp.auto")
+      median3("keyed join, plain, AUTO rule")(keyedJoinPlain())
     }
+
+    // r19 BLOOM leg: the same fact HASH-distributed by key (min/max
+    // prunes nothing by construction) with per-file blooms on the key;
+    // point lookups with the bloom layer on vs off.
+    val tHash = graft.lake.VersionedTable(spark, s"$scratch/fact_hash")
+    spark.conf.set("spark.graft.lake.bloom.columns", "l_orderkey")
+    spark.conf.set("spark.graft.lake.bloom.maxItems",
+      math.max(1000L, nRows / 64).toString)
+    try tHash.commitOverwrite(fact
+      .select("l_orderkey", "l_extendedprice")
+      .repartition(64, col("l_orderkey")))
+    finally {
+      spark.conf.unset("spark.graft.lake.bloom.columns")
+      spark.conf.unset("spark.graft.lake.bloom.maxItems")
+    }
+    val probeKeys = (1 to 8).map(i => realMax / 11 * i)
+    def pointLookups(): Long = probeKeys.map(k =>
+      tHash.readWhere(col("l_orderkey") === k).count()).sum
+    locally {
+      spark.conf.set("spark.graft.lake.bloom.enabled", "false")
+      val statsOnly = tHash.candidateFiles(col("l_orderkey") === probeKeys.head)
+      spark.conf.unset("spark.graft.lake.bloom.enabled")
+      val bloomed = tHash.candidateFiles(col("l_orderkey") === probeKeys.head)
+      println(s"DPPSCALE bloom fixture: stats keep ${statsOnly.size}/64, " +
+        s"bloom keeps ${bloomed.size}/64")
+      require(bloomed.size < statsOnly.size, "bloom leg fixture failed to prune")
+    }
+    spark.conf.set("spark.graft.lake.bloom.enabled", "false")
+    median3("8 point lookups, stats only (hash layout)")(pointLookups())
+    spark.conf.unset("spark.graft.lake.bloom.enabled")
+    median3("8 point lookups, bloom skipping")(pointLookups())
     require(metaCount() == scanCount(), "metadata count drifted from scan")
     spark.stop()
   }

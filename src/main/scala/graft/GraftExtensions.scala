@@ -82,6 +82,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         org.apache.spark.sql.graft.TopNgramCountExpr(children.head, n)
       }))
+    // AUTOMATIC dynamic file pruning for star joins on unpartitioned
+    // lake facts (r19): runs AFTER operator optimization (filters
+    // pushed, columns pruned) and BEFORE the stats-driven batches, so
+    // join strategy selection sees the leaf's carried size estimates.
+    ext.injectPreCBORule(s =>
+      org.apache.spark.sql.graft.GraftAutoFilePruning(s))
+    ext.injectPlannerStrategy(s =>
+      org.apache.spark.sql.graft.GraftDynamicFileScanStrategy(s))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.DotSelfToSumSq)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinBanding)
     // metadata-only count/min/max over lake snapshots (r18 — Delta's

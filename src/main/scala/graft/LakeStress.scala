@@ -51,13 +51,24 @@ object LakeStress {
         args.lift(2).map(_.toInt).getOrElse(20))
   }
 
+  /** `GRAFT_STRESS_MOS=1` runs the whole stress on the mock OBJECT
+    * STORE scheme (`mos:` — no rename-if-absent) arbitrated by the
+    * r19 [[graft.lake.ConditionalPutCommitPublisher]]: same writers,
+    * same asserts, the conditional-put protocol under 6-way
+    * multi-process contention (env inherits to the child JVMs). */
+  private def mosMode: Boolean = sys.env.get("GRAFT_STRESS_MOS").contains("1")
+
   private def session(threads: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (mosMode) b.config("spark.graft.lake.commitPublisher",
+      classOf[graft.lake.ConditionalPutCommitPublisher].getName)
+    val s = b.getOrCreate()
+    if (mosMode) s.sparkContext.hadoopConfiguration
+      .set("fs.mos.impl", classOf[graft.lake.MockS3Fs].getName)
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -130,7 +141,7 @@ object LakeStress {
 
   private def parent(workDir: String, nWriters: Int, perWriter: Int): Unit = {
     Files.createDirectories(Paths.get(workDir))
-    val table = s"$workDir/t"
+    val table = (if (mosMode) "mos://" else "") + s"$workDir/t"
     val spark = session(4)
     import spark.implicits._
     val t = graft.lake.VersionedTable(spark, table)

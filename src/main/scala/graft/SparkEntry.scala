@@ -21,6 +21,7 @@ object SparkEntry {
       CoreQueries16.all ++ CoreQueries17.all ++ CoreQueries18.all ++
       CoreQueries19.all ++ CoreQueries20.all ++ CoreQueries21.all ++
       CoreQueries22.all ++ CoreQueries23.all ++ CoreQueries24.all ++
+      CoreQueries25.all ++
       LlmQueries.all ++ LlmQueries2.all ++ LlmQueries3.all ++
       LlmQueries4.all ++ LlmQueries5.all ++ LlmQueries6.all ++
       LlmQueries7.all ++ LlmQueries8.all ++ LlmQueries9.all ++

@@ -908,7 +908,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       name
     }
     fs.delete(stageDir, true)
-    if (collectStats) writeStats(named.toSeq, v, nonce)
+    if (collectStats) {
+      writeStats(named.toSeq, v, nonce)
+      writeBlooms(named.toSeq, v, nonce)
+    }
     named.toSeq
   }
 
@@ -1098,6 +1101,153 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       s"(skipping disabled for its files): ${e.getMessage}")
   }
 
+  // ---- bloom sidecars (r19 — see BloomSidecars' scaladoc) --------------
+
+  private def bloomSidecarFile(v: Int, nonce: String) =
+    new Path(logDir, f"v$v%08d-$nonce-bloom.jsonl")
+
+  /** Bloom-indexed columns: the `bloom.columns` table property, else the
+    * session conf — empty means the feature is off (the default). */
+  private def bloomColumnsConfigured(): Seq[String] = {
+    val raw = properties().find(_._1 == "bloom.columns").map(_._2)
+      .orElse(spark.conf.getOption("spark.graft.lake.bloom.columns"))
+    raw.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
+  }
+
+  private def bloomParam(prop: String, conf: String): Option[String] =
+    properties().find(_._1 == prop).map(_._2)
+      .orElse(spark.conf.getOption(conf))
+
+  private def writeBlooms(names: Seq[String], v: Int, nonce: String): Unit = try {
+    val logicalCols = bloomColumnsConfigured()
+    if (logicalCols.isEmpty || names.isEmpty) return
+    // staged frames carry PHYSICAL column names — translate the
+    // configured logical names before collecting
+    val phys = latestVersion().map(h => physMap(readCommit(h)))
+      .getOrElse(Map.empty)
+    val cols = logicalCols.map(c => phys.getOrElse(c, c))
+    val fpp = bloomParam("bloom.fpp", "spark.graft.lake.bloom.fpp")
+      .map(_.trim.toDouble).getOrElse(0.01)
+    val maxItems = bloomParam("bloom.maxItems", "spark.graft.lake.bloom.maxItems")
+      .map(_.trim.toLong).getOrElse(100000L)
+    val lines = BloomSidecars.collect(spark,
+      names.map(n => s"$tablePath/$n"), cols, maxItems, fpp)
+    if (lines.isEmpty) return
+    val body = lines.sortBy(l => (l._1, l._2)).map { case (f, c, b64) =>
+      s"""{"file":"${jesc(f)}","col":"${jesc(c)}","b64":"$b64"}"""
+    }.mkString("\n") + "\n"
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out = fs.create(bloomSidecarFile(v, nonce), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  } catch { case e: Throwable =>
+    // blooms are an optimization with the stats posture: a failed
+    // collection never fails the commit — the files are just never
+    // bloom-pruned
+    System.err.println(s"[lake] bloom collection failed for v$v " +
+      s"(no bloom skipping for its files): ${e.getMessage}")
+  }
+
+  private val bloomLineRe =
+    """\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","b64":"([A-Za-z0-9+/=]*)"\}""".r
+
+  /** Sidecar paths at the current head (cached per head, like the
+    * stats snapshot) — the distributed gear hands these straight to a
+    * Spark job without driver-side content reads. */
+  private def bloomSidecars(): Seq[Path] = {
+    val head = latestVersion().getOrElse(-1)
+    bloomPathsSnapshot match {
+      case Some((v, p)) if v == head => return p
+      case _ => ()
+    }
+    val dir = new Path(logDir)
+    val paths =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.matches("v\\d{8}(-[0-9a-f-]+)?-bloom\\.jsonl"))
+        .sortBy(_.getName).toSeq
+    bloomPathsSnapshot = Some((head, paths))
+    paths
+  }
+  @volatile private var bloomPathsSnapshot: Option[(Int, Seq[Path])] = None
+
+  /** Driver-gear view: file → physical col → serialized bloom, parsed
+    * once per sidecar (write-once contract), assembled per head. */
+  private def readAllBlooms(): Map[String, Map[String, Array[Byte]]] = {
+    val head = latestVersion().getOrElse(-1)
+    bloomSnapshot match {
+      case Some((v, m)) if v == head => return m
+      case _ => ()
+    }
+    val assembled = bloomSidecars().flatMap { p =>
+      bloomCache.getOrElseUpdate(p.getName, {
+        val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+        val lines = try src.getLines().toList finally src.close()
+        lines.flatMap {
+          case bloomLineRe(f, c, b64) =>
+            Some((junesc(f), junesc(c),
+              java.util.Base64.getDecoder.decode(b64)))
+          case _ => None
+        }
+      })
+    }.groupBy(_._1).map { case (f, seq) =>
+      f -> seq.map(t => t._2 -> t._3).toMap }
+    bloomSnapshot = Some((head, assembled))
+    assembled
+  }
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String, Array[Byte])]]
+  @volatile private var bloomSnapshot:
+      Option[(Int, Map[String, Map[String, Array[Byte]]])] = None
+  private val bloomDeserCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+
+  /** Bloom layer under [[pruneByStats]]: drop `files` members PROVABLY
+    * excluded by a top-level point conjunct against their per-file
+    * blooms. Conservative everywhere blooms are absent. Two gears by
+    * snapshot size — driver probe below
+    * `spark.graft.lake.bloom.driverMaxFiles` (default 4096), a Spark
+    * job over the sidecar lines above it (filters never aggregate on
+    * the driver at 10⁶ files). */
+  private def bloomPrune(files: Seq[String],
+                         resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+                         schema: StructType, inv: Map[String, String],
+                         dead: Set[String]): Seq[String] = {
+    if (files.isEmpty) return files
+    val enabled = spark.conf.getOption("spark.graft.lake.bloom.enabled")
+      .forall(_.trim.equalsIgnoreCase("true"))
+    if (!enabled) return files
+    val sidecars = bloomSidecars()
+    if (sidecars.isEmpty) return files
+    val terms = BloomSidecars.pointTerms(resolved, schema,
+      schema.fieldNames.toSet)
+    if (terms.isEmpty) return files
+    val driverMax = spark.conf
+      .getOption("spark.graft.lake.bloom.driverMaxFiles")
+      .map(_.trim.toInt).getOrElse(4096)
+    if (files.size <= driverMax) {
+      val blooms = readAllBlooms()
+      files.filter { f =>
+        blooms.get(f).forall { byPhys =>
+          val logical = byPhys.collect {
+            case (p, b) if !dead(p) => inv.getOrElse(p, p) -> b }
+          terms.forall { t =>
+            logical.get(t.col).forall { bytes =>
+              val bf = bloomDeserCache.getOrElseUpdate((f, t.col),
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(bytes)))
+              BloomSidecars.mightContain(bf, t)
+            }
+          }
+        }
+      }
+    } else {
+      val dropped = BloomSidecars.droppedFilesDistributed(spark,
+        sidecars.map(_.toString), terms, inv, dead)
+      files.filterNot(dropped)
+    }
+  }
+
   private val statLineRe =
     ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","kind":"(num|str)",""" +
       """"min":(null|"(?:[^"\\]|\\.)*"),"max":(null|"(?:[^"\\]|\\.)*"),""" +
@@ -1206,7 +1356,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       if (inv.isEmpty) live
       else live.map { case (p, cs) => inv.getOrElse(p, p) -> cs }
     }
-    files.filter(f => stats.get(f).forall(st => FileStats.mayMatch(e, logical(st))))
+    val byStats = files.filter(f =>
+      stats.get(f).forall(st => FileStats.mayMatch(e, logical(st))))
+    bloomPrune(byStats, e, StructType.fromDDL(schemaDdl), inv, dead)
   }
 
   /** True when the snapshot is readable as PLAIN PARQUET with the
@@ -1473,17 +1625,34 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * per-file key ranges tight enough to prune. */
   def readForKeys(keys: DataFrame, keyCols: Seq[String],
                   version: Option[Int] = None): DataFrame = {
-    require(keyCols.nonEmpty, "readForKeys needs key columns")
-    // RANGE-FIRST scoping: one tiny aggregate over the key frame
-    // (per-column min/max + null presence), then a driver-side stats
-    // prune on the range predicate — microseconds of metadata against
-    // the stats map, no join. The range is a SUPERSET of the key set,
-    // so correctness holds unconditionally; it is also exactly right
-    // for the dominant real shape (key-correlated slices: recent
-    // orders, an id backfill window). Only when the range fails to cut
-    // the file set in half does the EXACT distributed stats join run
-    // (sparse keys spread across the keyspace) — and then only on the
-    // files the range kept.
+    val v = version.orElse(latestVersion())
+      .getOrElse(sys.error(s"no committed versions at $tablePath"))
+    readSnapshotFiles(
+      scopeFilesForKeys(keys, keyCols, Some(v), exactGear = true), Some(v))
+  }
+
+  /** The file-scoping half of [[readForKeys]] — also the engine's
+    * AUTOMATIC dynamic-file-pruning unit (r19,
+    * [[org.apache.spark.sql.graft.GraftAutoFilePruning]]).
+    *
+    * RANGE-FIRST scoping: one tiny aggregate over the key frame
+    * (per-column min/max + null presence), then a driver-side stats
+    * prune on the range predicate — microseconds of metadata against
+    * the stats map, no join. The range is a SUPERSET of the key set,
+    * so correctness holds unconditionally; it is also exactly right
+    * for the dominant real shape (key-correlated slices: recent
+    * orders, an id backfill window). Only when the range fails to cut
+    * the file set in half does the EXACT distributed stats join run
+    * (sparse keys spread across the keyspace) — and then only on the
+    * files the range kept, and only with `exactGear = true`: the
+    * automatic rule passes false by default, capping its worst case at
+    * one small aggregate rather than a per-query shuffle (the r18
+    * DppScale adjudication measured the always-join gear LOSING to the
+    * plain scan on uncorrelated layouts). */
+  def scopeFilesForKeys(keys: DataFrame, keyCols: Seq[String],
+                        version: Option[Int] = None,
+                        exactGear: Boolean = true): Seq[String] = {
+    require(keyCols.nonEmpty, "scopeFilesForKeys needs key columns")
     val v = version.orElse(latestVersion())
       .getOrElse(sys.error(s"no committed versions at $tablePath"))
     val aggs = keyCols.flatMap(k => Seq(
@@ -1496,7 +1665,7 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // marker: the scoped read is empty by definition
     val emptyKeys = keyCols.indices.forall(i =>
       r.isNullAt(i * 3) && (r.isNullAt(i * 3 + 2) || r.getInt(i * 3 + 2) == 0))
-    if (emptyKeys) return readSnapshotFiles(Nil, Some(v))
+    if (emptyKeys) return Nil
     val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
       val (mn, mx, hasNull) = (r.get(i * 3), r.get(i * 3 + 1),
         !r.isNullAt(i * 3 + 2) && r.getInt(i * 3 + 2) == 1)
@@ -1506,11 +1675,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       else col(k) >= lit(mn) && col(k) <= lit(mx)
     }.reduce(_ && _)
     val ranged = candidateFiles(rangePred, Some(v))
-    val hit =
-      if (ranged.size * 2 <= allFiles.size || ranged.size <= 1) ranged
-      else filesHitByKeys(keys, keyCols, Some(v)).toSet.intersect(ranged.toSet)
-        .toSeq.sorted
-    readSnapshotFiles(hit, Some(v))
+    if (ranged.size * 2 <= allFiles.size || ranged.size <= 1 || !exactGear) ranged
+    else filesHitByKeys(keys, keyCols, Some(v)).toSet.intersect(ranged.toSet)
+      .toSeq.sorted
   }
 
   /** METADATA-ONLY partition statistics (r18): one row per partition —
@@ -1731,6 +1898,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * under the new one unchecked. */
   def addConstraint(name: String, exprSql: String): Int = {
     require(name.nonEmpty && exprSql.nonEmpty, "constraint needs name and expression")
+    require(!name.startsWith(VersionedTable.NotNullPrefix),
+      s"constraint names starting with '${VersionedTable.NotNullPrefix}' " +
+        "are reserved — use setNotNull(column)")
     rejectReservedKey(name, "constraint name")
     val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
     val c = readCommit(v0)
@@ -1748,6 +1918,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 
   /** Drop a CHECK constraint (metadata-only commit). */
   def dropConstraint(name: String): Int = {
+    require(!name.startsWith(VersionedTable.NotNullPrefix),
+      s"'$name' is a NOT NULL constraint — use dropNotNull(column)")
     val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
     val c = readCommit(v0)
     if (!c.constraints.exists(_._1 == name))
@@ -1757,6 +1929,57 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       mkConstraints = headC => headC.constraints.filterNot(_._1 == name),
       maxRetries = 0)
   }
+
+  // ---- NOT NULL column constraints (r19 — Delta parity beside CHECK) --
+
+  /** Declare `colName` NOT NULL. Carried on commit records as a
+    * reserved-named constraint (`__notnull__<col>` → `` `col` IS NOT
+    * NULL ``), which buys the whole CHECK life-cycle for free and by
+    * construction: validated against EXISTING rows before landing
+    * (Delta's rule — a column already holding nulls refuses the
+    * declaration), enforced in the SAME one-pass batch validation every
+    * write already runs (a violating batch atomically rejects, nothing
+    * committed), it survives overwrites like any constraint, blocks
+    * rename/drop of the column through the existing
+    * referencedByConstraint guard, and surfaces in DESCRIBE DETAIL.
+    * Idempotent: re-declaring returns the current head. The SQL door is
+    * `ALTER TABLE t ALTER COLUMN c SET NOT NULL` (V2
+    * UpdateColumnNullability) and the `not_null` procedure column. */
+  def setNotNull(colName: String): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val schema = StructType.fromDDL(c.schemaDdl)
+    if (!schema.fieldNames.contains(colName))
+      sys.error(s"setNotNull: no column '$colName'")
+    val name = VersionedTable.NotNullPrefix + colName
+    if (c.constraints.exists(_._1 == name)) return v0
+    val exprSql = s"`$colName` IS NOT NULL"
+    checkConstraints(read(Some(v0)), Seq(name -> exprSql))
+    commitRebasing("constraint", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      mkConstraints = headC => headC.constraints :+ (name -> exprSql),
+      maxRetries = 0)
+  }
+
+  /** Drop a NOT NULL declaration (metadata-only commit; no-op head
+    * version if the column never carried one). */
+  def dropNotNull(colName: String): Int = {
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val name = VersionedTable.NotNullPrefix + colName
+    if (!c.constraints.exists(_._1 == name)) return v0
+    commitRebasing("constraint", c, Set.empty,
+      mkFiles = _.files, mkRows = _.rows,
+      mkConstraints = headC => headC.constraints.filterNot(_._1 == name),
+      maxRetries = 0)
+  }
+
+  /** Columns currently declared NOT NULL. */
+  def notNullColumns(): Seq[String] =
+    constraints().collect {
+      case (n, _) if n.startsWith(VersionedTable.NotNullPrefix) =>
+        n.stripPrefix(VersionedTable.NotNullPrefix)
+    }
 
   // ---- column mapping DDL (rename / drop without rewriting data) ------
 
@@ -1930,6 +2153,136 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       s"table at $tablePath is already partitioned by " +
         s"(${existing.mkString(", ")}) — partitioning is fixed at creation")
     overwriteWithTxn(df, "", -1L, newPcols = pcols)
+  }
+
+  /** CONVERT TO graft-lake (r19): adopt an existing FLAT parquet
+    * directory IN PLACE — zero bytes copied or moved. Builds a v0
+    * `convert` commit whose add actions reference the directory's
+    * existing files (footer-exact sizes and row counts), backfills a
+    * full stats sidecar (one aggregation pass, the same collection a
+    * native commit runs on its new files), and from then on the
+    * directory IS a versioned table: appends, DML, time travel,
+    * data skipping, vacuum — vacuum OWNS the directory afterward
+    * (an unreferenced root `.parquet` is an orphan to it, exactly as
+    * for native tables).
+    *
+    * Exact-or-refuse (never guess a layout):
+    *  - already a lake table → idempotent no-op IF v0 was a convert
+    *    (returns the current head), loud error otherwise;
+    *  - `k=v` subdirectories → refused here with a pointer to
+    *    [[convertFromHiveParquet]] (see its doc for WHY hive layouts
+    *    can't be reference-imported into this protocol);
+    *  - any other data subdirectory, zero parquet files, or a file
+    *    carrying the reserved `dv-` prefix → loud error.
+    *
+    * Heterogeneous file schemas resolve through one `mergeSchema`
+    * planning pass at convert time (files missing a merged column
+    * null-fill on read, the lake's own schema-evolution semantics);
+    * conflicting types fail the convert loudly. */
+  def convertFromParquet(): Int = {
+    latestVersion() match {
+      case Some(head) =>
+        if (readDelta(0).action == "convert") return head
+        sys.error(s"convertFromParquet: $tablePath is already a " +
+          s"graft-lake table (v0 action '${readDelta(0).action}')")
+      case None => ()
+    }
+    val root = new Path(tablePath)
+    require(fs.exists(root), s"convertFromParquet: $tablePath does not exist")
+    val entries = fs.listStatus(root)
+    val dataDirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    if (dataDirs.exists(_.contains("=")))
+      sys.error(s"convertFromParquet: $tablePath is hive-partitioned " +
+        s"(${dataDirs.filter(_.contains("=")).take(3).mkString(", ")}) — " +
+        "use convertFromHiveParquet, which recovers the partition " +
+        "columns from the path layout")
+    if (dataDirs.nonEmpty)
+      sys.error(s"convertFromParquet: $tablePath contains subdirectories " +
+        s"(${dataDirs.take(3).mkString(", ")}) — ambiguous layout, refusing")
+    val names = entries.filter(st => !st.isDirectory)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    require(names.nonEmpty, s"convertFromParquet: no parquet files at $tablePath")
+    names.filter(_.startsWith("dv-")) match {
+      case Seq() => ()
+      case bad => sys.error(s"convertFromParquet: ${bad.take(3).mkString(", ")} " +
+        "carry the reserved 'dv-' deletion-vector prefix — refusing " +
+        "ambiguous names")
+    }
+    // footer-exact size + rows per file (the same pass staging runs),
+    // recorded in the add actions so every later read plans from the log
+    val conf = spark.sparkContext.hadoopConfiguration
+    val counted = {
+      import scala.collection.parallel.CollectionConverters._
+      names.par.map { n =>
+        val p = new Path(root, n)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (n, fs.getFileStatus(p).getLen, r.getRecordCount) finally r.close()
+      }.seq
+    }
+    val meta = counted.map { case (n, sz, rows) =>
+      n -> VersionedTable.FileMeta(sz, rows) }.toMap
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(names.map(n => s"$tablePath/$n"): _*).schema
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // sidecar BEFORE the commit record (the stats write-ordering
+    // protocol): a reader observing v0 always finds its stats
+    writeStats(names, 0, nonce)
+    writeCommit(Commit(0, "convert", names, schema.toDDL,
+      counted.map(_._3).sum, System.currentTimeMillis()), metaHint = meta)
+    0
+  }
+
+  /** Import a HIVE-partitioned parquet tree (`k=v/` directories) from
+    * `sourceDir` into this table, recovering the partition columns
+    * from the path layout — as a MATERIALIZING rewrite into the lake's
+    * native partitioned layout, not a reference import, by design:
+    * hive layout stores partition VALUES only in directory names,
+    * while this protocol stores them INSIDE the data files
+    * (one-value-per-file — the invariant behind exact stats pruning,
+    * metadata-only partition aggregates, and `replacePartitions`' file
+    * swaps). Referencing hive files in place would leave every
+    * file-reading path — CoW rewrites, MoR overlays, the V1 bridge,
+    * schema alignment — null-filling columns the files don't carry.
+    * One rewrite at import time buys the native invariants forever;
+    * the source tree is left untouched.
+    *
+    * Layout validation is Spark's own partition discovery (consistent
+    * `k=v` keys per level, type inference, collision with data columns
+    * all fail loudly there), plus the explicit guards here. */
+  def convertFromHiveParquet(sourceDir: String): Int = {
+    require(latestVersion().isEmpty,
+      s"convertFromHiveParquet: $tablePath is already a graft-lake table")
+    require(sourceDir != tablePath,
+      "convertFromHiveParquet rewrites into the lake layout — the " +
+        "target table dir must differ from the hive source dir " +
+        "(in-place hive reference imports are refused; see the scaladoc)")
+    val srcRoot = new Path(sourceDir)
+    require(fs.exists(srcRoot), s"convertFromHiveParquet: $sourceDir does not exist")
+    val top = fs.listStatus(srcRoot).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(top.nonEmpty && top.forall(_.contains("=")),
+      s"convertFromHiveParquet: $sourceDir is not hive-partitioned " +
+        s"(top-level dirs: ${top.take(3).mkString(", ")}) — for a flat " +
+        "directory use convertFromParquet (true in-place)")
+    val df = spark.read.parquet(sourceDir) // partition discovery on
+    // partition columns = discovered schema minus ONE LEAF FILE's own
+    // columns (a single file path triggers no discovery, so this works
+    // for multi-level k1=v1/k2=v2 trees too)
+    val leafIt = fs.listFiles(srcRoot, true)
+    var leaf: Option[Path] = None
+    while (leaf.isEmpty && leafIt.hasNext) {
+      val st = leafIt.next()
+      if (st.getPath.getName.endsWith(".parquet")) leaf = Some(st.getPath)
+    }
+    val fileSchema = spark.read.parquet(leaf.getOrElse(sys.error(
+      s"convertFromHiveParquet: no parquet files under $sourceDir")).toString)
+      .schema.fieldNames.toSet
+    val pcols = df.schema.fieldNames.filterNot(fileSchema).toSeq
+    require(pcols.nonEmpty, s"convertFromHiveParquet: no partition " +
+      s"columns recovered from $sourceDir's layout")
+    commitOverwritePartitioned(df, pcols)
   }
 
   /** The table's partition columns (empty when unpartitioned). */
@@ -3250,6 +3603,39 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     commitRewrite("optimize", c, c.files, compacted, c.rows)
   }
 
+  /** Compact only the snapshot's SMALL files (r19 — Delta's
+    * auto-compact shape, the streaming-sink hygiene primitive): files
+    * whose log-recorded row count is below `targetRowsPerFile / 2`
+    * rewrite into right-sized files in ONE commit; every full-size
+    * file is untouched BY IDENTITY, so the rewrite cost is
+    * O(small-file bytes) — a month of micro-batches compacts for the
+    * cost of the micro-batches, not the table. Read-set validation is
+    * file-level like every rewrite: racing appends rebase cleanly
+    * (disjoint files), racing rewrites of a compacted file abort.
+    * No-op (None) below `minSmallFiles` — compaction that saves fewer
+    * opens than it costs commits shouldn't run. Live rows are
+    * preserved exactly (the rewrite reads through the DV overlay;
+    * affected files' DV entries go inert). */
+  def compactSmallFiles(targetRowsPerFile: Long,
+                        minSmallFiles: Int = 8): Option[Int] = {
+    require(targetRowsPerFile > 0, "compactSmallFiles needs a positive target")
+    val v0 = latestVersion().getOrElse(sys.error(s"no commits at $tablePath"))
+    val c = readCommit(v0)
+    val (dvs, data) = splitDv(c.files)
+    val meta = snapshotFileMeta(Some(v0))
+    val small = data.filter(f => meta.get(f)
+      .exists(m => m.rows >= 0 && m.rows < targetRowsPerFile / 2))
+    if (small.size < math.max(2, minSmallFiles)) return None
+    val live = alignToSchema(readLive(small, dvs, Some(physReadSchema(c))),
+      StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
+    val smallRows = small.flatMap(meta.get).map(_.rows).sum // pre-DV upper bound
+    val nOut = math.max(1, math.ceil(smallRows.toDouble / targetRowsPerFile).toInt)
+    // partitioned tables re-split per value in staging (one-value-per-
+    // file invariant); only flat tables take the explicit repartition
+    val shaped = if (c.pcols.isEmpty) live.repartition(nOut) else live
+    Some(commitRewrite("compact", c, small, shaped, c.rows))
+  }
+
   /** Restore the table to an earlier version's contents as a NEW commit
     * (Delta RESTORE semantics): metadata-only — the commit re-references
     * the old version's files, so no data is copied or rewritten and the
@@ -3417,6 +3803,10 @@ object VersionedTable {
     * `minAgeMs = 0` explicitly — the safe-by-default posture for
     * concurrent writers. */
   val DefaultVacuumMinAgeMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Reserved constraint-name prefix carrying NOT NULL declarations
+    * (r19) — see [[VersionedTable.setNotNull]]. */
+  val NotNullPrefix: String = "__notnull__"
 
   def apply(spark: SparkSession, path: String): VersionedTable =
     new VersionedTable(spark, path)

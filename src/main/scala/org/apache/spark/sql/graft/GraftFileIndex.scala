@@ -50,7 +50,7 @@ class GraftFileIndex(spark: SparkSession, val table: VersionedTable,
                      // resolves against the commit's logical schema —
                      // listFiles translates through this before pruning.
                      // Empty for unmapped tables.
-                     toLogical: Map[String, String] = Map.empty)
+                     private[graft] val toLogical: Map[String, String] = Map.empty)
     extends FileIndex {
   // PIN the snapshot version once: everything this index answers —
   // file list, statuses, stats pruning — must come from ONE version.

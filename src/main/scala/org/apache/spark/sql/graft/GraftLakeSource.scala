@@ -187,8 +187,32 @@ class GraftLakeSourceProvider extends StreamSourceProvider
         "graft-lake sink: partitionOverwrite=dynamic composes with " +
           "Append mode (each batch carries whole partitions); use " +
           "Update/updateKeys for key-level changes")
+    // r19 small-file hygiene: optimizeWrite coalesces each micro-batch
+    // to ~targetRows-per-file; autoCompact additionally folds
+    // accumulated small files every N batches (Delta's
+    // optimizeWrite/autoCompact pair) — a month of micro-batches must
+    // not leave 10⁵ tiny files for every future scan to open.
+    val optimizeWrite = opt("optimizeWrite")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val targetRows = opt("optimizeWrite.targetRows").map { raw =>
+      try raw.trim.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"optimizeWrite.targetRows must be a long, got '$raw'") }
+    }.getOrElse(1000000L)
+    val autoCompactEvery = opt("autoCompact.every").map { raw =>
+      try raw.trim.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"autoCompact.every must be an int, got '$raw'") }
+    }.getOrElse(if (opt("autoCompact").exists(_.trim.equalsIgnoreCase("true")))
+      10 else 0)
+    val autoCompactMinFiles = opt("autoCompact.minFiles").map { raw =>
+      try raw.trim.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"autoCompact.minFiles must be an int, got '$raw'") }
+    }.getOrElse(8)
     new GraftLakeSink(activeSession(sqlContext), tablePath(parameters),
-      sinkAppId(parameters), outputMode, updateKeys, partitionReplace)
+      sinkAppId(parameters), outputMode, updateKeys, partitionReplace,
+      optimizeWrite, targetRows, autoCompactEvery, autoCompactMinFiles)
   }
 
   /** The sink's txn-ledger identity. Two queries writing the SAME table
@@ -298,9 +322,37 @@ class GraftLakeSourceProvider extends StreamSourceProvider
 class GraftLakeSink(spark: SparkSession, path: String, appId: String,
                     outputMode: OutputMode = OutputMode.Append(),
                     updateKeys: Seq[String] = Nil,
-                    partitionReplace: Boolean = false)
+                    partitionReplace: Boolean = false,
+                    optimizeWrite: Boolean = false,
+                    targetRows: Long = 1000000L,
+                    autoCompactEvery: Int = 0,
+                    autoCompactMinFiles: Int = 8)
     extends Sink {
   private val table = VersionedTable(spark, path)
+
+  /** optimizeWrite: coalesce the batch to ⌈rows/targetRows⌉ files —
+    * one extra count pass over the (cached) batch buys files sized for
+    * scans instead of one file per shuffle partition. `coalesce`, not
+    * `repartition`: bin-packing without a shuffle. */
+  private def shaped(batchDf: DataFrame): DataFrame =
+    if (!optimizeWrite) batchDf
+    else {
+      val cached = batchDf.cache()
+      val n = math.max(1L, (cached.count() + targetRows - 1) / targetRows)
+      cached.coalesce(math.min(n, Int.MaxValue.toLong).toInt)
+    }
+
+  /** autoCompact: every N batches, fold the table's accumulated small
+    * files (hygiene, not correctness — a conflict or failure logs and
+    * the stream continues; the next window retries). Replay-safe by
+    * shape: a replayed compaction finds nothing small and no-ops. */
+  private def maybeCompact(batchId: Long): Unit =
+    if (autoCompactEvery > 0 && batchId > 0 && batchId % autoCompactEvery == 0)
+      try table.compactSmallFiles(targetRows, autoCompactMinFiles)
+      catch { case e: Exception =>
+        System.err.println(s"[lake] sink auto-compact at batch $batchId " +
+          s"skipped: ${e.getMessage}")
+      }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // V1 sink contract: `data` is the engine's streaming-internal
@@ -317,12 +369,14 @@ class GraftLakeSink(spark: SparkSession, path: String, appId: String,
         // replay-exact via the same (appId, batchId) ledger. An empty
         // batch no-ops (replacePartitions of nothing replaces nothing).
         if (!batchDf.isEmpty)
-          table.replacePartitionsIdempotent(batchDf, appId, batchId)
+          table.replacePartitionsIdempotent(shaped(batchDf), appId, batchId)
+        maybeCompact(batchId)
         ()
       case m if m == OutputMode.Append() =>
-        table.commitAppendIdempotent(batchDf, appId, batchId)
+        table.commitAppendIdempotent(shaped(batchDf), appId, batchId)
+        maybeCompact(batchId)
       case m if m == OutputMode.Complete() =>
-        table.commitOverwriteIdempotent(batchDf, appId, batchId)
+        table.commitOverwriteIdempotent(shaped(batchDf), appId, batchId)
       case _ =>
         // Update: swap exactly the files the batch's keys touch. The
         // batch evaluates more than once (key-scope join + survivors +

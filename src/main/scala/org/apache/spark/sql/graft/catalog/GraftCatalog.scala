@@ -265,6 +265,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(c.isNullable, "graft-lake: added columns must be " +
           "nullable (existing rows null-backfill)")
         vt.addColumn(c.fieldNames.head, c.dataType)
+      case c: TableChange.UpdateColumnNullability =>
+        require(c.fieldNames.length == 1,
+          "graft-lake: nested column DDL is not supported")
+        if (c.nullable) vt.dropNotNull(c.fieldNames.head)
+        else vt.setNotNull(c.fieldNames.head)
       case c: TableChange.SetProperty =>
         require(!GraftCatalog.ReservedProps(c.property),
           s"graft-lake: property '${c.property}' is engine-reserved")
@@ -384,6 +389,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     dir
   }
+
+  /** Same resolution WITHOUT the must-already-be-a-lake-table check —
+    * the convert procedures' entry point (their whole job is adopting
+    * a directory that isn't a lake table yet; convertFromParquet
+    * itself validates what it finds there). */
+  private[catalog] def resolveTableDirForConvert(ident: Identifier): String =
+    tableDir(ident)
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")

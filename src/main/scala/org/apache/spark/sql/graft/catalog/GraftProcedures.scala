@@ -75,7 +75,10 @@ object GraftProcedures {
   private[catalog] case class ProcDef(
       name: String, description: String,
       parameters: Seq[ProcedureParameter],
-      resultFor: (SparkSession, VersionedTable, InternalRow) => Seq[Scan])
+      resultFor: (SparkSession, VersionedTable, InternalRow) => Seq[Scan],
+      // the convert procedures target directories that aren't lake
+      // tables yet — they skip the exists-as-lake-table resolution check
+      requireLakeTable: Boolean = true)
 
   private val defs: Map[String, ProcDef] = Seq(
     ProcDef("optimize",
@@ -164,13 +167,19 @@ object GraftProcedures {
           .add("partition_columns", StringType, nullable = false)
           .add("constraints", StringType, nullable = false)
           .add("properties", StringType, nullable = false)
+          .add("not_null", StringType, nullable = false)
+        // NOT NULL declarations surface in their own column; the
+        // constraints column keeps only user CHECKs
+        val userChecks = t.constraints().filterNot(
+          _._1.startsWith(VersionedTable.NotNullPrefix))
         Seq(localScan(schema, Seq(InternalRow(
           UTF8String.fromString(t.tablePath),
           UTF8String.fromString("graft-lake"),
           v, files.size, bytes, rows,
           UTF8String.fromString(t.partitionColumns().mkString(", ")),
-          UTF8String.fromString(kvs(t.constraints())),
-          UTF8String.fromString(kvs(t.properties()))))))
+          UTF8String.fromString(kvs(userChecks)),
+          UTF8String.fromString(kvs(t.properties())),
+          UTF8String.fromString(t.notNullColumns().mkString(", "))))))
       }),
 
     ProcDef("partition_stats",
@@ -184,6 +193,45 @@ object GraftProcedures {
         Seq(localScan(df.schema,
           df.queryExecution.executedPlan.executeCollect().toSeq))
       }),
+
+    ProcDef("convert",
+      "CONVERT TO graft-lake: adopt the identifier's existing FLAT " +
+        "parquet directory in place (zero bytes moved) — v0 add " +
+        "actions reference the existing files, stats are backfilled; " +
+        "idempotent on an already-converted table; hive layouts are " +
+        "refused with a pointer to convert_hive",
+      Seq(in("table", StringType)),
+      (_, t, _) => versionRow(t.convertFromParquet()),
+      requireLakeTable = false),
+
+    ProcDef("convert_hive",
+      "Import a hive-partitioned parquet tree (k=v dirs) from `source` " +
+        "into the identifier's table, recovering partition columns " +
+        "from the path layout — a materializing rewrite into the " +
+        "lake's native one-value-per-file layout (see scaladoc for " +
+        "why hive trees can't be reference-imported); the source tree " +
+        "is left untouched",
+      Seq(in("table", StringType), in("source", StringType)),
+      (_, t, args) => versionRow(
+        t.convertFromHiveParquet(args.getUTF8String(1).toString)),
+      requireLakeTable = false),
+
+    ProcDef("not_null_set",
+      "Declare a column NOT NULL (validated against existing rows; " +
+        "every future batch gate-checks it in the same one-pass CHECK " +
+        "validation; a violating batch rejects atomically). The SQL " +
+        "door for what ALTER COLUMN SET NOT NULL can't reach: Spark's " +
+        "own analyzer refuses nullable→non-nullable on generic V2 " +
+        "catalogs before any catalog code runs",
+      Seq(in("table", StringType), in("column", StringType)),
+      (_, t, args) => versionRow(
+        t.setNotNull(args.getUTF8String(1).toString))),
+
+    ProcDef("not_null_drop",
+      "Drop a column's NOT NULL declaration (metadata-only commit)",
+      Seq(in("table", StringType), in("column", StringType)),
+      (_, t, args) => versionRow(
+        t.dropNotNull(args.getUTF8String(1).toString))),
 
     ProcDef("replace_partitions",
       "Dynamic partition overwrite from a registered view/table: " +
@@ -217,7 +265,9 @@ class LakeProcedure(catalog: GraftCatalog,
       .parseMultipartIdentifier(tableArg).toArray
     val ident = Identifier.of(parts.init, parts.last)
     val spark = SparkSession.active
-    val table = VersionedTable(spark, catalog.resolveTableDir(ident))
+    val dir = if (d.requireLakeTable) catalog.resolveTableDir(ident)
+              else catalog.resolveTableDirForConvert(ident)
+    val table = VersionedTable(spark, dir)
     d.resultFor(spark, table, input).iterator.asJava
   }
 }

@@ -51,4 +51,29 @@ class CompactionSpec extends AnyFunSuite {
     val got = spark.read.parquet(out).agg(sum("id")).as[Long].head()
     assert(got == (0L until 1000L).sum)
   }
+
+  test("r19: compactSmallFiles folds ONLY the small files; big files survive by identity") {
+    val dir = Files.createTempDirectory("graft-compact-small").toString + "/t"
+    val t = VersionedTable(spark, dir)
+    // 2 big files (500 rows each) + 12 tiny appends (1 row each)
+    t.commitOverwrite(spark.range(0, 1000).toDF("id").repartitionByRange(2, col("id")))
+    val bigFiles = t.snapshotDataFiles().toSet
+    (0 until 12).foreach(i =>
+      t.commitAppend(Seq(10000L + i).toDF("id")))
+    assert(t.snapshotDataFiles().size == 14)
+    val v = t.compactSmallFiles(targetRowsPerFile = 400, minSmallFiles = 4)
+    assert(v.nonEmpty)
+    val after = t.snapshotDataFiles()
+    // big files untouched BY IDENTITY; the 12 tiny ones folded into 1
+    assert(bigFiles.subsetOf(after.toSet), "compact rewrote a big file")
+    assert(after.size == 3, s"expected 2 big + 1 compacted, got ${after.size}")
+    assert(t.read().count() == 1012)
+    assert(t.history().last._2 == "compact")
+    // idempotent hygiene: nothing small left => no-op
+    assert(t.compactSmallFiles(400, 4).isEmpty)
+    // below the floor: no-op (2 tiny files are cheaper than a commit)
+    t.commitAppend(Seq(20000L).toDF("id"))
+    t.commitAppend(Seq(20001L).toDF("id"))
+    assert(t.compactSmallFiles(400, 4).isEmpty)
+  }
 }

@@ -564,4 +564,38 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(hist == Seq(0, 1))
     spark.sql("DROP TABLE g.`dot.ted`")
   }
+
+  test("r19: ALTER TABLE ALTER COLUMN SET/DROP NOT NULL routes to the lake's NOT NULL constraint") {
+    spark.sql("CREATE TABLE g.t_nn (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.t_nn VALUES (1, 'x'), (2, NULL)")
+    val vt = VersionedTable(spark, s"$warehouse/t_nn")
+    def chain(t: Throwable): String =
+      if (t == null) "" else String.valueOf(t.getMessage) + " | " + chain(t.getCause)
+    // Spark's own analyzer refuses nullable->non-nullable on generic V2
+    // catalogs BEFORE any catalog code runs - the SQL door is the
+    // not_null_set procedure (Delta ships its own resolution rule for
+    // the same reason)
+    val analyzerBlocked = intercept[Exception](
+      spark.sql("ALTER TABLE g.t_nn ALTER COLUMN id SET NOT NULL"))
+    assert(chain(analyzerBlocked).contains("non-nullable"), chain(analyzerBlocked))
+    // a null-holding column refuses the declaration
+    val e = intercept[Exception](
+      spark.sql("CALL g.system.not_null_set('t_nn', 'v')"))
+    assert(chain(e).contains("violated"), chain(e))
+    // a clean column accepts; the batch gate then rejects nulls
+    spark.sql("CALL g.system.not_null_set('t_nn', 'id')")
+    assert(vt.notNullColumns() == Seq("id"))
+    val bad = intercept[Exception](
+      spark.sql("INSERT INTO g.t_nn VALUES (NULL, 'y')"))
+    assert(chain(bad).contains("__notnull__id"), chain(bad))
+    assert(spark.sql("SELECT count(*) FROM g.t_nn").head.getLong(0) == 2)
+    // DESCRIBE DETAIL surfaces the declaration in its own column
+    assert(spark.sql("CALL g.system.detail('t_nn')")
+      .select("not_null").head.getString(0) == "id")
+    // dropping releases it
+    spark.sql("CALL g.system.not_null_drop('t_nn', 'id')")
+    assert(vt.notNullColumns().isEmpty)
+    spark.sql("INSERT INTO g.t_nn VALUES (NULL, 'y')")
+    assert(spark.sql("SELECT count(*) FROM g.t_nn").head.getLong(0) == 3)
+  }
 }

@@ -1096,4 +1096,49 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(reopened.commitAppend(Seq((3L, "c")).toDF("id", "v")) == 2)
     assert(t.read().count() == 3) // visible through the original handle too
   }
+
+  test("r19: NOT NULL columns — declaration validates existing rows, batches reject atomically, DDL guards hold") {
+    val t = freshTable()
+    t.commitOverwrite(Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "v"))                                                      // v0
+    // a column already holding nulls refuses the declaration
+    val pre = intercept[RuntimeException](t.setNotNull("v"))
+    assert(pre.getMessage.contains("violated"), pre.getMessage)
+    // a clean column accepts it; idempotent re-declare returns the head
+    assert(t.setNotNull("id") == 1)
+    assert(t.setNotNull("id") == 1)
+    assert(t.notNullColumns() == Seq("id"))
+    // a violating batch atomically rejects — NOTHING committed
+    val bad = intercept[RuntimeException](
+      t.commitAppend(Seq((Some(9L), "x"), (None, "y"))
+        .toDF("id", "v")))
+    assert(bad.getMessage.contains("__notnull__id"), bad.getMessage)
+    assert(t.latestVersion().contains(1) && t.read().count() == 3)
+    // a clean batch lands
+    t.commitAppend(Seq((9L, "x")).toDF("id", "v"))                           // v2
+    assert(t.read().count() == 4)
+    // survives overwrite (constraints are definition, not content) and
+    // still gates the overwritten future
+    t.commitOverwrite(Seq((5L, "z")).toDF("id", "v"))                        // v3
+    assert(t.notNullColumns() == Seq("id"))
+    intercept[RuntimeException](
+      t.commitAppend(Seq[(Option[Long], String)]((None, "w")).toDF("id", "v")))
+    // DDL guards: rename/drop of a NOT NULL column refuse; the reserved
+    // name is walled off from the CHECK API in both directions
+    assert(intercept[RuntimeException](t.renameColumn("id", "id2"))
+      .getMessage.contains("constraint"))
+    assert(intercept[RuntimeException](t.dropColumn("id"))
+      .getMessage.contains("constraint"))
+    intercept[IllegalArgumentException](t.addConstraint("__notnull__v", "v IS NOT NULL"))
+    intercept[IllegalArgumentException](t.dropConstraint("__notnull__id"))
+    // drop releases the declaration; nulls flow again; unknown col no-ops
+    t.dropNotNull("id")                                                      // v4
+    assert(t.notNullColumns().isEmpty)
+    t.commitAppend(Seq[(Option[Long], String)]((None, "w")).toDF("id", "v")) // v5
+    assert(t.read().filter(col("id").isNull).count() == 1)
+    assert(t.dropNotNull("never_had") == 5)
+    // unknown column refuses
+    assert(intercept[RuntimeException](t.setNotNull("nope"))
+      .getMessage.contains("no column"))
+  }
 }

@@ -705,4 +705,52 @@ class LakeSourceSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("no committed versions"),
       s"got: ${e.getMessage}")
   }
+
+  test("r19: optimizeWrite + autoCompact bound the file count across a many-batch run") {
+    val bronzeDir = scratch("graft-hyg-b") + "/bronze"
+    val ctlDir = scratch("graft-hyg-c") + "/ctl"
+    val hygDir = scratch("graft-hyg-h") + "/hyg"
+    val bronze = VersionedTable(spark, bronzeDir)
+    bronze.commitOverwrite(spark.range(0, 8).toDF("id").repartition(4))
+
+    def run(out: String, ckpt: String, hygiene: Boolean) = {
+      var w = spark.readStream.format("graft-lake").load(bronzeDir)
+        .filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type")
+        .writeStream.format("graft-lake")
+        .option("appId", if (hygiene) "hyg" else "ctl")
+        .option("maxCommitsPerTrigger", "1")
+        .option("checkpointLocation", ckpt)
+      if (hygiene) w = w.option("optimizeWrite", "true")
+        .option("optimizeWrite.targetRows", "100000")
+        .option("autoCompact.every", "8")
+        .option("autoCompact.minFiles", "4")
+      w.start(out)
+    }
+    val qc = run(ctlDir, scratch("graft-hyg-ck1"), hygiene = false)
+    val qh = run(hygDir, scratch("graft-hyg-ck2"), hygiene = true)
+    (1 to 20).foreach { i =>
+      bronze.commitAppend(spark.range(i * 100L, i * 100L + 8).toDF("id")
+        .repartition(4))
+      qc.processAllAvailable(); qh.processAllAvailable()
+    }
+    qc.stop(); qh.stop()
+    val ctl = VersionedTable(spark, ctlDir)
+    val hyg = VersionedTable(spark, hygDir)
+    // identical content...
+    assert(hyg.read().select("id").as[Long].collect().sorted.toSeq ==
+      ctl.read().select("id").as[Long].collect().sorted.toSeq)
+    assert(hyg.read().count() == 168)
+    // ...but bounded files: the control leaves one-file-per-partition-
+    // per-batch litter, hygiene coalesces each batch AND folds the
+    // residue every 8 batches
+    val ctlFiles = ctl.snapshotDataFiles().size
+    val hygFiles = hyg.snapshotDataFiles().size
+    assert(ctlFiles >= 20, s"control fixture too small: $ctlFiles files")
+    assert(hygFiles <= 8, s"hygiene left $hygFiles files (control: $ctlFiles)")
+    assert(hyg.history().map(_._2).contains("compact"),
+      "auto-compact never ran")
+    // replay safety intact: the ledger carries every batch exactly once
+    assert(hyg.lastCommittedBatch("hyg").contains(20L))
+  }
 }
