@@ -143,6 +143,11 @@ case class GraftAutoFilePruning(session: SparkSession)
     def attempt(fact: LogicalPlan, dim: LogicalPlan): Option[LogicalPlan] = {
       val f = unwrapFact(fact).getOrElse(return None)
       if (!selective(dim)) return None
+      // prune only the side at least as large as the other: the scope
+      // step executes ONE AGGREGATE over the dim subtree, so wrapping
+      // the small side of `dim JOIN fact` would pay a fact-sized scan
+      // to save a dim-sized one — a guaranteed net loss
+      if (fact.stats.sizeInBytes < dim.stats.sizeInBytes) return None
       // orient each pair fact→dim; key must be a direct relation column
       val oriented = pairs.flatMap { case (a, b) =>
         if (f.relation.outputSet.contains(a) && dim.outputSet.contains(b))
