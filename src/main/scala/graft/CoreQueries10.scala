@@ -71,18 +71,22 @@ object CoreQueries10 {
         .select(col("event_type").as("cet"), col("bkt").as("cbkt"), col("carry"))
       val wF = Window.partitionBy("event_type", "bkt").orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val conc = net
-        .join(cumb, col("event_type") === col("cet") && col("bkt") === col("cbkt"))
+      // r19 fusion: max + argmax-with-min-t collapse into ONE aggregate
+      // over an orderable struct — max(struct(active, -t)) is (max
+      // active, then min t among its ties). Replaces the former cut()
+      // materialization + max pass + join-back (3 jobs, one 20 MB
+      // checkpoint) with a single pass; all-integer math, so results
+      // are bit-identical. cumb (one row per populated (type, hour)
+      // bucket) broadcasts instead of shuffling net a second time.
+      net
+        .join(broadcast(cumb),
+          col("event_type") === col("cet") && col("bkt") === col("cbkt"))
         .withColumn("active", col("carry") + sum("net").over(wF))
-        .select("event_type", "t", "active")
-        .cut() // read twice: max + argmax join-back
-      val mx = conc.groupBy(col("event_type").as("met"))
-        .agg(max("active").as("max_concurrent"))
-      mx.join(conc, col("event_type") === col("met")
-          && col("active") === col("max_concurrent"))
-        .groupBy("event_type", "max_concurrent")
-        .agg(date_format(timestamp_micros(min(col("t"))), "yyyy-MM-dd HH:mm:ss")
-          .as("first_peak"))
+        .groupBy("event_type")
+        .agg(max(struct(col("active"), (-col("t")).as("negt"))).as("pk"))
+        .select(col("event_type"), col("pk.active").as("max_concurrent"),
+          date_format(timestamp_micros(-col("pk.negt")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_peak"))
         .orderBy("event_type")
     },
 
@@ -106,16 +110,29 @@ object CoreQueries10 {
         |FROM pairs JOIN bc c1 ON c1.brand = pairs.b1
         |JOIN bc c2 ON c2.brand = pairs.b2
         |CROSS JOIN n WHERE n_both >= 3 ORDER BY b1, b2""".stripMargin) { (s, d) =>
-      val ob = lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_partkey"))
+      // r19 (guide §2.4): one groupBy(okey) with collect_set replaces
+      // the former distinct + okey-keyed SELF-JOIN — the basket set is
+      // per-order tiny (TPC-H ≤7 lines), so pairs expand in-row from
+      // the sorted brand array exactly like the minhash bucketPairs
+      // idiom. Plan: 4 exchanges + join → 2 exchanges, and the order
+      // key never carries brand pairs through a shuffle. sort_array
+      // uses UTF8 binary order = the old `b1 < b2` join predicate, so
+      // the emitted pair multiset is identical.
+      val baskets = lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(part(s, d).select(col("p_partkey"), col("p_brand").as("brand")),
           col("l_partkey") === col("p_partkey"))
-        .select("okey", "brand").distinct()
-        .cut() // feeds total, per-brand counts, and both pair sides
-      val n = ob.agg(count_distinct(col("okey")).as("n_orders"))
-      val bc = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
-      val a = ob.select(col("okey").as("ka"), col("brand").as("b1"))
-      val bb = ob.select(col("okey").as("kb"), col("brand").as("b2"))
-      a.join(bb, col("ka") === col("kb") && col("b1") < col("b2"))
+        .groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs"))
+        .cut() // feeds total, per-brand counts, and the pair expansion
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
+      val bc = baskets.select(explode(col("bs")).as("brand"))
+        .groupBy("brand").agg(count(lit(1)).as("n_brand"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs) - i - 1),
+            |    y -> struct(x AS b1, y AS b2))))""".stripMargin)).as("p"))
+        .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)
         .join(bc.select(col("brand").as("br1"), col("n_brand").as("n1")),

@@ -123,8 +123,15 @@ object CoreQueries12 {
         |  sum(CASE WHEN d.ad > 1.5 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM dev d JOIN mad m ON d.mon = m.mon AND d.rf = m.rf
         |GROUP BY d.mon, d.rf ORDER BY mon, l_returnflag""".stripMargin) { (s, d) =>
-      val g = lineitem(s, d).select(trunc(col("l_shipdate"), "month").as("mon"),
-        col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
+      // widen (r19): one repartition by the group key at the scan feeds
+      // ALL THREE aggregations (median, MAD, final) with zero further
+      // exchanges (hash(mon, rf) satisfies each groupBy's clustering) —
+      // and the exact-percentile buffers build in parallel instead of
+      // on the fixture's single input split.
+      val g = Tables.widen(
+        lineitem(s, d).select(trunc(col("l_shipdate"), "month").as("mon"),
+          col("l_returnflag").as("rf"), col("l_quantity").as("qty")),
+        col("mon"), col("rf"))
       val med = g.groupBy("mon", "rf").agg(expr("percentile(qty, 0.5D)").as("med"))
       val dev = g.join(broadcast(med), Seq("mon", "rf"))
         .withColumn("ad", abs(col("qty") - col("med")))

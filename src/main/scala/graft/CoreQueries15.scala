@@ -52,17 +52,23 @@ object CoreQueries15 {
     }) { (s, d) =>
       def member(b: Int) = pmod(Dedup.md5Int(
         concat(col("o_orderkey").cast("string"), lit(s":$b"))), lit(2)) === 0
+      // r19: the B per-replicate md5 memberships are the CPU floor —
+      // widen the one-split scan so they run on every core, and
+      // accumulate the money sums in DECIMAL so the result is exact and
+      // partitioning-independent (the q_lake_cdc contract); the final
+      // cast back to double keeps the declared schema.
+      val price = col("o_totalprice").cast("decimal(28,6)")
       val aggs =
-        Seq(sum("o_totalprice").as("st"), count(lit(1)).as("ct")) ++
+        Seq(sum(price).as("st"), count(lit(1)).as("ct")) ++
           (0 until B).flatMap { b =>
-            Seq(sum(when(member(b), col("o_totalprice"))).as(s"s$b"),
+            Seq(sum(when(member(b), price)).as(s"s$b"),
               count(when(member(b), true)).as(s"c$b"))
           }
       val means = array((0 until B).map(b =>
-        round(col(s"s$b") / col(s"c$b"), 6)): _*)
+        round(col(s"s$b").cast("double") / col(s"c$b"), 6)): _*)
       val w = Window.orderBy(col("m"), col("b"))
-      orders(s, d).agg(aggs.head, aggs.tail: _*)
-        .select(round(col("st") / col("ct"), 6).as("point_est"),
+      Tables.widen(orders(s, d)).agg(aggs.head, aggs.tail: _*)
+        .select(round(col("st").cast("double") / col("ct"), 6).as("point_est"),
           posexplode(means).as(Seq("b", "m")))
         .withColumn("rn", row_number().over(w))
         .groupBy()

@@ -327,7 +327,11 @@ object LlmQueries8 {
       // cut: postings feed both the tf assembly and the global df —
       // one materialization, two cheap readers
       val postings = graft.CheckpointStrategy.cut(
-        documents(s, d)
+        // widen (r19): the token explode + postings filter is the CPU
+        // floor; on a one-split fixture scan it ran single-task. The
+        // doc_id repartition is reused by the groupBy's clustering
+        // (doc_id ⊆ {doc_id, term}) — no extra exchange.
+        Tables.widen(documents(s, d), col("doc_id"))
           .select(col("doc_id"), size(toks).cast("long").as("dl"),
             explode(toks).as("term"))
           .join(broadcast(qterms), "term")

@@ -78,4 +78,37 @@ object Tables {
       cache.get(key)
     }
   }
+
+  /** Conditional scan-parallelism widener (r19, guide §2.5 "one huge
+    * unsplittable file": repartition immediately after the read).
+    *
+    * The driver fixtures are single-file single-row-group parquet, so a
+    * bare scan plans ONE input task no matter the core count — and every
+    * CPU-heavy per-row pipeline above it (shingling, per-replicate
+    * hashing, token explosion) runs single-threaded while 31 cores
+    * idle. This helper repartitions the scan output by the key the
+    * downstream aggregation groups on, into exactly
+    * `spark.sql.shuffle.partitions` partitions, so the added exchange
+    * REPLACES the aggregation's own exchange (hashpartitioning(key, n)
+    * satisfies the groupBy's ClusteredDistribution — same shuffle
+    * count, 32× the compute width).
+    *
+    * Scale posture: fires ONLY when the scan's natural split count is
+    * below the session's parallelism — on a real table (many files /
+    * row groups ≫ cores) it is the identity and the corpus payload is
+    * never shuffled pre-aggregation. The decision reads the planned
+    * partition count of the BARE scan (cheap; callers pass base-table
+    * frames, never joined plans — `df.rdd` on a join would execute its
+    * broadcast side).
+    */
+  def widen(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= cores) df
+    else {
+      val n = spark.sessionState.conf.numShufflePartitions
+      if (key.isEmpty) df.repartition(n) else df.repartition(n, key: _*)
+    }
+  }
 }

@@ -15,14 +15,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps (r19): footer-statable (INT96 carries no
+      // usable stats) and 8 bytes instead of 12; value-identical reads
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val result = fn(spark, sfDir)
+        // The DUMP files keep the pre-r19 INT96 physical type: the
+        // oracle checker's timestamp normalization reads the dump
+        // parquet directly, and INT64(adjustedToUTC) surfaces as a
+        // tz-AWARE dtype its pipeline does not expect. Engine-internal
+        // writes (the lake) stay MICROS; only the checker-facing dump
+        // flips back, after the query (and any stream it ran) finished.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        try result.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.conf.set(
+          "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

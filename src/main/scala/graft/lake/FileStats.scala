@@ -167,6 +167,187 @@ object FileStats {
     }.toMap
   }
 
+  // ---- footer-derived collection (r19 optimization) -------------------
+  //
+  // The distributed [[collect]] pass re-reads every byte a commit just
+  // wrote, as a full Spark job — at commit-heavy shapes (DML series,
+  // medallion refresh, streaming micro-batches) that job is pure
+  // per-commit overhead. But the staging path ALREADY opens every
+  // file's parquet footer (row-count memo), and for every stats-eligible
+  // type the footer's column-chunk statistics are value-identical to
+  // what the Spark aggregate computes:
+  //  - INT32/INT64 chunk min/max are signed-compared (parquet
+  //    typeDefinedOrder), same as Spark's int ordering; dates are the
+  //    same days-since-epoch INT32 the `datediff` encoding stores;
+  //    timestamps annotated MICROS carry exactly `unix_micros`;
+  //  - FLOAT/DOUBLE chunk stats use Double.compare total order; NaN
+  //    poisons max (detectably), mirroring [[ser]]'s NaN/Inf decline;
+  //  - BINARY string stats use unsigned lexicographic byte order — the
+  //    SAME order UTF8String comparisons (and so Spark's min/max) use;
+  //    parquet-mr's default footer-stats truncation is OFF
+  //    (DEFAULT_STATISTICS_TRUNCATE_LENGTH = MaxValue), and stats too
+  //    large to store are dropped entirely (detectable ⇒ fallback);
+  //  - DECIMAL unscaled+scale reconstructs the exact java BigDecimal.
+  //
+  // Anything that can't be proven value-identical — INT96 timestamps,
+  // NANOS units, missing/unset statistics, a physical type that doesn't
+  // match the staged schema — declines the WHOLE commit (returns None)
+  // and the caller falls back to the distributed pass, so the sidecar's
+  // content contract (what q_meta_agg/candidateFiles consume) is
+  // byte-for-byte what [[collect]] would have written. FooterStatsSpec
+  // asserts that parity line-by-line on an adversarial fixture.
+
+  /** Derive a commit's stats sidecar content from the staged files'
+    * parquet footers — zero extra I/O, zero Spark jobs. Returns None
+    * when ANY eligible column of ANY file can't be derived exactly
+    * (caller must fall back to [[collect]]). `schema` is the staged
+    * frame's (physical) schema. */
+  def collectFromFooters(spark: SparkSession, schema: StructType,
+      footers: Seq[(String, org.apache.parquet.hadoop.metadata.ParquetMetadata)])
+      : Option[Map[String, Map[String, ColStats]]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+
+    val usable = schema.fields.toSeq
+      .filter(f => f.dataType != TimestampNTZType || utcSession(spark))
+      .flatMap(f => statKind(f.dataType).map(k => (f.name, f.dataType, k)))
+    if (usable.isEmpty)
+      return Some(footers.map { case (name, md) =>
+        name -> Map.empty[String, ColStats] }.toMap)
+
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+
+    // micros multiplier for an annotated timestamp column, or None when
+    // the unit/adjustment doesn't match the Spark type (incl. NANOS,
+    // whose truncation at read time is not representable as a bound
+    // without floor-div care — decline, the distributed pass handles it)
+    def microsFactor(ann: LogicalTypeAnnotation, wantAdjusted: Boolean): Option[Long] =
+      ann match {
+        case t: TimestampLogicalTypeAnnotation if t.isAdjustedToUTC == wantAdjusted =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+            case _ => None
+          }
+        case _ => None
+      }
+
+    val result = footers.map { case (name, md) =>
+      val blocks = md.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      // column path -> chunks (top-level primitives only: dot-free path)
+      val chunksByCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val cols = usable.map { case (colName, dt, kind) =>
+        val chunks = chunksByCol.getOrElse(colName, return None)
+        if (chunks.map(_.getValueCount).sum != nRows) return None
+        val stats = chunks.map(_.getStatistics)
+        if (stats.exists(s => s == null || s.isEmpty || !s.isNumNullsSet))
+          return None
+        val nulls = stats.map(_.getNumNulls).sum
+        val withVals = stats.filter(_.hasNonNullValue)
+        val prim = chunks.head.getPrimitiveType
+        val ann = prim.getLogicalTypeAnnotation
+        if (nulls == nRows || withVals.isEmpty) {
+          // all-null column: same (None, None) line [[collect]] writes.
+          // (withVals empty with nulls < nRows would be an inconsistent
+          // footer; treat it as all-null-safe only when counts agree.)
+          if (nulls != nRows) return None
+          colName -> Some(ColStats(kind, None, None, nulls, nRows))
+        } else {
+          val serMinMax: Option[(String, String)] = dt match {
+            case ByteType | ShortType | IntegerType if prim.getPrimitiveTypeName == INT32 =>
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Integer].intValue) ++
+                withVals.map(_.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
+              Some((vs.min.toString, vs.max.toString))
+            case DateType if prim.getPrimitiveTypeName == INT32 &&
+                ann.isInstanceOf[DateLogicalTypeAnnotation] =>
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Integer].intValue) ++
+                withVals.map(_.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
+              Some((vs.min.toString, vs.max.toString))
+            case LongType if prim.getPrimitiveTypeName == INT64 =>
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue) ++
+                withVals.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              Some((vs.min.toString, vs.max.toString))
+            case TimestampType | TimestampNTZType if prim.getPrimitiveTypeName == INT64 =>
+              val factor = Option(ann)
+                .flatMap(microsFactor(_, wantAdjusted = dt == TimestampType))
+                .getOrElse(return None)
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue) ++
+                withVals.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              if (vs.exists(v => math.abs(v) > Long.MaxValue / factor)) return None
+              Some(((vs.min * factor).toString, (vs.max * factor).toString))
+            case FloatType if prim.getPrimitiveTypeName == FLOAT =>
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue) ++
+                withVals.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue)
+              val (mn, mx) = (vs.reduce((a, b) => if (java.lang.Float.compare(a, b) <= 0) a else b),
+                vs.reduce((a, b) => if (java.lang.Float.compare(a, b) >= 0) a else b))
+              if (mn.isNaN || mn.isInfinite || mx.isNaN || mx.isInfinite) None
+              else Some((mn.toString, mx.toString))
+            case DoubleType if prim.getPrimitiveTypeName == DOUBLE =>
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue) ++
+                withVals.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+              val (mn, mx) = (vs.reduce((a, b) => if (java.lang.Double.compare(a, b) <= 0) a else b),
+                vs.reduce((a, b) => if (java.lang.Double.compare(a, b) >= 0) a else b))
+              if (mn.isNaN || mn.isInfinite || mx.isNaN || mx.isInfinite) None
+              else Some((mn.toString, mx.toString))
+            case d: DecimalType =>
+              val scale = ann match {
+                case dec: DecimalLogicalTypeAnnotation if dec.getScale == d.scale =>
+                  dec.getScale
+                case _ => return None
+              }
+              def big(v: Any): java.math.BigDecimal = v match {
+                case i: java.lang.Integer =>
+                  java.math.BigDecimal.valueOf(i.longValue, scale)
+                case l: java.lang.Long =>
+                  java.math.BigDecimal.valueOf(l.longValue, scale)
+                case b: org.apache.parquet.io.api.Binary =>
+                  new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), scale)
+                case _ => null
+              }
+              val vs = withVals.map(s => big(s.genericGetMin)) ++
+                withVals.map(s => big(s.genericGetMax))
+              if (vs.contains(null)) return None
+              val mn = vs.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+              val mx = vs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+              Some((mn.toString, mx.toString))
+            case StringType if prim.getPrimitiveTypeName == BINARY &&
+                ann.isInstanceOf[StringLogicalTypeAnnotation] =>
+              val vs = withVals.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes) ++
+                withVals.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+              val mn = vs.reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
+              val mx = vs.reduce((a, b) => if (cmpBytes(a, b) >= 0) a else b)
+              Some((truncMin(new String(mn, java.nio.charset.StandardCharsets.UTF_8)),
+                truncMax(new String(mx, java.nio.charset.StandardCharsets.UTF_8))))
+            case _ => return None // physical/logical shape we can't prove
+          }
+          serMinMax match {
+            case Some((mn, mx)) =>
+              colName -> Some(ColStats(kind, Some(mn), Some(mx), nulls, nRows))
+            case None =>
+              // NaN/Inf poisoned bounds: [[collect]] drops the column's
+              // stats for this file (file always kept) — mirror that.
+              colName -> None
+          }
+        }
+      }
+      name -> cols.collect { case (n, Some(cs)) => n -> cs }.toMap
+    }.toMap
+    Some(result)
+  }
+
   // ---- pruning evaluator ----------------------------------------------
   //
   // Operates on the ANALYZED predicate (VersionedTable resolves the

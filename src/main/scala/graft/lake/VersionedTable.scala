@@ -883,13 +883,18 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         buf.sortBy(_.getPath.toString).toArray
       }
     val conf = spark.sparkContext.hadoopConfiguration
+    // the footer is kept alongside the row count: the stats sidecar is
+    // derived from these SAME footers (no distributed re-read of data
+    // the commit just wrote) whenever every column proves derivable —
+    // see FileStats.collectFromFooters
     val counted = {
       import scala.collection.parallel.CollectionConverters._
       parts0.par.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (st.getPath, st.getLen, r.getRecordCount) finally r.close()
+        try (st.getPath, st.getLen, r.getRecordCount, r.getFooter)
+        finally r.close()
       }.seq
     }
     // the memo is consumed by stagedRowCount, but not every staging
@@ -898,18 +903,21 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     // instance (it's an optimization only; a miss re-opens the footer)
     if (stagedCounts.size > 8192) stagedCounts.clear()
     if (stagedMeta.size > 8192) stagedMeta.clear()
-    val named = counted.filter(_._3 > 0).zipWithIndex.map { case ((p, len, cnt), i) =>
-      val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
-      if (!fs.rename(p, new Path(tablePath, name)))
-        sys.error(s"failed to move staged file $p")
-      stagedCounts.put(name, cnt)
-      stagedMeta.put(name, VersionedTable.FileMeta(len, cnt))
-      fileMetaIndex.put(name, VersionedTable.FileMeta(len, cnt))
-      name
+    val namedWithFooter = counted.filter(_._3 > 0).zipWithIndex.map {
+      case ((p, len, cnt, footer), i) =>
+        val name = f"${prefix}v$v%08d-$nonce-part-$i%05d.parquet"
+        if (!fs.rename(p, new Path(tablePath, name)))
+          sys.error(s"failed to move staged file $p")
+        stagedCounts.put(name, cnt)
+        stagedMeta.put(name, VersionedTable.FileMeta(len, cnt))
+        fileMetaIndex.put(name, VersionedTable.FileMeta(len, cnt))
+        name -> footer
     }
     fs.delete(stageDir, true)
+    val named = namedWithFooter.map(_._1)
     if (collectStats) {
-      writeStats(named.toSeq, v, nonce)
+      writeStats(named.toSeq, v, nonce,
+        footers = namedWithFooter.toSeq, schema = Some(df.schema))
       writeBlooms(named.toSeq, v, nonce)
     }
     named.toSeq
@@ -1079,9 +1087,24 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
 
   private def jesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def writeStats(names: Seq[String], v: Int, nonce: String): Unit = try {
+  private def writeStats(names: Seq[String], v: Int, nonce: String,
+      footers: Seq[(String, org.apache.parquet.hadoop.metadata.ParquetMetadata)] = Nil,
+      schema: Option[StructType] = None): Unit = try {
     if (names.isEmpty) return
-    val stats = FileStats.collect(spark, names.map(n => s"$tablePath/$n"))
+    // Footer gear (r19): derive the sidecar from the staging pass's own
+    // parquet footers — value-identical by construction (see
+    // collectFromFooters), zero extra jobs. Any column it can't prove
+    // falls back to the distributed aggregate, i.e. the exact pre-r19
+    // behavior. `spark.graft.lake.stats.footerGear=false` forces the
+    // distributed pass (parity testing / rollback).
+    val footerGear = spark.conf
+      .getOption("spark.graft.lake.stats.footerGear").forall(_.trim != "false")
+    val fromFooters =
+      if (footerGear && schema.isDefined && footers.size == names.size)
+        FileStats.collectFromFooters(spark, schema.get, footers)
+      else None
+    val stats = fromFooters.getOrElse(
+      FileStats.collect(spark, names.map(n => s"$tablePath/$n")))
     val lines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, s) =>
         def opt(o: Option[String]) = o.map(x => "\"" + jesc(x) + "\"").getOrElse("null")

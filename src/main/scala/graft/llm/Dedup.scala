@@ -71,7 +71,8 @@ object Dedup {
   /** (doc_id, shingle-hash) exploded — shingle strings hashed exactly
     * once; everything downstream works on longs. */
   private def shingleHashes(docs: DataFrame, shingleN: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+    graft.Tables.widen(docs, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
   /** Prime modulus for the replayable hash family (minhash permutations,
@@ -100,8 +101,15 @@ object Dedup {
       GraftColumnBridge.expression(c), byteOffset))
   }
 
+  // Both shingle exploders widen the scan first (Tables.widen): the
+  // shingle+hash work is the pipeline's CPU floor, and on a one-split
+  // input it would otherwise run on a single task while the
+  // groupBy(doc_id) above it pays the same exchange anyway (the widen
+  // repartitions BY doc_id into shuffle.partitions, so the aggregation
+  // reuses the partitioning — shuffle count unchanged).
   private def shingleHashesReplayable(docs: DataFrame, shingleN: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+    graft.Tables.widen(docs, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"), md5Int(col("shingle")).as("h"))
 
   /** Ordered in-bucket pair expansion over a SORTED member-struct array
@@ -285,7 +293,7 @@ object Dedup {
     // 64 feature bits from two replayable 32-bit md5 halves (digest
     // bytes 0-3 and 4-7) — same cross-engine hash contract as minhash,
     // so the whole simhash pipeline is oracle-checked too.
-    val toks = docs
+    val toks = graft.Tables.widen(docs, col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"),
         md5Int(col("shingle")).as("h1"), md5Int(col("shingle"), 4).as("h2"))

@@ -52,6 +52,10 @@ object CurationPipeline {
       Expectation("doc_id_present", col("doc_id").isNotNull, Fail),
       Expectation("text_nonempty", length(col("text")) > 0, Drop))
     val obs = Observation()
+    // (r19 measured: widening HERE loses — the pipeline is many small
+    // stages whose per-task overhead on 32 tiny partitions outweighs
+    // the parallelism; the CPU-heavy minhash stage widens itself inside
+    // Dedup. 2.8s → 4.2s at sf0.1 with a top-level widen.)
     val checked = Expectations.withExpectations(docs, obs, exps).cut()
 
     val quality = TextAnalysis.gopherFilter(checked,
