@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, when, not}
+import org.apache.spark.sql.functions.{abs, array_repeat, coalesce, col, count, explode, lit, when, not}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** A versioned Parquet table with a Delta-style transaction log —
@@ -2811,15 +2811,31 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         case (true, true)   =>
           // Rewrite: diff replaced vs replacement content so untouched
           // rows (and whole no-op rewrites like optimize) cancel out.
+          // r19: ONE grouped symmetric-difference pass — Spark rewrites
+          // each exceptAll as union→groupBy-all-columns→replicate, so
+          // the former two exceptAlls paid two shuffles and read both
+          // sides twice; a group's count imbalance yields its inserts
+          // OR deletes directly (same grouping equality — NaN/-0.0
+          // normalization — and the same multiset replication).
           val oldRows = aligned(readLive(removed.filterNot(isDv), prevDvs))
           val newRows = aligned(readFiles(added.filterNot(isDv)))
             .select(oldRows.columns.map(col): _*)
-          Some(newRows.exceptAll(oldRows)
-            .withColumn("_commit_version", lit(v))
-            .withColumn("_change_type", lit("insert"))
-            .unionByName(oldRows.exceptAll(newRows)
-              .withColumn("_commit_version", lit(v))
-              .withColumn("_change_type", lit("delete"))))
+          val cols = oldRows.columns.toSeq
+          val side = "_g_cdf_side"
+          val diff = (col("_g_cdf_n") - col("_g_cdf_o")).cast("int")
+          Some(newRows.withColumn(side, lit(1))
+            .unionByName(oldRows.withColumn(side, lit(0)))
+            .groupBy(cols.map(col): _*)
+            .agg(count(when(col(side) === 1, 1)).as("_g_cdf_n"),
+              count(when(col(side) === 0, 1)).as("_g_cdf_o"))
+            .filter(diff =!= 0)
+            .select(cols.map(col) ++ Seq(
+              lit(v).as("_commit_version"),
+              when(diff > 0, "insert").otherwise("delete").as("_change_type"),
+              abs(diff).as("_g_cdf_rep")): _*)
+            .withColumn("_g_cdf_x",
+              explode(array_repeat(lit(1), col("_g_cdf_rep"))))
+            .drop("_g_cdf_rep", "_g_cdf_x"))
       }
       }
     }
@@ -3017,7 +3033,8 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
   private[lake] def commitRewrite(action: String, c: Commit, affected: Seq[String],
                             rewritten: DataFrame, newRows: Long,
                             maxRetries: Int = 10,
-                            txnApp: String = "", txnVer: Long = -1L): Int = {
+                            txnApp: String = "", txnVer: Long = -1L,
+                            newRowsFromStaged: Long => Long = null): Int = {
     // every rewrite path hands in a LOGICAL frame aligned to the base
     // snapshot's schema; under column mapping the staged files must
     // store the stable PHYSICAL names. Rewrites of a partitioned table
@@ -3026,7 +3043,16 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
       toPhysical(rewritten, StructType.fromDDL(c.schemaDdl), physMap(c)),
       nextVersion, pcols = c.pcols)
     val readSet = affected.toSet
-    val rowDelta = newRows - c.rows
+    // r19: the staging pass's parquet footers already counted every
+    // output row — callers derive the row accounting from THAT number
+    // (newRowsFromStaged) instead of re-running their whole rewrite
+    // plan under a separate `.count()` action (for a MERGE that action
+    // was a second full execution of the upsert join).
+    val effectiveNewRows =
+      if (newRowsFromStaged == null) newRows
+      else newRowsFromStaged(files.map(f =>
+        stagedMeta.get(f).map(_.rows).getOrElse(stagedRowCount(Seq(f)))).sum)
+    val rowDelta = effectiveNewRows - c.rows
     commitRebasing(action, c, readSet,
       mkFiles = headC => headC.files.filterNot(readSet) ++ files,
       mkRows = headC => headC.rows + rowDelta,
@@ -3053,8 +3079,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
             StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
           val kept = before.filter(not(hit))
-          val removed = before.count() - kept.count()
-          Some(commitRewrite("delete", c, affected, kept, c.rows - removed))
+          // row accounting from log metadata + staged footers (r19):
+          // new total = old total - affected files' live rows + staged
+          // survivors — no count() actions (kept.count() was a second
+          // full execution of the rewrite plan)
+          val beforeCnt = liveRowCount(affected, dvs)
+          Some(commitRewrite("delete", c, affected, kept, -1L,
+            newRowsFromStaged = st => c.rows - beforeCnt + st))
         }
       }
     }
@@ -3288,8 +3319,9 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
             val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
               StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
             val rewritten = Merge.upsert(before, source, keys)
-            val newRows = c.rows - before.count() + rewritten.count()
-            Some(commitRewrite("merge", c, affected, rewritten, newRows))
+            val beforeCnt = liveRowCount(affected, dvs)
+            Some(commitRewrite("merge", c, affected, rewritten, -1L,
+              newRowsFromStaged = st => c.rows - beforeCnt + st))
           }
         }
     }
@@ -3445,9 +3477,10 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
           val rewritten = insRows.foldLeft(
             matchedOut.unionByName(bySrcOut))(_.unionByName(_))
           checkConstraints(rewritten, c.constraints)
-          val newRows = c.rows - before.count() + rewritten.count()
-          Some(commitRewrite("merge", c, affected, rewritten, newRows,
-            maxRetries = retries))
+          val beforeCnt = liveRowCount(affected, dvs)
+          Some(commitRewrite("merge", c, affected, rewritten, -1L,
+            maxRetries = retries,
+            newRowsFromStaged = st => c.rows - beforeCnt + st))
         }
     }
   }
@@ -3520,10 +3553,13 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
         val before = alignToSchema(readLive(affected, dvs, Some(physReadSchema(c))),
           StructType.fromDDL(c.schemaDdl), colMap = physMap(c))
         val kept = before.filter(not(hit))
-        val replaced = before.count() - kept.count()
+        // staged = kept ∪ incoming, so the universal rewrite accounting
+        // (old - affected live + staged) already includes `newRows`
+        val beforeCnt = liveRowCount(affected, dvs)
         Some(commitRewrite("replaceWhere", c, affected,
           kept.unionByName(df.select(before.columns.map(col): _*)),
-          c.rows - replaced + newRows, txnApp = txnApp, txnVer = txnVer))
+          -1L, txnApp = txnApp, txnVer = txnVer,
+          newRowsFromStaged = st => c.rows - beforeCnt + st))
       }
     }
   }
