@@ -144,14 +144,20 @@ object CoreQueries20 {
       // straddles 'click' is conservatively (and correctly) selected
       // without containing it — asserting containment would be fragile
       // against fixture/hashing changes
-      rewritten.foreach { f =>
-        val mm = s.read.parquet(s"${m.gold.tablePath}/$f")
-          .agg(min("bucket"), max("bucket")).head()
-        val (bLo, bHi) = (mm.getString(0), mm.getString(1))
-        if (bLo == null || bLo > "click" || bHi < "click")
-          sys.error(s"q_medallion_bucketed: file $f rewritten without " +
-            s"stats overlap with the touched bucket (range [$bLo,$bHi])")
-      }
+      // one grouped pass over the rewritten files (r19) — the former
+      // per-file agg loop was a driver-sequential job per file for the
+      // same evidence
+      if (rewritten.nonEmpty)
+        s.read.parquet(rewritten.map(f => s"${m.gold.tablePath}/$f"): _*)
+          .select(substring_index(col("_metadata.file_path"), "/", -1).as("f"),
+            col("bucket"))
+          .groupBy("f").agg(min("bucket").as("lo"), max("bucket").as("hi"))
+          .collect().foreach { r =>
+            val (f, bLo, bHi) = (r.getString(0), r.getString(1), r.getString(2))
+            if (bLo == null || bLo > "click" || bHi < "click")
+              sys.error(s"q_medallion_bucketed: file $f rewritten without " +
+                s"stats overlap with the touched bucket (range [$bLo,$bHi])")
+          }
       // round 3: MoR-delete the touched bucket's stored MAX in Bronze —
       // only findable by the per-group rescan
       val victim = m.silver.read()

@@ -47,11 +47,21 @@ object CoreQueries23 {
       val files0 = t.snapshotDataFiles()
       // (a) EXACT pruning: candidate files for one partition == the
       // files that actually hold its rows (ground truth from the files
-      // themselves), and strictly fewer than the table's
-      val lowTruth = files0.filter { f =>
-        s.read.parquet(s"$dir/$f").filter(col("o_orderpriority") === "5-LOW")
-          .limit(1).count() > 0
-      }.toSet
+      // themselves), and strictly fewer than the table's. r19: ONE
+      // grouped pass over every file computes all three ground truths
+      // (5-LOW membership, 1-URGENT membership, value purity) — the
+      // former per-file probe loops were ~20 driver-sequential jobs of
+      // the same evidence (guide §1.2: same proof, one pass).
+      val perFile = s.read.parquet(files0.map(f => s"$dir/$f"): _*)
+        .select(substring_index(col("_metadata.file_path"), "/", -1).as("f"),
+          col("o_orderpriority").as("pri0"))
+        .groupBy("f")
+        .agg(count_distinct(col("pri0")).as("nvals"),
+          max(when(col("pri0") === "5-LOW", 1).otherwise(0)).as("has_low"),
+          max(when(col("pri0") === "1-URGENT", 1).otherwise(0)).as("has_urgent"))
+        .collect()
+      val lowTruth = perFile.filter(_.getAs[Int]("has_low") == 1)
+        .map(_.getString(0)).toSet
       val lowPlanned = t.candidateFiles(col("o_orderpriority") === "5-LOW").toSet
       if (lowPlanned != lowTruth || lowPlanned.isEmpty ||
           lowPlanned.size >= files0.size)
@@ -60,17 +70,15 @@ object CoreQueries23 {
           s"table ${files0.size}")
       // files never mix partition values (the layout invariant pruning
       // exactness rests on)
-      files0.foreach { f =>
-        if (s.read.parquet(s"$dir/$f").select("o_orderpriority")
-            .distinct().count() != 1)
-          sys.error(s"q_lake_partitioned: file $f mixes partition values")
+      perFile.foreach { r =>
+        if (r.getAs[Long]("nvals") != 1L)
+          sys.error(s"q_lake_partitioned: file ${r.getString(0)} mixes " +
+            "partition values")
       }
       // (b) dynamic partition overwrite: re-load 5-LOW corrected (×2);
       // an untouched partition's files must survive by IDENTITY
-      val urgentTruth = files0.filter { f =>
-        s.read.parquet(s"$dir/$f")
-          .filter(col("o_orderpriority") === "1-URGENT").limit(1).count() > 0
-      }.toSet
+      val urgentTruth = perFile.filter(_.getAs[Int]("has_urgent") == 1)
+        .map(_.getString(0)).toSet
       t.replacePartitions(
         src.filter(col("o_orderpriority") === "5-LOW")
           .withColumn("o_totalprice", col("o_totalprice") * 2))          // v1

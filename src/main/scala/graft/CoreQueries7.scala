@@ -49,11 +49,7 @@ object CoreQueries7 {
          |UNION ALL
          |SELECT 'ALL', CAST(floor($Scale / max(hv)) AS BIGINT), count(*)
          |FROM merged ORDER BY scope""".stripMargin) { (s, d) =>
-      // widen (r19): the per-key md5 hashing ran on the fixture's single
-      // input split; round-robin repartition spreads it across cores
-      // (the distinct's own exchange is unchanged above it)
-      val h = graft.Tables.widen(
-          lineitem(s, d).select(col("l_returnflag"), col("l_orderkey")))
+      val h = lineitem(s, d)
         .select(col("l_returnflag"),
           graft.llm.Dedup.md5Int(col("l_orderkey").cast("string")).as("hv"))
         .distinct()

@@ -103,8 +103,10 @@ object Tables {
     */
   def widen(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
     val spark = df.sparkSession
+    val enabled = spark.conf.getOption("spark.graft.scan.widen")
+      .forall(_.trim != "false") // A/B + rollback gate, default on
     val cores = spark.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
+    val parts = if (enabled) df.rdd.getNumPartitions else Int.MaxValue
     if (parts >= cores) df
     else {
       val n = spark.sessionState.conf.numShufflePartitions

@@ -71,8 +71,7 @@ object Dedup {
   /** (doc_id, shingle-hash) exploded — shingle strings hashed exactly
     * once; everything downstream works on longs. */
   private def shingleHashes(docs: DataFrame, shingleN: Int): DataFrame =
-    graft.Tables.widen(docs, col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
   /** Prime modulus for the replayable hash family (minhash permutations,
@@ -101,15 +100,14 @@ object Dedup {
       GraftColumnBridge.expression(c), byteOffset))
   }
 
-  // Both shingle exploders widen the scan first (Tables.widen): the
-  // shingle+hash work is the pipeline's CPU floor, and on a one-split
-  // input it would otherwise run on a single task while the
-  // groupBy(doc_id) above it pays the same exchange anyway (the widen
-  // repartitions BY doc_id into shuffle.partitions, so the aggregation
-  // reuses the partitioning — shuffle count unchanged).
+  // (r19 measured: widening these shingle exploders LOSES — the
+  // one-task scan's map-side partial min-aggregation already compresses
+  // to tiny per-doc signatures before any shuffle, so repartitioning
+  // the raw text first costs more than the parallelism returns:
+  // q_dedup_minhash 1.14→1.31s, q_dedup_incremental 2.73→4.06s,
+  // q_dedup_simhash 1.34→1.58s in same-order A/B at sf0.1.)
   private def shingleHashesReplayable(docs: DataFrame, shingleN: Int): DataFrame =
-    graft.Tables.widen(docs, col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"), md5Int(col("shingle")).as("h"))
 
   /** Ordered in-bucket pair expansion over a SORTED member-struct array
@@ -293,7 +291,7 @@ object Dedup {
     // 64 feature bits from two replayable 32-bit md5 halves (digest
     // bytes 0-3 and 4-7) — same cross-engine hash contract as minhash,
     // so the whole simhash pipeline is oracle-checked too.
-    val toks = graft.Tables.widen(docs, col("doc_id"))
+    val toks = docs
       .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
       .select(col("doc_id"),
         md5Int(col("shingle")).as("h1"), md5Int(col("shingle"), 4).as("h2"))
