@@ -60,6 +60,10 @@ object CoreQueries21 {
             // medallion-style apply: tombstones first (replay-safe by
             // semantics — the keys are already gone), then the netted
             // inserts exactly-once by batch id
+            // (r19 measured: fusing this count with the two emptiness
+            // probes into a groupBy aggregation LOSES — the plain count
+            // doubles as the cache materializer in one stage, and the
+            // cached probes are near-free: 5.1→7.1 s with the fuse)
             val delKeys = changes.filter(col("_change_type") === "delete")
               .select("event_id").distinct()
             if (silver.latestVersion().nonEmpty && !delKeys.isEmpty)
@@ -179,6 +183,15 @@ object CoreQueries21 {
       val ev = events(s, d).select("event_id", "event_type", "value")
       def slice(i: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(3)) === i)
       bronze.commitOverwrite(slice(0))                                // v0
+      // State partitions sized to the aggregate's key cardinality
+      // (event types ≈ 5): a stateful micro-batch pays per-STATE-
+      // PARTITION fixed cost (store load + delta write + fsync) every
+      // batch, so 32 near-empty stores were pure overhead — at any
+      // cluster size, not just local (measured: the state stage carried
+      // ~52 s of task time for 3 groups). The conf is pinned into the
+      // checkpoint at first batch; restored for everything after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "5")
       val query = s.readStream.format("graft-lake").load(bronzeDir)
         .filter(col("_change_type") === "insert")
         .groupBy("event_type")
@@ -189,12 +202,19 @@ object CoreQueries21 {
         .option("checkpointLocation", base + "/ckpt")
         .start(goldDir)
       try {
+        // first batch pins the state-partition count into the
+        // checkpoint; only then is the session value safe to restore
+        // (the streaming thread reads it at first-batch planning)
         query.processAllAvailable()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
         bronze.commitAppend(slice(1))                                 // v1
         query.processAllAvailable()
         bronze.commitAppend(slice(2))                                 // v2
         query.processAllAvailable()
-      } finally query.stop()
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       if (gold.history().map(_._2) != Seq("overwrite", "overwrite", "overwrite"))
         sys.error(s"q_lake_stream_complete: Complete mode must land one " +
           s"overwrite per batch: ${gold.history().map(_._2)}")
@@ -234,6 +254,11 @@ object CoreQueries21 {
       val gold = graft.lake.VersionedTable(s, goldDir)
       val ev = events(s, d).select("event_id", "event_type", "value")
       bronze.commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 0)) // v0
+      // state partitions sized to key cardinality (see
+      // q_lake_stream_complete — measured 1.4 s of per-batch fixed
+      // state-store cost on 32 near-empty stores)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "5")
       val query = s.readStream.format("graft-lake").load(bronzeDir)
         .filter(col("_change_type") === "insert")
         .groupBy("event_type")
@@ -246,11 +271,15 @@ object CoreQueries21 {
         .start(goldDir)
       try {
         query.processAllAvailable()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
         // second batch touches ONLY one key
         bronze.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1)
           .filter(col("event_type") === "click"))                     // v1
         query.processAllAvailable()
-      } finally query.stop()
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       if (gold.history().map(_._2) != Seq("overwrite", "replaceFiles"))
         sys.error(s"q_lake_stream_update: a one-key batch must land as a " +
           s"file-scoped swap: ${gold.history().map(_._2)}")
