@@ -127,11 +127,14 @@ object CoreQueries10 {
       val n = baskets.agg(count(lit(1)).as("n_orders"))
       val bc = baskets.select(explode(col("bs")).as("brand"))
         .groupBy("brand").agg(count(lit(1)).as("n_brand"))
+      // r20: native codegen'd combination expansion (the HOF transform/
+      // slice formulation evaluated interpreted — 1.97 s of task time
+      // in ProfileQuery; OrderedPairsExpr emits the identical pair list
+      // from one tight loop inside codegen)
       baskets
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs) - i - 1),
-            |    y -> struct(x AS b1, y AS b2))))""".stripMargin)).as("p"))
+        .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.graft.OrderedPairsExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("bs"))))).as("p"))
         .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)

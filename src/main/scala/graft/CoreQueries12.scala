@@ -123,15 +123,13 @@ object CoreQueries12 {
         |  sum(CASE WHEN d.ad > 1.5 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM dev d JOIN mad m ON d.mon = m.mon AND d.rf = m.rf
         |GROUP BY d.mon, d.rf ORDER BY mon, l_returnflag""".stripMargin) { (s, d) =>
-      // widen (r19): one repartition by the group key at the scan feeds
-      // ALL THREE aggregations (median, MAD, final) with zero further
-      // exchanges (hash(mon, rf) satisfies each groupBy's clustering) —
-      // and the exact-percentile buffers build in parallel instead of
-      // on the fixture's single input split.
-      val g = Tables.widen(
-        lineitem(s, d).select(trunc(col("l_shipdate"), "month").as("mon"),
-          col("l_returnflag").as("rf"), col("l_quantity").as("qty")),
-        col("mon"), col("rf"))
+      // r19 tried Tables.widen by (mon, rf) here; the driver's cold-JVM
+      // PERF measured it 0.77× (1.17→1.51 s) even though a warm
+      // same-order A/B said keep — shuffling the raw projection costs
+      // more than the parallelism returns (the same mechanism that
+      // killed the shingle widens). REVERTED r20; do not re-try blind.
+      val g = lineitem(s, d).select(trunc(col("l_shipdate"), "month").as("mon"),
+        col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
       val med = g.groupBy("mon", "rf").agg(expr("percentile(qty, 0.5D)").as("med"))
       val dev = g.join(broadcast(med), Seq("mon", "rf"))
         .withColumn("ad", abs(col("qty") - col("med")))

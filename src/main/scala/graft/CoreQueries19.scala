@@ -31,7 +31,15 @@ object CoreQueries19 {
   def writeBucketed(s: SparkSession, df: DataFrame, table: String,
                     key: String, path: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    // r20 (guide §6 "cluster before the write"): repartition by the
+    // key into exactly the bucket count — Spark's repartition placement
+    // (pmod(murmur3(key), 8)) IS the bucket-id function, so each task
+    // holds exactly one bucket and writes ONE file (8 total, was
+    // tasks×buckets = 24 from the unclustered input), with the
+    // per-bucket sort and parquet encode running 8-wide instead of on
+    // the scan's 3 natural splits. Same layout contract any bucketed
+    // ingest wants at scale: one file per bucket per write.
+    df.repartition(8, col(key)).write.mode("overwrite")
       .bucketBy(8, key).sortBy(key)
       .option("path", path)
       .format("parquet")

@@ -182,16 +182,23 @@ object CoreQueries21 {
       val gold = graft.lake.VersionedTable(s, goldDir)
       val ev = events(s, d).select("event_id", "event_type", "value")
       def slice(i: Int): DataFrame = ev.filter(pmod(col("event_id"), lit(3)) === i)
-      bronze.commitOverwrite(slice(0))                                // v0
-      // State partitions sized to the aggregate's key cardinality
-      // (event types ≈ 5): a stateful micro-batch pays per-STATE-
-      // PARTITION fixed cost (store load + delta write + fsync) every
-      // batch, so 32 near-empty stores were pure overhead — at any
-      // cluster size, not just local (measured: the state stage carried
-      // ~52 s of task time for 3 groups). The conf is pinned into the
-      // checkpoint at first batch; restored for everything after.
+      // State partitions sized to the aggregate's observed key
+      // cardinality (derived, r20 — no fixture literal): a stateful
+      // micro-batch pays per-STATE-PARTITION fixed cost (store load +
+      // delta write + fsync) every batch, so 32 near-empty stores were
+      // pure overhead — at any cluster size, not just local (measured:
+      // the state stage carried ~52 s of task time for 3 groups). The
+      // cardinality is observed for FREE on the seed commit's own write
+      // (Dataset.observe — a separate aggregate job cost ~0.2 s). The
+      // conf is pinned into the checkpoint at first batch; restored for
+      // everything after.
+      val obs = org.apache.spark.sql.Observation()
+      bronze.commitOverwrite(slice(0)
+        .observe(obs, approx_count_distinct(col("event_type")).as("k"))) // v0
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "5")
+      s.conf.set("spark.sql.shuffle.partitions",
+        Tables.statePartitions(s,
+          obs.get("k").asInstanceOf[Long]).toString)
       val query = s.readStream.format("graft-lake").load(bronzeDir)
         .filter(col("_change_type") === "insert")
         .groupBy("event_type")
@@ -253,12 +260,17 @@ object CoreQueries21 {
       val bronze = graft.lake.VersionedTable(s, bronzeDir)
       val gold = graft.lake.VersionedTable(s, goldDir)
       val ev = events(s, d).select("event_id", "event_type", "value")
-      bronze.commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 0)) // v0
-      // state partitions sized to key cardinality (see
-      // q_lake_stream_complete — measured 1.4 s of per-batch fixed
-      // state-store cost on 32 near-empty stores)
+      // state partitions derived from key cardinality observed free on
+      // the seed commit's write (see q_lake_stream_complete — measured
+      // 1.4 s of per-batch fixed state-store cost on 32 near-empty
+      // stores)
+      val obs = org.apache.spark.sql.Observation()
+      bronze.commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .observe(obs, approx_count_distinct(col("event_type")).as("k"))) // v0
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "5")
+      s.conf.set("spark.sql.shuffle.partitions",
+        Tables.statePartitions(s,
+          obs.get("k").asInstanceOf[Long]).toString)
       val query = s.readStream.format("graft-lake").load(bronzeDir)
         .filter(col("_change_type") === "insert")
         .groupBy("event_type")

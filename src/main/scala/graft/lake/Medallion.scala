@@ -117,10 +117,17 @@ final class Medallion(spark: SparkSession, root: String,
   def refreshSilver(clean: DataFrame => DataFrame,
                     keys: Seq[String]): Option[Int] = {
     fastForward(silver, "silver", silverCursor)
+    val from = silverCursor.lastProcessed()
     silverCursor.poll().map { case (changes0, head) =>
       val alreadyLanded =
         silver.lastCommittedBatch("silver").exists(_ >= head.toLong)
       if (!alreadyLanded) {
+        // Which legs can the polled range possibly carry? A pure-log-
+        // record decision (r20): an append-only range provably has no
+        // delete rows, a pure-delete range no inserts — the skipped
+        // leg's emptiness-probe job never runs (zero cluster round
+        // trips for the common append-only sync at any scale).
+        val (mayIns, mayDel) = silverCursor.table.changeTypesPossible(from, head)
         val changes = changes0.cache()
         try {
           val w = org.apache.spark.sql.expressions.Window
@@ -129,15 +136,19 @@ final class Medallion(spark: SparkSession, root: String,
               when(col("_change_type") === "insert", 1).otherwise(0).desc)
           val finals = changes.withColumn("_g_rk", row_number().over(w))
             .filter(col("_g_rk") === 1).drop("_g_rk")
-          val delKeys = clean(changes.filter(col("_change_type") === "delete")
+          if (mayDel) {
+            val delKeys = clean(changes.filter(col("_change_type") === "delete")
+                .drop("_commit_version", "_change_type"))
+              .select(keys.map(col): _*).distinct()
+            if (silver.latestVersion().nonEmpty && !delKeys.isEmpty)
+              silver.mergeConditional(delKeys, keys, Seq(Merge.MatchedDelete(None)))
+          }
+          if (mayIns) {
+            val ins = clean(finals.filter(col("_change_type") === "insert")
               .drop("_commit_version", "_change_type"))
-            .select(keys.map(col): _*).distinct()
-          if (silver.latestVersion().nonEmpty && !delKeys.isEmpty)
-            silver.mergeConditional(delKeys, keys, Seq(Merge.MatchedDelete(None)))
-          val ins = clean(finals.filter(col("_change_type") === "insert")
-            .drop("_commit_version", "_change_type"))
-          if (!ins.isEmpty)
-            silver.commitAppendIdempotent(ins, "silver", head.toLong)
+            if (!ins.isEmpty)
+              silver.commitAppendIdempotent(ins, "silver", head.toLong)
+          }
         } finally changes.unpersist()
       }
       silverCursor.advance(head)

@@ -2747,6 +2747,31 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * prior version's commit record, which is exactly what [[vacuum]]'s
     * retention horizon keeps.
     */
+  /** Which change types versions (fromVersion, toVersion] can POSSIBLY
+    * surface — (mayInsert, mayDelete), decided from the log records
+    * alone (the same add/remove/dvTargets dispatch [[changesBetween]]
+    * branches on), zero data reads. An append-only range provably
+    * carries no deletes and a pure-delete range no inserts, so an
+    * incremental consumer (r20: [[Medallion.refreshSilver]]) can skip
+    * the corresponding apply leg — and its emptiness-probe job —
+    * entirely. Conservative by construction: a rewrite commit reports
+    * both possible even when the actual diff nets to one side. */
+  def changeTypesPossible(fromVersion: Int, toVersion: Int): (Boolean, Boolean) = {
+    var ins = false
+    var del = false
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val d = readDelta(v)
+      if (d.dvTargets.nonEmpty) {
+        del = true
+        if (d.add.exists(n => !isDv(n))) ins = true
+      } else {
+        if (d.add.nonEmpty) ins = true
+        if (d.remove.nonEmpty) del = true
+      }
+    }
+    (ins, del)
+  }
+
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
     // Reading version v's changes touches its removed files, which live

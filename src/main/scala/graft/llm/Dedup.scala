@@ -100,15 +100,12 @@ object Dedup {
       GraftColumnBridge.expression(c), byteOffset))
   }
 
-  // (r19 measured: widening these shingle exploders LOSES — the
-  // one-task scan's map-side partial min-aggregation already compresses
-  // to tiny per-doc signatures before any shuffle, so repartitioning
-  // the raw text first costs more than the parallelism returns:
-  // q_dedup_minhash 1.14→1.31s, q_dedup_incremental 2.73→4.06s,
-  // q_dedup_simhash 1.34→1.58s in same-order A/B at sf0.1.)
-  private def shingleHashesReplayable(docs: DataFrame, shingleN: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
-      .select(col("doc_id"), md5Int(col("shingle")).as("h"))
+  // (r19 measured: widening the shingle exploders inside bandedMinhash
+  // LOSES — the one-task scan's map-side partial min-aggregation already
+  // compresses to tiny per-doc signatures before any shuffle, so
+  // repartitioning the raw text first costs more than the parallelism
+  // returns: q_dedup_minhash 1.14→1.31s, q_dedup_incremental
+  // 2.73→4.06s, q_dedup_simhash 1.34→1.58s in same-order A/B at sf0.1.)
 
   /** Ordered in-bucket pair expansion over a SORTED member-struct array
     * (first struct field must be `doc_id`), kept when `keep(x, y)` —
@@ -157,7 +154,8 @@ object Dedup {
     * store) and still collide identically.
     */
   private def bandedMinhash(docs: DataFrame, shingleN: Int,
-                            numHashes: Int, bands: Int): DataFrame = {
+                            numHashes: Int, bands: Int,
+                            carry: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
@@ -165,14 +163,22 @@ object Dedup {
       val (a, b) = permConstants(i)
       min((col("h") * a + b) % HashP).as(s"mh$i")
     }
-    val sigs = shingleHashesReplayable(docs, shingleN).groupBy("doc_id")
+    // `carry` columns (functionally dependent on doc_id — e.g. the
+    // incremental batch flag) ride the signature aggregation's group
+    // key, so a tagged union needs only ONE banding pass (r20).
+    val keyCols = col("doc_id") +: carry.map(col)
+    val hashed = docs
+      .select(keyCols :+ explode(shingles(col("text"), shingleN)).as("shingle"): _*)
+      .select(keyCols :+ md5Int(col("shingle")).as("h"): _*)
+    val sigs = hashed.groupBy("doc_id", carry: _*)
       .agg(mhCols.head, mhCols.tail: _*)
 
     val bandHashes = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       rows.reduce((acc, x) => (acc * 131L + x) % HashP)
     }
-    sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    sigs.select(keyCols :+
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")): _*)
   }
 
   /** Exact shingle-Jaccard verification of a (tiny, ~linear) candidate
@@ -228,10 +234,22 @@ object Dedup {
   def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
                               threshold: Double, shingleN: Int = 3,
                               numHashes: Int = 32, bands: Int = 8,
-                              maxBucket: Int = 1000): DataFrame =
-    minhashPairsFromStore(
-      minhashSignatureStore(corpus, shingleN, numHashes, bands),
-      corpus, batch, threshold, shingleN, numHashes, bands, maxBucket)
+                              maxBucket: Int = 1000): DataFrame = {
+    // One banding pass over the tagged union (r20): banding is per-doc,
+    // so banding corpus∪batch with an is_new flag on the group key is
+    // value-identical to banding the sides separately (the store path,
+    // [[minhashPairsFromStore]], still bands them separately — there the
+    // corpus side comes back from a PERSISTED store, which is the
+    // production shape). Inline recomputation paid two scans + two
+    // signature aggregations for the same rows; the fused pass pays one
+    // of each (plan: two HashAggregate subtrees + union → one).
+    val tagged = corpus.withColumn("is_new", lit(false))
+      .unionByName(batch.withColumn("is_new", lit(true)))
+    val banded = bandedMinhash(tagged, shingleN, numHashes, bands,
+      carry = Seq("is_new"))
+    verifyJaccard(corpus.unionByName(batch),
+      incrementalCandidates(banded, maxBucket), shingleN, threshold)
+  }
 
   /** The persistable dedup index: (doc_id, band, bucket) banded minhash
     * signatures. Banding depends only on the doc's own text, so a store
@@ -261,20 +279,25 @@ object Dedup {
         bandedMinhash(batch, shingleN, numHashes, bands)
           .withColumn("is_new", lit(true)))
 
-    // In-bucket pairs as in bucketPairs, but members carry the batch
-    // flag and only combinations with ≥1 batch endpoint are expanded:
-    // a bucket of c corpus docs and n batch docs emits n·(c+n) pairs,
-    // never the c² corpus-internal ones. The cap is on TOTAL bucket
-    // size (corpus+batch), mirroring the full pipeline bit-for-bit.
+    verifyJaccard(corpus.unionByName(batch),
+      incrementalCandidates(banded, maxBucket), shingleN, threshold)
+  }
+
+  /** In-bucket pairs as in [[bucketPairs]], but members carry the batch
+    * flag and only combinations with ≥1 batch endpoint are expanded: a
+    * bucket of c corpus docs and n batch docs emits n·(c+n) pairs,
+    * never the c² corpus-internal ones. The cap is on TOTAL bucket size
+    * (corpus+batch), mirroring the full pipeline bit-for-bit. Shared by
+    * the inline and from-store incremental paths (r20). */
+  private def incrementalCandidates(banded: DataFrame,
+                                    maxBucket: Int): DataFrame = {
     val buckets = banded.groupBy("band", "bucket")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("is_new")))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-    val candidates = buckets.select(explode(expandPairs(col("xs"),
+    buckets.select(explode(expandPairs(col("xs"),
         (x, y) => x.getField("is_new") || y.getField("is_new"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
-
-    verifyJaccard(corpus.unionByName(batch), candidates, shingleN, threshold)
   }
 
   /** 64-bit SimHash, materialized as four 16-bit parts (ANSI-safe: no

@@ -56,7 +56,14 @@ object CurationPipeline {
     // stages whose per-task overhead on 32 tiny partitions outweighs
     // the parallelism; the CPU-heavy minhash stage widens itself inside
     // Dedup. 2.8s → 4.2s at sf0.1 with a top-level widen.)
-    val checked = Expectations.withExpectations(docs, obs, exps).cut()
+    // r20 (guide §6, column pruning at the checkpoint boundary): only
+    // (doc_id, text) flow past the expectations cut — every downstream
+    // stage (gopher, minhash, chunking) and the pipeline's own output
+    // derive from these two, so materializing the other source columns
+    // (lang/source/n_chars on the documents fixture) through BOTH cuts
+    // and five downstream subplan executions was pure checkpoint bytes.
+    val checked = Expectations.withExpectations(
+      docs.select("doc_id", "text"), obs, exps).cut()
 
     val quality = TextAnalysis.gopherFilter(checked,
       cfg.minTokens, cfg.maxRepRatio, cfg.minAlphaRatio)
