@@ -63,7 +63,11 @@ object CoreQueries21 {
             // (r19 measured: fusing this count with the two emptiness
             // probes into a groupBy aggregation LOSES — the plain count
             // doubles as the cache materializer in one stage, and the
-            // cached probes are near-free: 5.1→7.1 s with the fuse)
+            // cached probes are near-free: 5.1→7.1 s with the fuse.
+            // r20 measured: riding the probes on the count via
+            // Dataset.observe ALSO loses, 4.4→5.5 s — Observation.get
+            // blocks on the async QueryExecutionListener bus per batch,
+            // costing ~270 ms/batch; the cached limit(1) probes stay.)
             val delKeys = changes.filter(col("_change_type") === "delete")
               .select("event_id").distinct()
             if (silver.latestVersion().nonEmpty && !delKeys.isEmpty)

@@ -422,8 +422,13 @@ object LlmQueries3 {
       val dh = documents(s, d)
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("sgl"))
         .select(col("doc_id"), Dedup.md5Int(col("sgl")).as("h"))
-      val cnt = dh.groupBy("h").agg(count(lit(1)).as("nd"))
-      dh.join(cnt, "h")
+      // r20: corpus-wide shingle counts as a WINDOW over the hash
+      // instead of a groupBy + join-back — the shingle+md5 pass ran
+      // twice (once under the aggregate feeding the broadcast, once on
+      // the probe side); the window computes nd in the same shuffle
+      // that pass already needed, one execution, no join
+      dh.withColumn("nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))

@@ -56,9 +56,14 @@ object LlmQueries6 {
          |  round(hh.n_hits * 1.0 / greatest(tr.n_truth, 1), 6) AS recall
          |FROM tr CROSS JOIN hh""".stripMargin
     }) { (s, d) =>
+      import graft.CheckpointStrategy.Ops._
       val sample = documents(s, d).filter(col("doc_id") % 2 === 0)
+      // r20: the exploded shingle set feeds THREE subplan executions
+      // (sizes + both sides of the inverted-index self-join) — without
+      // the cut each re-ran the scan + shingle explode
       val sw = sample
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+        .cut()
       val sizes = sw.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sw.select(col("doc_id").as("id1"), col("s"))
         .join(sw.select(col("doc_id").as("id2"), col("s")),
@@ -74,10 +79,12 @@ object LlmQueries6 {
       val found = Dedup.minhashPairs(documents(s, d), threshold = 0.7)
         .filter(col("id1") % 2 === 0 && col("id2") % 2 === 0)
         .select("id1", "id2")
-      val h = truth.join(found, Seq("id1", "id2"))
-        .agg(count(lit(1)).as("n_hits"))
-      val t = truth.agg(count(lit(1)).as("n_truth"))
-      t.crossJoin(broadcast(h))
+      // r20: n_truth and n_hits in ONE pass — a left join marks hits
+      // (found pairs are distinct, so no fan-out) and one aggregate
+      // counts both, where the former hits-join + truth-count pair
+      // executed the quadratic truth subtree twice
+      truth.join(found.withColumn("_hit", lit(1)), Seq("id1", "id2"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), count(col("_hit")).as("n_hits"))
         .select(col("n_truth"), col("n_hits"),
           (col("n_truth") - col("n_hits")).as("n_missed"),
           round(col("n_hits") * lit(1.0) / greatest(col("n_truth"), lit(1L)), 6)
@@ -125,8 +132,12 @@ object LlmQueries6 {
          |    AS predicted_cost_ratio
          |FROM d2, d4, s2, s4""".stripMargin
     }) { (s, d) =>
+      import graft.CheckpointStrategy.Ops._
+      // r20: shingles materialized once (three subplan consumers, as in
+      // q_dedup_recall)
       val sw = documents(s, d).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+        .cut()
       val sizes = sw.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val judged = sw.select(col("doc_id").as("id1"), col("s"))
         .join(sw.select(col("doc_id").as("id2"), col("s")), Seq("s"))
@@ -137,17 +148,23 @@ object LlmQueries6 {
         .withColumn("is_truth",
           (col("ov") * lit(1.0) /
             (col("sz1") + col("sz2") - col("ov")) >= 0.7).cast("long"))
-      val s2 = judged.agg(count(lit(1)).as("n_pairs_m2"),
-        coalesce(sum("is_truth"), lit(0L)).as("n_truth_m2"))
-      val s4 = judged.filter(col("id1") % 4 === 0 && col("id2") % 4 === 0)
-        .agg(count(lit(1)).as("n_pairs_m4"),
-          coalesce(sum("is_truth"), lit(0L)).as("n_truth_m4"))
-      val d2 = documents(s, d).filter(col("doc_id") % 2 === 0)
-        .agg(count(lit(1)).as("n_docs_m2"))
-      val d4 = documents(s, d).filter(col("doc_id") % 4 === 0)
-        .agg(count(lit(1)).as("n_docs_m4"))
-      // 1-row × 1-row broadcast combines — never data-sized
-      d2.crossJoin(broadcast(d4)).crossJoin(broadcast(s2)).crossJoin(broadcast(s4))
+      // r20: both moduli's pair/truth counts from ONE aggregation pass
+      // (the nested %4 sample is a conditional sum over the same rows);
+      // the former s2/s4 pair executed the quadratic truth chain twice
+      val in4 = col("id1") % 4 === 0 && col("id2") % 4 === 0
+      val s24 = judged.agg(count(lit(1)).as("n_pairs_m2"),
+        coalesce(sum("is_truth"), lit(0L)).as("n_truth_m2"),
+        coalesce(sum(when(in4, 1L).otherwise(0L)), lit(0L)).as("n_pairs_m4"),
+        coalesce(sum(when(in4, col("is_truth")).otherwise(0L)), lit(0L))
+          .as("n_truth_m4"))
+      // r20: both doc counts from one scan (conditional sums)
+      val dd = documents(s, d).agg(
+        coalesce(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs_m2"),
+        coalesce(sum(when(col("doc_id") % 4 === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs_m4"))
+      // 1-row × 1-row broadcast combine — never data-sized
+      dd.crossJoin(broadcast(s24))
         .select(col("n_docs_m2"), col("n_pairs_m2"), col("n_truth_m2"),
           col("n_docs_m4"), col("n_pairs_m4"), col("n_truth_m4"),
           round(col("n_pairs_m2") * lit(1.0) /
@@ -175,6 +192,10 @@ object LlmQueries6 {
          |ORDER BY threshold""".stripMargin
     }) { (s, d) =>
       import s.implicits._
+      // (r20 measured: cutting `pairs` here LOSES 0.26→1.2 s — the two
+      // sweep aggregates share the whole banding+verify pipeline via
+      // ReusedExchange within the single final action; an eager cut
+      // splits it into three actions and forfeits the reuse.)
       val pairs = Dedup.minhashPairs(documents(s, d), threshold = 0.5)
         .select(col("id1"), col("id2"), col("jaccard"))
       val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")

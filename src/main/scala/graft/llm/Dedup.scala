@@ -191,6 +191,14 @@ object Dedup {
     */
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
                             shingleN: Int, threshold: Double): DataFrame = {
+    // (r20 measured: cutting `candidates` here is a net LOSS. The two
+    // broadcast builds below DO duplicate the banding subtree, but they
+    // run as concurrent broadcast futures inside one action — wall-
+    // neutral (minhash −0.11, survivors −0.13, embedding +0.08 in a
+    // 2×2-JVM A/B) — while the eager cut breaks whole-plan exchange
+    // reuse for multi-consumer callers: q_dedup_threshold_sweep's two
+    // sweep aggregates share the entire pipeline via ReusedExchange in
+    // ONE action, 0.26 s, and the cut forced three actions, 1.2 s.)
     val candIds = candidates
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
     val withShingles = docs
@@ -368,6 +376,8 @@ object Dedup {
     val banded = embs.select(col("vec_id").as("doc_id"),
       posexplode(bandedSignature(col("embedding"), planes, bands))
         .as(Seq("band", "bucket")))
+    // (r20: a cut() here measured wall-neutral — same concurrent-
+    // broadcast-futures mechanism as verifyJaccard's note — reverted)
     val candidates = bucketPairs(banded, maxBucket)
     // Verify-side scans semi-join to the broadcast candidate ids BEFORE
     // computing norms (same shape as minhashPairs' verify): exact
@@ -509,6 +519,10 @@ object Dedup {
       .join(meta.select(col("cid").as("cb"), col("doc_id").as("doc_b"),
         col("chunk_idx").as("chunk_b")), "cb")
       .filter(col("doc_a") =!= col("doc_b"))
+    // (r20 measured: a cut() here LOSES, 1.5→2.3 s — the three
+    // consumers' re-runs of the per-token md5 pass from the chunks
+    // checkpoint are cheaper than materializing the bucket counts and
+    // degrading the downstream joins' planning. Do not re-try blind.)
     val buckets = chunks
       .select(col("cid"), explode(split(col("text"), " ")).as("t"))
       .select(col("cid"), pmod(md5Int(col("t")), lit(dim.toLong)).as("b"))
