@@ -87,7 +87,7 @@ object ProfileQuery {
         val gap = if (prevEnd == 0) 0.0 else (j.t0 - prevEnd) / 1e3
         jobSum += dur; if (gap > 0) gapSum += gap
         prevEnd = math.max(prevEnd, j.t1)
-        val d = if (j.desc.length > 70) j.desc.take(70) else j.desc
+        val d = j.desc.replaceAll("\\s+", " ").take(70)
         println(f"  gap=${gap}%6.3f  job=${dur}%6.3f  tasks=${j.tasks}%4d " +
           f"taskSum=${j.taskMs / 1e3}%7.2f in=${j.input / 1e6}%7.1fMB " +
           f"sR=${j.shufR / 1e6}%6.1fMB sW=${j.shufW / 1e6}%6.1fMB  $d")

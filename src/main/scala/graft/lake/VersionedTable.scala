@@ -831,9 +831,20 @@ final class VersionedTable(spark: SparkSession, val tablePath: String,
     * the commit rename arbitrates, and the loser's files are orphans,
     * never an overwrite of the winner's data.
     */
+  /** Job-description scope (guide §1.5): labels every Spark job `f`
+    * submits as `lake:<desc>` so ProfileQuery / the UI can attribute
+    * the commit protocol's many small jobs. Thread-local; restores the
+    * caller's description (Bench/TimeQuery group labels survive). */
+  private def labeled[T](desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"lake:$desc ${new Path(tablePath).getName}")
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def stage(df: DataFrame, v: Int, prefix: String = "",
                     collectStats: Boolean = true,
-                    pcols: Seq[String] = Nil): Seq[String] = {
+                    pcols: Seq[String] = Nil): Seq[String] = labeled(s"stage v$v") {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = new Path(tablePath, s"_stage-v$v-$nonce")
     if (pcols.isEmpty) df.write.parquet(stageDir.toString)
